@@ -1,0 +1,85 @@
+"""Unit tests for mask/path ops against the reference's formulas
+(/root/reference/unitspeech/util.py:20-66)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unitspeech_tpu.ops.masking import (
+    choose_bucket,
+    default_frame_buckets,
+    fix_len_compatibility,
+    generate_path,
+    intersperse,
+    sequence_mask,
+)
+
+
+def test_sequence_mask_basic():
+    lengths = jnp.array([1, 3, 5])
+    m = sequence_mask(lengths, 5)
+    expected = np.array(
+        [[1, 0, 0, 0, 0], [1, 1, 1, 0, 0], [1, 1, 1, 1, 1]], dtype=np.float32
+    )
+    np.testing.assert_array_equal(np.asarray(m), expected)
+
+
+def test_sequence_mask_dtype():
+    m = sequence_mask(jnp.array([2]), 4, dtype=jnp.bool_)
+    assert m.dtype == jnp.bool_
+
+
+def _brute_force_path(duration, t_y):
+    """O(Tx*Ty) oracle: row x covers frames [cum_{x-1}, cum_x)."""
+    b, t_x = duration.shape
+    path = np.zeros((b, t_x, t_y), dtype=np.float32)
+    for i in range(b):
+        cum = 0
+        for x in range(t_x):
+            d = int(duration[i, x])
+            path[i, x, cum : min(cum + d, t_y)] = 1.0
+            cum += d
+    return path
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_generate_path_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    b, t_x = 3, 7
+    duration = rng.integers(0, 5, size=(b, t_x)).astype(np.float32)
+    t_y = int(duration.sum(axis=1).max()) + 2
+    mask = np.ones((b, t_x, t_y), dtype=np.float32)
+    got = np.asarray(generate_path(jnp.asarray(duration), jnp.asarray(mask)))
+    np.testing.assert_array_equal(got, _brute_force_path(duration, t_y))
+
+
+def test_generate_path_row_sums_equal_durations():
+    duration = jnp.array([[2.0, 0.0, 3.0]])
+    mask = jnp.ones((1, 3, 5))
+    path = generate_path(duration, mask)
+    np.testing.assert_allclose(np.asarray(path.sum(-1)), [[2.0, 0.0, 3.0]])
+    # each frame is assigned to exactly one token
+    np.testing.assert_allclose(np.asarray(path.sum(1)), [[1.0] * 5])
+
+
+def test_fix_len_compatibility():
+    assert fix_len_compatibility(172) == 176
+    assert fix_len_compatibility(176) == 176
+    assert fix_len_compatibility(1) == 8
+    assert fix_len_compatibility(17, 2) == 20
+    # reference's 2s @ 22050/256 segment: ceil(172.26) -> 172 -> 176
+    assert fix_len_compatibility(2 * 22050 // 256) == 176
+
+
+def test_intersperse():
+    assert intersperse([1, 2, 3], 0) == [0, 1, 0, 2, 0, 3, 0]
+    assert intersperse([], 9) == [9]
+
+
+def test_buckets():
+    buckets = default_frame_buckets(1024)
+    assert all(b % 8 == 0 for b in buckets)
+    assert choose_bucket(100, buckets) >= 100
+    assert choose_bucket(100, buckets) in buckets
+    # monotone
+    assert list(buckets) == sorted(buckets)

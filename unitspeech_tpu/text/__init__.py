@@ -1,0 +1,113 @@
+"""Text frontend: grapheme -> IPA phonemes -> interleaved symbol IDs.
+
+Host-side (CPU) by design — phonemization is a string operation, not a tensor
+op (SURVEY.md §2.4). Pipeline parity with the reference
+(/root/reference/unitspeech/text/__init__.py:11-26 and util.py:154-172):
+
+    lowercase -> espeak IPA (en-us / ro) -> symbol-ID lookup -> intersperse
+    blank (BLANK_ID) between every token.
+
+espeak-ng is an optional system dependency. When it is unavailable, the
+frontend still accepts pre-phonemized IPA strings via `phonemes_to_sequence`,
+so every downstream component remains testable and usable.
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+import subprocess
+from typing import List, Optional, Sequence
+
+from unitspeech_tpu.ops.masking import intersperse
+from unitspeech_tpu.text.symbols import BLANK_ID, symbols
+
+_symbol_to_id = {s: i for i, s in enumerate(symbols)}
+_id_to_symbol = {i: s for i, s in enumerate(symbols)}
+_whitespace_re = re.compile(r"\s+")
+
+SUPPORTED_LANGUAGES = ("en-us", "ro")
+
+
+def lowercase(text: str) -> str:
+    return text.lower()
+
+
+def collapse_whitespace(text: str) -> str:
+    return re.sub(_whitespace_re, " ", text)
+
+
+class EspeakPhonemizer:
+    """Grapheme->IPA via the espeak-ng CLI (reference wraps the same C library
+    through the `phonemizer` package, util.py:154-172)."""
+
+    def __init__(self, language: str = "en-us", with_stress: bool = True):
+        if language not in SUPPORTED_LANGUAGES:
+            raise ValueError(f"Language {language} not supported.")
+        self.language = language
+        self.with_stress = with_stress
+        self._binary = shutil.which("espeak-ng") or shutil.which("espeak")
+        if self._binary is None:
+            raise RuntimeError(
+                "espeak-ng not found on PATH; install it or pass pre-phonemized "
+                "IPA text to phonemes_to_sequence()."
+            )
+
+    def phonemize(self, texts: Sequence[str], strip: bool = True) -> List[str]:
+        out = []
+        for text in texts:
+            args = [self._binary, "-q", "--ipa", "-v", self.language]
+            if not self.with_stress:
+                args.append("--ipa=3")
+            proc = subprocess.run(
+                args + ["--", text], capture_output=True, text=True, check=True
+            )
+            ph = proc.stdout.replace("\n", " ")
+            # espeak ties multi-char phones with U+0361; the symbol table has
+            # none, drop them like the phonemizer package's default.
+            ph = ph.replace("͡", "").replace("‍", "")
+            if strip:
+                ph = ph.strip()
+            out.append(ph)
+        return out
+
+
+def get_phonemizer(language: str) -> Optional[EspeakPhonemizer]:
+    """Returns an espeak-backed phonemizer, or None if espeak is absent."""
+    try:
+        return EspeakPhonemizer(language)
+    except RuntimeError:
+        return None
+
+
+def phonemize(text: str, phonemizer: EspeakPhonemizer) -> str:
+    """Reference text/__init__.py:11-16."""
+    text = lowercase(text)
+    ph = phonemizer.phonemize([text], strip=True)[0]
+    return collapse_whitespace(ph)
+
+
+def cleaned_text_to_sequence(cleaned_text: str) -> List[int]:
+    """IPA string -> symbol IDs (reference text/__init__.py:19-26).
+    Unknown symbols are skipped rather than raising (robustness to espeak
+    version drift); the reference raises KeyError."""
+    return [_symbol_to_id[s] for s in cleaned_text if s in _symbol_to_id]
+
+
+def phonemes_to_sequence(cleaned_text: str, add_blank: bool = True) -> List[int]:
+    """IPA string -> interleaved ID sequence ready for the text encoder."""
+    seq = cleaned_text_to_sequence(cleaned_text)
+    if add_blank:
+        seq = intersperse(seq, BLANK_ID)
+    return seq
+
+
+def text_to_sequence(
+    text: str, phonemizer: EspeakPhonemizer, add_blank: bool = True
+) -> List[int]:
+    """Full frontend: graphemes -> IDs (reference inference.py:117-122)."""
+    return phonemes_to_sequence(phonemize(text, phonemizer), add_blank=add_blank)
+
+
+def sequence_to_text(seq: Sequence[int]) -> str:
+    return "".join(_id_to_symbol.get(i, "") for i in seq)
