@@ -1,0 +1,137 @@
+"""Benchmark: RTF of 50-step adaptive TTS synthesis (the reference's headline
+number — BASELINE.md: 0.9224 RTF on one DGX GPU, CFG 1.0/1.0, mean speech
+3.98 s over 500 utterances).
+
+Measures the full on-device pipeline at reference size: text encoder (6-layer
+transformer, 192ch) -> duration predictor -> alignment -> 50-step lax.scan
+reverse diffusion with dual CFG (3x-batched U-Net, dim 128, mults 1/2/4/8) ->
+BigVGAN 22 kHz vocoder. Durations are pinned so the synthesized length is a
+fixed 344 frames (~3.99 s at 86.13 fps), matching the baseline's mean speech
+duration; weights are randomly initialized (timing is weight-independent).
+
+Prints ONE JSON line:
+  {"metric": "rtf_50step_synthesis", "value": <rtf>, "unit": "rtf",
+   "vs_baseline": <0.9224 / rtf>}   (vs_baseline > 1 means faster than ref)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_RTF = 0.9224  # BASELINE.md row 1
+SR = 22050
+HOP = 256
+
+
+def build(smoke: bool):
+    from unitspeech_tpu.config import (
+        DataConfig,
+        DecoderConfig,
+        DurationPredictorConfig,
+        EncoderConfig,
+        MainConfig,
+        VocoderConfig,
+    )
+    from unitspeech_tpu.infer.tts import Synthesizer, TTSModels
+
+    if smoke:
+        cfg = MainConfig(
+            data=DataConfig(n_feats=16),
+            text_encoder=EncoderConfig(
+                n_vocab=180, n_feats=16, n_channels=16, filter_channels=32,
+                n_layers=1, n_heads=2,
+            ),
+            duration_predictor=DurationPredictorConfig(
+                in_channels=16, filter_channels=16, spk_emb_dim=8
+            ),
+            decoder=DecoderConfig(n_feats=16, dim=8, dim_mults=(1, 2), groups=4, spk_emb_dim=8),
+            vocoder=VocoderConfig(
+                num_mels=16, upsample_rates=(8, 8, 2, 2),
+                upsample_kernel_sizes=(16, 16, 4, 4), upsample_initial_channel=32,
+                resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+            ),
+        )
+    else:
+        cfg = MainConfig()
+    models = TTSModels.random_init(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    return Synthesizer(models)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="tiny config, CPU-friendly")
+    ap.add_argument("--frames", type=int, default=344, help="synthesized mel frames")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    from unitspeech_tpu.infer.tts import _align_and_sample, _encode_and_duration
+    from unitspeech_tpu.ops.masking import sequence_mask
+
+    synth = build(args.smoke)
+    m = synth.models
+    frames = args.frames if not args.smoke else 48
+
+    # a ~13-word sentence phonemized + blank-interleaved is ~140 tokens
+    n_tok = 140 if not args.smoke else 12
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(1, 179, (1, n_tok)), jnp.int32)
+    lengths = jnp.array([n_tok])
+    key = jax.random.PRNGKey(42)
+
+    def run_once():
+        mu_x, x_mask, w_ceil = _encode_and_duration(
+            m.text_encoder, m.text_encoder_params,
+            m.duration_predictor, m.duration_predictor_params,
+            tokens, lengths, m.spk_emb,
+        )
+        # pin durations -> fixed output length (stable benchmark shape)
+        w_fixed = jnp.full_like(w_ceil, frames / n_tok)
+        y_mask = sequence_mask(jnp.array([frames]), frames)
+        mel, _ = _align_and_sample(
+            m.decoder.apply, m.decoder_params, mu_x, x_mask, w_fixed, y_mask,
+            m.spk_emb, key, m.mel_min, m.mel_max,
+            n_timesteps=args.steps, text_gradient_scale=1.0,
+            spk_gradient_scale=1.0,
+            beta_min=m.cfg.decoder.beta_min, beta_max=m.cfg.decoder.beta_max,
+        )
+        wav = m.vocoder.apply(m.vocoder_params, mel)
+        return wav.block_until_ready()
+
+    # warmup / compile
+    for _ in range(2):
+        wav = run_once()
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        run_once()
+        times.append(time.perf_counter() - t0)
+
+    proc = float(np.median(times))
+    hop = m.cfg.data.hop_length
+    speech_s = frames * hop / m.cfg.data.sampling_rate if not args.smoke else frames * hop / SR
+    rtf = proc / speech_s
+    result = {
+        "metric": "rtf_50step_synthesis",
+        "value": round(rtf, 5),
+        "unit": "rtf",
+        "vs_baseline": round(BASELINE_RTF / rtf, 2),
+    }
+    print(json.dumps(result))
+    print(
+        f"# proc={proc:.3f}s speech={speech_s:.2f}s frames={frames} "
+        f"steps={args.steps} device={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

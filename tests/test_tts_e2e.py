@@ -1,0 +1,91 @@
+"""End-to-end TTS pipeline test on a tiny config: tokens -> encoder ->
+duration -> alignment -> scan sampler -> vocoder -> waveform
+(mirrors the reference inference call stack, SURVEY.md §3.1)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from unitspeech_tpu.config import (
+    DataConfig,
+    DecoderConfig,
+    DurationPredictorConfig,
+    EncoderConfig,
+    MainConfig,
+    VocoderConfig,
+)
+from unitspeech_tpu.infer.tts import Synthesizer, TTSModels
+
+
+@pytest.fixture(scope="module")
+def tiny_synth():
+    cfg = MainConfig(
+        data=DataConfig(n_feats=16, hop_length=4),
+        text_encoder=EncoderConfig(
+            n_vocab=40, n_feats=16, n_channels=16, filter_channels=32,
+            n_layers=1, n_heads=2,
+        ),
+        duration_predictor=DurationPredictorConfig(
+            in_channels=16, filter_channels=16, spk_emb_dim=8
+        ),
+        decoder=DecoderConfig(n_feats=16, dim=8, dim_mults=(1, 2), groups=4, spk_emb_dim=8),
+        vocoder=VocoderConfig(
+            num_mels=16, upsample_rates=(2, 2), upsample_kernel_sizes=(4, 4),
+            upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),),
+        ),
+    )
+    models = TTSModels.random_init(cfg, jax.random.PRNGKey(0))
+    return Synthesizer(models)
+
+
+def test_synthesize_mel_shapes(tiny_synth):
+    tokens = [1, 5, 9, 3, 7]
+    mel, y_length, attn = tiny_synth.synthesize_mel(
+        tokens, jax.random.PRNGKey(1), diffusion_steps=3,
+        text_gradient_scale=0.0, spk_gradient_scale=0.0,
+    )
+    assert mel.ndim == 3 and mel.shape[0] == 1 and mel.shape[2] == 16
+    assert y_length >= 1
+    assert mel.shape[1] % 2 == 0  # padded to the U-Net bucket
+    assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_synthesize_waveform_and_length_scale(tiny_synth):
+    tokens = [1, 5, 9, 3]
+    wav, sr = tiny_synth(tokens, jax.random.PRNGKey(2), diffusion_steps=2,
+                         text_gradient_scale=0.0, spk_gradient_scale=0.0)
+    assert sr == 22050
+    assert wav.ndim == 1 and len(wav) % 4 == 0  # hop_length=4 in tiny config
+    # upsample ratio of tiny vocoder = 4 == hop_length, so samples = frames*4
+    _, y_len, _ = tiny_synth.synthesize_mel(
+        tokens, jax.random.PRNGKey(2), diffusion_steps=2,
+        text_gradient_scale=0.0, spk_gradient_scale=0.0,
+    )
+    assert len(wav) == y_len * 4
+
+    # length_scale multiplies durations AFTER ceil (reference
+    # unitspeech.py:424-425): doubling it must exactly double frames
+    _, y_len2, _ = tiny_synth.synthesize_mel(
+        tokens, jax.random.PRNGKey(2), diffusion_steps=2, length_scale=2.0,
+        text_gradient_scale=0.0, spk_gradient_scale=0.0,
+    )
+    assert y_len2 == 2 * y_len
+
+
+def test_synthesize_with_dual_cfg(tiny_synth):
+    tokens = [2, 4, 6]
+    mel, _, _ = tiny_synth.synthesize_mel(
+        tokens, jax.random.PRNGKey(3), diffusion_steps=2,
+        text_gradient_scale=1.0, spk_gradient_scale=1.0,
+    )
+    assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_determinism_same_key(tiny_synth):
+    tokens = [1, 2, 3]
+    m1, _, _ = tiny_synth.synthesize_mel(tokens, jax.random.PRNGKey(7), diffusion_steps=2)
+    m2, _, _ = tiny_synth.synthesize_mel(tokens, jax.random.PRNGKey(7), diffusion_steps=2)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))

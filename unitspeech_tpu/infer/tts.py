@@ -1,0 +1,255 @@
+"""Adaptive text-to-speech pipeline (the hot path).
+
+TPU-native equivalent of the reference's execute_text_to_speech orchestration
+(/root/reference/unitspeech/unitspeech.py:413-450 driven by inference.py:34-160):
+
+  phoneme IDs -> text encoder -> duration predictor -> generate_path ->
+  aligned conditioning -> lax.scan reverse diffusion (dual CFG) ->
+  denormalize -> BigVGAN -> waveform
+
+Jit/recompile policy: output length is data dependent (duration output), so
+the mel-frame axis is padded to a bucket from a fixed ladder; each (token
+bucket, frame bucket, steps, CFG scales) tuple compiles once and is cached.
+Everything from the encoder to the vocoder runs on device; only duration
+rounding/bucket selection touches the host (one small transfer per utterance,
+mirroring the reference's y_lengths sync at unitspeech.py:427-429).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unitspeech_tpu.config import MainConfig
+from unitspeech_tpu.models.diffusion import UnitSpeech, reverse_diffusion
+from unitspeech_tpu.models.duration import DurationPredictor
+from unitspeech_tpu.models.encoder import Encoder
+from unitspeech_tpu.models.vocoder import BigVGAN
+from unitspeech_tpu.ops.masking import (
+    choose_bucket,
+    default_frame_buckets,
+    fix_len_compatibility,
+    generate_path,
+    sequence_mask,
+)
+from unitspeech_tpu.ops.mel import denormalize_mel
+
+
+@dataclass
+class TTSModels:
+    """Bundle of modules + parameter pytrees for the synthesis path."""
+
+    cfg: MainConfig
+    text_encoder: Encoder
+    text_encoder_params: Any
+    duration_predictor: DurationPredictor
+    duration_predictor_params: Any
+    decoder: UnitSpeech
+    decoder_params: Any
+    vocoder: Optional[BigVGAN] = None
+    vocoder_params: Any = None
+    spk_emb: Any = None  # (1, spk_emb_dim), unit-normalized
+    mel_min: Any = None  # (n_feats,)
+    mel_max: Any = None
+
+    @classmethod
+    def random_init(cls, cfg: MainConfig, key, dtype=jnp.float32, with_vocoder=True):
+        """Randomly initialized bundle at full config size (for benchmarks and
+        shape tests; real weights come from the checkpoint converter)."""
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        text_encoder = Encoder.from_config(cfg.text_encoder)
+        tokens = jnp.zeros((1, 8), jnp.int32)
+        lengths = jnp.array([8])
+        te_params = text_encoder.init(k1, tokens, lengths)
+        dp = DurationPredictor(
+            in_channels=cfg.duration_predictor.in_channels,
+            filter_channels=cfg.duration_predictor.filter_channels,
+            kernel_size=cfg.duration_predictor.kernel_size,
+            p_dropout=cfg.duration_predictor.p_dropout,
+            spk_emb_dim=cfg.duration_predictor.spk_emb_dim,
+        )
+        hidden = jnp.zeros((1, 8, cfg.text_encoder.n_channels))
+        mask = jnp.ones((1, 8, 1))
+        spk = jax.random.normal(k5, (1, cfg.decoder.spk_emb_dim))
+        spk = spk / jnp.linalg.norm(spk)
+        dp_params = dp.init(k2, hidden, mask, g=spk, reverse=True)
+        decoder = UnitSpeech.from_config(cfg.decoder, dtype=dtype)
+        t8 = fix_len_compatibility(8, cfg.decoder.num_downsamplings)
+        dec_params = decoder.init(
+            k3,
+            jnp.zeros((1, t8, cfg.decoder.n_feats)),
+            jnp.ones((1, t8)),
+            jnp.zeros((1, t8, cfg.decoder.n_feats)),
+            jnp.zeros((1,)),
+            spk,
+        )
+        vocoder = vocoder_params = None
+        if with_vocoder:
+            vocoder = BigVGAN.from_config(cfg.vocoder, dtype=dtype)
+            vocoder_params = vocoder.init(k4, jnp.zeros((1, 8, cfg.vocoder.num_mels)))
+        return cls(
+            cfg=cfg,
+            text_encoder=text_encoder,
+            text_encoder_params=te_params,
+            duration_predictor=dp,
+            duration_predictor_params=dp_params,
+            decoder=decoder,
+            decoder_params=dec_params,
+            vocoder=vocoder,
+            vocoder_params=vocoder_params,
+            spk_emb=spk,
+            mel_min=jnp.full((cfg.data.n_feats,), -12.0),
+            mel_max=jnp.full((cfg.data.n_feats,), 3.0),
+        )
+
+
+@partial(jax.jit, static_argnames=("text_encoder", "duration_predictor"))
+def _encode_and_duration(
+    text_encoder, te_params, duration_predictor, dp_params, tokens, lengths, spk_emb
+):
+    mu_x, hidden, x_mask = text_encoder.apply(te_params, tokens, lengths)
+    logw = duration_predictor.apply(
+        dp_params, hidden, x_mask, g=spk_emb, reverse=True
+    )
+    # w_ceil BEFORE length_scale (reference unitspeech.py:424-425 applies the
+    # scale after the ceil)
+    w_ceil = jnp.ceil(jnp.exp(logw) * x_mask[..., 0])
+    return mu_x, x_mask, w_ceil
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "decoder_apply",
+        "n_timesteps",
+        "text_gradient_scale",
+        "spk_gradient_scale",
+        "beta_min",
+        "beta_max",
+    ),
+)
+def _align_and_sample(
+    decoder_apply,
+    dec_params,
+    mu_x,
+    x_mask,
+    w_ceil,
+    y_mask,
+    spk_emb,
+    key,
+    mel_min,
+    mel_max,
+    n_timesteps: int,
+    text_gradient_scale: float,
+    spk_gradient_scale: float,
+    beta_min: float,
+    beta_max: float,
+):
+    attn_mask = x_mask * y_mask[:, None, :]  # (B, Tx, Ty)
+    attn = generate_path(w_ceil, attn_mask)
+    cond_y = jnp.einsum("bxy,bxf->byf", attn, mu_x)
+    z = jax.random.normal(jax.random.fold_in(key, 0), cond_y.shape)
+    mel = reverse_diffusion(
+        decoder_apply,
+        dec_params,
+        z,
+        y_mask,
+        cond_y,
+        spk_emb,
+        jax.random.fold_in(key, 1),
+        n_timesteps=n_timesteps,
+        text_gradient_scale=text_gradient_scale,
+        spk_gradient_scale=spk_gradient_scale,
+        beta_min=beta_min,
+        beta_max=beta_max,
+    )
+    return denormalize_mel(mel, mel_min, mel_max), attn
+
+
+@dataclass
+class Synthesizer:
+    """End-to-end TTS callable with bucketed compile caching."""
+
+    models: TTSModels
+    frame_buckets: Sequence[int] = field(default_factory=lambda: default_frame_buckets(4096))
+    token_buckets: Sequence[int] = field(
+        default_factory=lambda: tuple(2 ** i for i in range(4, 11))
+    )
+
+    def synthesize_mel(
+        self,
+        token_ids: Sequence[int],
+        key,
+        diffusion_steps: Optional[int] = None,
+        length_scale: Optional[float] = None,
+        text_gradient_scale: Optional[float] = None,
+        spk_gradient_scale: Optional[float] = None,
+    ):
+        """Token IDs -> (denormalized log-mel (1, Ty, F), y_length, attn)."""
+        m = self.models
+        icfg = m.cfg.inference
+        steps = diffusion_steps if diffusion_steps is not None else icfg.diffusion_steps
+        lscale = length_scale if length_scale is not None else icfg.length_scale
+        tg = text_gradient_scale if text_gradient_scale is not None else icfg.text_gradient_scale
+        sg = spk_gradient_scale if spk_gradient_scale is not None else icfg.spk_gradient_scale
+
+        n_tok = len(token_ids)
+        tok_bucket = choose_bucket(n_tok, self.token_buckets)
+        tokens = np.zeros((1, tok_bucket), dtype=np.int32)
+        tokens[0, :n_tok] = token_ids
+        lengths = jnp.array([n_tok])
+
+        mu_x, x_mask, w_ceil = _encode_and_duration(
+            m.text_encoder,
+            m.text_encoder_params,
+            m.duration_predictor,
+            m.duration_predictor_params,
+            jnp.asarray(tokens),
+            lengths,
+            m.spk_emb,
+        )
+        w_ceil = w_ceil * lscale
+        # one host sync for the data-dependent output length (the reference
+        # does the same: unitspeech.py:427-429)
+        y_length = max(int(np.asarray(jnp.sum(w_ceil, axis=1))[0]), 1)
+        num_down = m.cfg.decoder.num_downsamplings
+        y_pad = choose_bucket(fix_len_compatibility(y_length, num_down), self.frame_buckets)
+        y_mask = sequence_mask(jnp.array([y_length]), y_pad)
+
+        mel, attn = _align_and_sample(
+            m.decoder.apply,
+            m.decoder_params,
+            mu_x,
+            x_mask,
+            w_ceil,
+            y_mask,
+            m.spk_emb,
+            key,
+            m.mel_min,
+            m.mel_max,
+            n_timesteps=int(steps),
+            text_gradient_scale=float(tg),
+            spk_gradient_scale=float(sg),
+            beta_min=m.cfg.decoder.beta_min,
+            beta_max=m.cfg.decoder.beta_max,
+        )
+        return mel, y_length, attn
+
+    def vocode(self, mel):
+        m = self.models
+        if m.vocoder is None:
+            raise ValueError("Synthesizer built without a vocoder.")
+        return m.vocoder.apply(m.vocoder_params, mel)
+
+    def __call__(self, token_ids: Sequence[int], key, **kwargs):
+        """Token IDs -> (waveform np.ndarray (n_samples,), sample_rate)."""
+        mel, y_length, _ = self.synthesize_mel(token_ids, key, **kwargs)
+        wav = self.vocode(mel)
+        hop = self.models.cfg.data.hop_length
+        n_samples = y_length * hop
+        return np.asarray(wav[0, :n_samples]), self.models.cfg.data.sampling_rate

@@ -1,0 +1,300 @@
+"""Score-based diffusion decoder (UnitSpeech / Grad-TTS family).
+
+TPU-native re-design of the reference UnitSpeech class
+(/root/reference/unitspeech/unitspeech.py:220-492):
+
+  * the reverse-diffusion loop is a single jit-compiled `lax.scan` over
+    host-precomputed fused schedule coefficients (ops/schedule.py) — the
+    reference re-registers 13 buffers and runs a Python loop of N separate
+    CUDA launches per synthesis (unitspeech.py:333-374)
+  * dual classifier-free guidance is folded into ONE 3x-batched estimator
+    call per step with the combine done inline (same algebra as
+    classifier_free_guidance, unitspeech.py:298-331)
+  * guidance scales are static (trace-time) arguments, like the reference's
+    Python-float branches
+  * explicit PRNG: the sampler derives per-step noise keys by fold_in
+  * all tensors time-major channels-last: x (B, T, F), cond (B, T, F),
+    mask (B, T), spk (B, S)
+
+The learned unconditional embeddings (text_uncon over mel channels,
+spk_uncon over the speaker space; reference :230-231) live beside the
+estimator parameters in the same pytree.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from unitspeech_tpu.models.unet import GradLogPEstimator2d
+from unitspeech_tpu.ops.masking import sequence_mask
+from unitspeech_tpu.ops.schedule import (
+    forward_diffusion_coefficients,
+    make_reverse_schedule,
+)
+
+
+class UnitSpeech(nn.Module):
+    """Parameter container + score function. Sampling/losses are the pure
+    functions below, driven through `.apply`."""
+
+    n_feats: int = 80
+    dim: int = 128
+    dim_mults: Tuple[int, ...] = (1, 2, 4, 8)
+    groups: int = 8
+    beta_min: float = 0.05
+    beta_max: float = 20.0
+    pe_scale: float = 1000.0
+    spk_emb_dim: int = 256
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.text_uncon = self.param(
+            "text_uncon", nn.initializers.zeros, (self.n_feats,)
+        )
+        self.spk_uncon = self.param(
+            "spk_uncon", nn.initializers.zeros, (self.spk_emb_dim,)
+        )
+        self.estimator = GradLogPEstimator2d(
+            dim=self.dim,
+            dim_mults=self.dim_mults,
+            groups=self.groups,
+            pe_scale=self.pe_scale,
+            spk_emb_dim=self.spk_emb_dim,
+            dtype=self.dtype,
+        )
+
+    def __call__(self, xt, mask, cond, t, spk_emb):
+        """Score estimate. xt/cond: (B, T, F); mask: (B, T); t: (B,);
+        spk_emb: (B, S) -> (B, T, F)."""
+        return self.estimator(xt, mask, cond, t, spk_emb)
+
+    @classmethod
+    def from_config(cls, cfg, dtype=jnp.float32):
+        return cls(
+            n_feats=cfg.n_feats,
+            dim=cfg.dim,
+            dim_mults=tuple(cfg.dim_mults),
+            groups=cfg.groups,
+            beta_min=cfg.beta_min,
+            beta_max=cfg.beta_max,
+            pe_scale=cfg.pe_scale,
+            spk_emb_dim=cfg.spk_emb_dim,
+            dtype=dtype,
+        )
+
+
+def _uncond_embeddings(params):
+    p = params["params"]
+    return p["text_uncon"], p["spk_uncon"]
+
+
+def cfg_score(
+    apply_fn,
+    params,
+    xt,
+    mask,
+    cond,
+    t,
+    spk_emb,
+    text_gradient_scale: float,
+    spk_gradient_scale: float,
+):
+    """Dual classifier-free guidance, one batched estimator call.
+
+    Exact algebra of the reference (unitspeech.py:298-331):
+      score = s + tg*(s - s_text_uncon) + sg*(s - s_spk_uncon)
+    Row layout when both scales > 0: [text-uncond, spk-uncond, cond] — the
+    reference's [text_uncon, cond, cond] x [spk, spk_uncon, spk].
+    Scales must be Python floats (static)."""
+    b = xt.shape[0]
+    text_uncon, spk_uncon = _uncond_embeddings(params)
+    tg, sg = float(text_gradient_scale), float(spk_gradient_scale)
+
+    if tg <= 0.0 and sg <= 0.0:
+        return apply_fn(params, xt, mask, cond, t, spk_emb)
+
+    text_uncon_b = jnp.broadcast_to(text_uncon[None, None, :], cond.shape)
+    # unit-normalize like the reference (unitspeech.py:358); the epsilon only
+    # matters for untrained zero-init params (0/0 -> NaN otherwise)
+    spk_norm = jnp.maximum(jnp.linalg.norm(spk_uncon), 1e-8)
+    spk_uncon_b = jnp.broadcast_to((spk_uncon / spk_norm)[None, :], spk_emb.shape)
+
+    if tg > 0.0 and sg > 0.0:
+        xt_c = jnp.concatenate([xt, xt, xt], axis=0)
+        mask_c = jnp.concatenate([mask, mask, mask], axis=0)
+        cond_c = jnp.concatenate([text_uncon_b, cond, cond], axis=0)
+        t_c = jnp.concatenate([t, t, t], axis=0)
+        spk_c = jnp.concatenate([spk_emb, spk_uncon_b, spk_emb], axis=0)
+        s_all = apply_fn(params, xt_c, mask_c, cond_c, t_c, spk_c)
+        s_tu, s_su, s = s_all[:b], s_all[b : 2 * b], s_all[2 * b :]
+        return s + tg * (s - s_tu) + sg * (s - s_su)
+    if tg > 0.0:
+        s_all = apply_fn(
+            params,
+            jnp.concatenate([xt, xt], 0),
+            jnp.concatenate([mask, mask], 0),
+            jnp.concatenate([text_uncon_b, cond], 0),
+            jnp.concatenate([t, t], 0),
+            jnp.concatenate([spk_emb, spk_emb], 0),
+        )
+        s_tu, s = s_all[:b], s_all[b:]
+        return s + tg * (s - s_tu)
+    s_all = apply_fn(
+        params,
+        jnp.concatenate([xt, xt], 0),
+        jnp.concatenate([mask, mask], 0),
+        jnp.concatenate([cond, cond], 0),
+        jnp.concatenate([t, t], 0),
+        jnp.concatenate([spk_uncon_b, spk_emb], 0),
+    )
+    s_su, s = s_all[:b], s_all[b:]
+    return s + sg * (s - s_su)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "apply_fn",
+        "n_timesteps",
+        "text_gradient_scale",
+        "spk_gradient_scale",
+        "beta_min",
+        "beta_max",
+    ),
+)
+def reverse_diffusion(
+    apply_fn,
+    params,
+    z,
+    mask,
+    cond,
+    spk_emb,
+    key,
+    n_timesteps: int = 50,
+    text_gradient_scale: float = 0.0,
+    spk_gradient_scale: float = 0.0,
+    beta_min: float = 0.05,
+    beta_max: float = 20.0,
+):
+    """Reverse DDPM sampling, one lax.scan (reference unitspeech.py:333-374).
+
+    z/cond: (B, T, F); mask: (B, T); spk_emb: (B, S). Returns mel (B, T, F).
+    """
+    sched = make_reverse_schedule(n_timesteps, beta_min, beta_max)
+    coeffs = sched.stacked()  # (N, 4): t, c_x, c_score, c_noise
+    mask3 = mask[:, :, None]
+    xt = z * mask3
+
+    def step(carry, inp):
+        xt = carry
+        i, sc = inp
+        t = jnp.full((xt.shape[0],), sc[0], dtype=jnp.float32)
+        score = cfg_score(
+            apply_fn, params, xt, mask, cond, t, spk_emb,
+            text_gradient_scale, spk_gradient_scale,
+        )
+        noise = jax.random.normal(jax.random.fold_in(key, i), xt.shape)
+        xt = (sc[1] * xt + sc[2] * score + sc[3] * noise) * mask3
+        return xt, None
+
+    xt, _ = lax.scan(step, xt, (jnp.arange(n_timesteps), coeffs))
+    return xt * mask3
+
+
+def forward_diffusion(x0, mask, t, key, beta_min: float = 0.05, beta_max: float = 20.0):
+    """q(x_t | x_0) sample (reference unitspeech.py:376-384).
+    x0: (B, T, F); mask: (B, T); t: (B,). Returns (xt, z) both masked."""
+    mean_coef, std = forward_diffusion_coefficients(
+        t[:, None, None], beta_min, beta_max
+    )
+    z = jax.random.normal(key, x0.shape, dtype=x0.dtype)
+    xt = x0 * mean_coef + z * std
+    mask3 = mask[:, :, None]
+    return xt * mask3, z * mask3
+
+
+def diffusion_loss_t(
+    apply_fn, params, x0, mask, cond, t, spk_emb, key,
+    beta_min: float = 0.05, beta_max: float = 20.0,
+):
+    """Weighted score-matching MSE at given t (reference loss_t,
+    unitspeech.py:393-405). Returns (loss, xt)."""
+    n_feats = x0.shape[-1]
+    mask3 = mask[:, :, None]
+    xt, z = forward_diffusion(x0, mask, t, key, beta_min, beta_max)
+    _, std = forward_diffusion_coefficients(t[:, None, None], beta_min, beta_max)
+    noise_estimation = apply_fn(params, xt, mask, cond * mask3, t, spk_emb)
+    noise_estimation = noise_estimation * std
+    loss = jnp.sum((noise_estimation + z) ** 2) / (jnp.sum(mask) * n_feats)
+    return loss, xt
+
+
+def diffusion_loss(
+    apply_fn, params, x0, mask, cond, spk_emb, key,
+    beta_min: float = 0.05, beta_max: float = 20.0, offset: float = 1e-5,
+):
+    """Random-t diffusion loss (reference compute_loss, unitspeech.py:407-411)."""
+    key_t, key_z = jax.random.split(key)
+    t = jax.random.uniform(key_t, (x0.shape[0],), dtype=x0.dtype)
+    t = jnp.clip(t, offset, 1.0 - offset)
+    return diffusion_loss_t(
+        apply_fn, params, x0, mask, cond, t, spk_emb, key_z, beta_min, beta_max
+    )
+
+
+def random_segment_crop(y, attn, y_lengths, segment_size: int, key):
+    """Random fixed-size time crop of (mel, alignment) for fine-tune/training.
+
+    Vectorized equivalent of the reference's per-sample Python loop
+    (unitspeech.py:452-481 and train_STEP1.py:352-374): offsets drawn
+    uniformly in [0, len - segment], short utterances zero-padded.
+
+    y: (B, Ty, F); attn: (B, Tx, Ty); y_lengths: (B,).
+    Returns (y_cut (B, seg, F), attn_cut (B, Tx, seg), y_cut_mask (B, seg)).
+    """
+    b, t_y, _ = y.shape
+    if t_y < segment_size:
+        pad = segment_size - t_y
+        y = jnp.pad(y, ((0, 0), (0, pad), (0, 0)))
+        attn = jnp.pad(attn, ((0, 0), (0, 0), (0, pad)))
+        t_y = segment_size
+    max_offset = jnp.clip(y_lengths - segment_size, 0, None)
+    u = jax.random.uniform(key, (b,))
+    offset = (u * (max_offset + 1).astype(jnp.float32)).astype(jnp.int32)
+    offset = jnp.minimum(offset, max_offset.astype(jnp.int32))
+
+    def cut_one(y_i, attn_i, off):
+        y_c = lax.dynamic_slice_in_dim(y_i, off, segment_size, axis=0)
+        a_c = lax.dynamic_slice_in_dim(attn_i, off, segment_size, axis=1)
+        return y_c, a_c
+
+    y_cut, attn_cut = jax.vmap(cut_one)(y, attn, offset)
+    y_cut_lengths = jnp.minimum(y_lengths, segment_size)
+    y_cut_mask = sequence_mask(y_cut_lengths, segment_size, dtype=y.dtype)
+    return y_cut * y_cut_mask[:, :, None], attn_cut * y_cut_mask[:, None, :], y_cut_mask
+
+
+def fine_tune_loss(
+    apply_fn, params, cond_x, y, y_lengths, attn, spk_emb, segment_size: int, key,
+    beta_min: float = 0.05, beta_max: float = 20.0,
+):
+    """Speaker-adaptation loss on a random segment (reference fine_tune,
+    unitspeech.py:452-492). cond_x: (B, Tx, F) frozen unit-encoder output;
+    y: (B, Ty, F); attn: (B, Tx, Ty)."""
+    key_seg, key_loss = jax.random.split(key)
+    y_cut, attn_cut, y_cut_mask = random_segment_crop(
+        y, attn, y_lengths, segment_size, key_seg
+    )
+    cond_y = jnp.einsum("bxy,bxf->byf", attn_cut, cond_x)
+    cond_y = cond_y * y_cut_mask[:, :, None]
+    loss, _ = diffusion_loss(
+        apply_fn, params, y_cut, y_cut_mask, cond_y, spk_emb, key_loss,
+        beta_min, beta_max,
+    )
+    return loss

@@ -1,0 +1,225 @@
+"""U-Net score estimator for the diffusion decoder.
+
+TPU-native re-design of the reference GradLogPEstimator2d
+(/root/reference/unitspeech/unitspeech.py:124-201):
+
+  * NHWC layout (batch, time, freq, channels) — channels ride the lanes,
+    convs tile onto the MXU without transposes (the reference is NCHW)
+  * 2-channel input: stacked (conditioning mu, noisy sample x_t)
+  * len(dim_mults) resolutions down (last stage keeps resolution) + mid +
+    len(dim_mults)-1 up stages; each stage: 2 ResnetBlocks (conv3x3 +
+    GroupNorm(8) + Mish, FiLM-style time+speaker bias) then
+    Residual(Rezero(LinearAttention))
+  * linear attention (softmax over keys, O(N d^2)) over flattened
+    time x freq tokens — kept linear so long-utterance inference scales,
+    and a natural Pallas fusion target
+  * mixed precision: params float32, compute in `dtype` (bfloat16 on TPU);
+    GroupNorm statistics always in float32
+
+Sizes with the reference config (dim=128, dim_mults=(1,2,4,8)): channel path
+2 -> 128 -> 256 -> 512 -> 1024, three 2x downsamplings of (time, freq).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def mish(x):
+    return x * jnp.tanh(nn.softplus(x))
+
+
+def sinusoidal_pos_emb(t, dim: int, scale: float = 1000.0):
+    """(B,) -> (B, dim). Reference SinusoidalPosEmb (unitspeech.py:109-121)."""
+    half = dim // 2
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * (-math.log(10000.0) / (half - 1)))
+    args = scale * t[:, None].astype(jnp.float32) * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class Block(nn.Module):
+    """conv3x3 -> GroupNorm(8) -> Mish, masked in and out
+    (reference unitspeech.py:46-55)."""
+
+    dim_out: int
+    groups: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        x = nn.Conv(self.dim_out, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                    name="conv")(x * mask)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32,
+                         name="norm")(x)
+        return mish(x).astype(self.dtype) * mask
+
+
+class ResnetBlock(nn.Module):
+    """Two Blocks with a time/speaker FiLM bias between them + residual 1x1
+    (reference unitspeech.py:58-75)."""
+
+    dim_out: int
+    groups: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, t_emb):
+        h = Block(self.dim_out, self.groups, dtype=self.dtype, name="block1")(x, mask)
+        bias = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp")(mish(t_emb))
+        h = h + bias[:, None, None, :]
+        h = Block(self.dim_out, self.groups, dtype=self.dtype, name="block2")(h, mask)
+        if x.shape[-1] != self.dim_out:
+            res = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x * mask)
+        else:
+            res = x * mask
+        return h + res
+
+
+class LinearAttention(nn.Module):
+    """Softmax-over-keys linear attention over flattened (time x freq) tokens
+    (reference unitspeech.py:78-96). O(N d^2): context = softmax(K) V^T, then
+    out = context^T Q. No masking, matching the reference."""
+
+    heads: int = 4
+    dim_head: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, f, c = x.shape
+        n = t * f
+        hidden = self.heads * self.dim_head
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
+        q = qkv[:, :, 0].transpose(0, 2, 3, 1)  # (B, H, d, N)
+        k = qkv[:, :, 1].transpose(0, 2, 3, 1)
+        v = qkv[:, :, 2].transpose(0, 2, 3, 1)
+        k = nn.softmax(k.astype(jnp.float32), axis=-1).astype(self.dtype)
+        context = jnp.einsum("bhdn,bhen->bhde", k, v)  # (B, H, d, e)
+        out = jnp.einsum("bhde,bhdn->bhen", context, q)  # (B, H, e, N)
+        out = out.transpose(0, 3, 1, 2).reshape(b, t, f, hidden)
+        return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+
+
+class RezeroAttention(nn.Module):
+    """Residual(Rezero(LinearAttention)) (reference unitspeech.py:36-43, 99-106)."""
+
+    heads: int = 4
+    dim_head: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("g", nn.initializers.zeros, (1,))
+        y = LinearAttention(self.heads, self.dim_head, dtype=self.dtype, name="fn")(x)
+        return x + y * g.astype(self.dtype)
+
+
+class Downsample(nn.Module):
+    """conv3x3 stride 2 (reference unitspeech.py:27-33)."""
+
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.dim, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    """transposed conv 4x4 stride 2 (reference unitspeech.py:18-24)."""
+
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # torch ConvTranspose2d(4, 2, padding=1) -> out = 2T; flax explicit
+        # padding p_flax = (k-1) - p_torch = 2.
+        return nn.ConvTranspose(self.dim, (4, 4), strides=(2, 2),
+                                padding=[(2, 2), (2, 2)], dtype=self.dtype,
+                                name="conv")(x)
+
+
+class GradLogPEstimator2d(nn.Module):
+    """Score estimator network.
+
+    Call: (x_t (B, T, F), mask (B, T), mu (B, T, F), t (B,), spk (B, S))
+          -> score (B, T, F).
+    T must be a multiple of 2**(len(dim_mults)-1) (fix_len_compatibility).
+    """
+
+    dim: int = 128
+    dim_mults: Tuple[int, ...] = (1, 2, 4, 8)
+    groups: int = 8
+    pe_scale: float = 1000.0
+    spk_emb_dim: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, mu, t, spk_emb):
+        # time embedding: sinusoidal -> MLP(dim*4) -> dim, concat speaker
+        t_emb = sinusoidal_pos_emb(t, self.dim, self.pe_scale)
+        t_emb = nn.Dense(self.dim * 4, dtype=self.dtype, name="mlp_0")(t_emb.astype(self.dtype))
+        t_emb = nn.Dense(self.dim, dtype=self.dtype, name="mlp_1")(mish(t_emb))
+        t_emb = jnp.concatenate([t_emb, spk_emb.astype(self.dtype)], axis=-1)
+
+        h = jnp.stack([mu, x], axis=-1).astype(self.dtype)  # (B, T, F, 2)
+        m = mask[:, :, None, None].astype(self.dtype)  # (B, T, 1, 1)
+
+        dims = [self.dim * m_ for m_ in self.dim_mults]
+        num_res = len(dims)
+
+        hiddens = []
+        masks = [m]
+        for ind, dim_out in enumerate(dims):
+            is_last = ind == num_res - 1
+            mk = masks[-1]
+            h = ResnetBlock(dim_out, self.groups, dtype=self.dtype,
+                            name=f"down_{ind}_res1")(h, mk, t_emb)
+            h = ResnetBlock(dim_out, self.groups, dtype=self.dtype,
+                            name=f"down_{ind}_res2")(h, mk, t_emb)
+            h = RezeroAttention(dtype=self.dtype, name=f"down_{ind}_attn")(h)
+            hiddens.append(h)
+            if not is_last:
+                h = Downsample(dim_out, dtype=self.dtype, name=f"down_{ind}_down")(h * mk)
+            masks.append(mk[:, ::2])
+
+        masks = masks[:-1]
+        mid_dim = dims[-1]
+        mk = masks[-1]
+        h = ResnetBlock(mid_dim, self.groups, dtype=self.dtype, name="mid_res1")(h, mk, t_emb)
+        h = RezeroAttention(dtype=self.dtype, name="mid_attn")(h)
+        h = ResnetBlock(mid_dim, self.groups, dtype=self.dtype, name="mid_res2")(h, mk, t_emb)
+
+        # up stages mirror down stages 1..num_res-1, reversed
+        up_specs = list(enumerate(zip(dims[:-1], dims[1:])))[::-1]
+        for ind, (dim_in, dim_out) in up_specs:
+            mk = masks.pop()
+            h = jnp.concatenate([h, hiddens.pop()], axis=-1)
+            h = ResnetBlock(dim_in, self.groups, dtype=self.dtype,
+                            name=f"up_{ind}_res1")(h, mk, t_emb)
+            h = ResnetBlock(dim_in, self.groups, dtype=self.dtype,
+                            name=f"up_{ind}_res2")(h, mk, t_emb)
+            h = RezeroAttention(dtype=self.dtype, name=f"up_{ind}_attn")(h)
+            h = Upsample(dim_in, dtype=self.dtype, name=f"up_{ind}_up")(h * mk)
+
+        h = Block(self.dim, self.groups, dtype=self.dtype, name="final_block")(h, m)
+        out = nn.Conv(1, (1, 1), dtype=self.dtype, name="final_conv")(h * m)
+        return (out * m)[..., 0].astype(jnp.float32)
+
+    @classmethod
+    def from_config(cls, cfg, dtype=jnp.float32):
+        return cls(
+            dim=cfg.dim,
+            dim_mults=tuple(cfg.dim_mults),
+            groups=cfg.groups,
+            pe_scale=cfg.pe_scale,
+            spk_emb_dim=cfg.spk_emb_dim,
+            dtype=dtype,
+        )
