@@ -47,16 +47,21 @@ def conv2d_kernel(w) -> np.ndarray:
 
 
 def convtranspose1d_kernel(w) -> np.ndarray:
-    return np.asarray(w).transpose(2, 0, 1)
+    """torch (in,out,k) -> flax (k,in,out), spatially flipped: flax's
+    ConvTranspose (transpose_kernel=False) correlates where torch convolves."""
+    w = np.asarray(w)
+    return w[:, :, ::-1].transpose(2, 0, 1).copy()
 
 
 def convtranspose2d_kernel(w) -> np.ndarray:
-    return np.asarray(w).transpose(2, 3, 0, 1)
+    w = np.asarray(w)
+    return w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1).copy()
 
 
 def dense_from_conv1x1(w) -> np.ndarray:
-    """Conv1d kernel-size-1 weight (out,in,1) -> Dense kernel (in,out)."""
-    return np.asarray(w)[:, :, 0].T
+    """Conv kernel-size-1 weight (out,in,1[,1]) -> Dense kernel (in,out)."""
+    w = np.asarray(w)
+    return w.reshape(w.shape[0], w.shape[1]).T
 
 
 def fold_weight_norm(g, v) -> np.ndarray:
