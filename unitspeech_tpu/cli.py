@@ -1,0 +1,642 @@
+"""Command-line entry points — API parity with the reference's L5 scripts
+(SURVEY.md §1: train_STEP1.py / train_STEP2.py / finetune.py / inference.py /
+scripts/{text_to_speech,voice_conversion}.py), one argparse CLI per task, one
+config system.
+
+    python -m unitspeech_tpu.cli inference --text "..." --decoder <ckpt> ...
+    python -m unitspeech_tpu.cli finetune --reference ref.wav ...
+    python -m unitspeech_tpu.cli train-step1 --filelist train.txt ...
+    python -m unitspeech_tpu.cli train-step2 --filelist train.txt ...
+    python -m unitspeech_tpu.cli voice-conversion --source src.wav ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def _common(ap: argparse.ArgumentParser):
+    ap.add_argument("--config", default=None, help="JSON config overlay")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+
+
+def _setup(args):
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from unitspeech_tpu.config import MainConfig, load_json
+
+    return load_json(args.config) if args.config else MainConfig()
+
+
+def _load_tts_models(args, cfg, need_vocoder=True):
+    import jax.numpy as jnp
+
+    from unitspeech_tpu.infer.tts import TTSModels
+    from unitspeech_tpu.models.diffusion import UnitSpeech
+    from unitspeech_tpu.models.duration import DurationPredictor
+    from unitspeech_tpu.models.encoder import Encoder
+    from unitspeech_tpu.models.vocoder import BigVGAN
+    from unitspeech_tpu.utils import artifacts
+
+    dtype = jnp.bfloat16 if getattr(args, "bf16", True) else jnp.float32
+    bundle = artifacts.load_decoder_bundle(args.decoder, cfg.decoder)
+    te_params = artifacts.load_encoder_params(args.text_encoder, cfg.text_encoder)
+    dp_params = artifacts.load_duration_predictor_params(args.duration_predictor)
+    vocoder = voc_params = None
+    if need_vocoder:
+        vocoder = BigVGAN.from_config(cfg.vocoder, dtype=dtype)
+        voc_params = artifacts.load_vocoder_params(args.vocoder, cfg.vocoder)
+    spk_emb = bundle.spk_emb
+    if getattr(args, "spk_emb", None):
+        spk_emb = np.load(args.spk_emb).reshape(1, -1)
+    if spk_emb is not None:
+        spk_emb = spk_emb / np.linalg.norm(spk_emb)
+    return TTSModels(
+        cfg=cfg,
+        text_encoder=Encoder.from_config(cfg.text_encoder),
+        text_encoder_params=te_params,
+        duration_predictor=DurationPredictor(
+            in_channels=cfg.duration_predictor.in_channels,
+            filter_channels=cfg.duration_predictor.filter_channels,
+            kernel_size=cfg.duration_predictor.kernel_size,
+            p_dropout=cfg.duration_predictor.p_dropout,
+            spk_emb_dim=cfg.duration_predictor.spk_emb_dim,
+        ),
+        duration_predictor_params=dp_params,
+        decoder=UnitSpeech.from_config(cfg.decoder, dtype=dtype),
+        decoder_params=bundle.params,
+        vocoder=vocoder,
+        vocoder_params=voc_params,
+        spk_emb=None if spk_emb is None else jnp.asarray(spk_emb, jnp.float32),
+        mel_min=jnp.asarray(bundle.mel_min),
+        mel_max=jnp.asarray(bundle.mel_max),
+    )
+
+
+# ---------------------------------------------------------------------------
+# inference (reference inference.py / scripts/text_to_speech.py)
+# ---------------------------------------------------------------------------
+
+
+def main_inference(argv=None):
+    ap = argparse.ArgumentParser("unitspeech-tpu inference")
+    _common(ap)
+    ap.add_argument("--text", required=True, help="input text (or IPA with --ipa)")
+    ap.add_argument("--ipa", action="store_true", help="text is pre-phonemized IPA")
+    ap.add_argument("--language", default=None, help="espeak language (en-us/ro)")
+    ap.add_argument("--decoder", required=True)
+    ap.add_argument("--text-encoder", required=True)
+    ap.add_argument("--duration-predictor", required=True)
+    ap.add_argument("--vocoder", required=True)
+    ap.add_argument("--spk-emb", default=None, help=".npy speaker embedding override")
+    ap.add_argument("--output", default="generated.wav")
+    ap.add_argument("--diffusion-steps", type=int, default=None)
+    ap.add_argument("--length-scale", type=float, default=None)
+    ap.add_argument("--text-gradient-scale", type=float, default=None)
+    ap.add_argument("--spk-gradient-scale", type=float, default=None)
+    ap.add_argument("--no-sv56", action="store_true")
+    ap.add_argument("--fp32", dest="bf16", action="store_false")
+    args = ap.parse_args(argv)
+    cfg = _setup(args)
+
+    import jax
+
+    from unitspeech_tpu import text as text_frontend
+    from unitspeech_tpu.data.dataset import write_wav
+    from unitspeech_tpu.infer.tts import Synthesizer
+    from unitspeech_tpu.ops import sv56
+
+    models = _load_tts_models(args, cfg)
+    synth = Synthesizer(models)
+
+    if args.ipa:
+        token_ids = text_frontend.phonemes_to_sequence(args.text)
+    else:
+        lang = args.language or cfg.inference.language
+        ph = text_frontend.get_phonemizer(lang)
+        if ph is None:
+            raise SystemExit(
+                "espeak-ng not installed: pass pre-phonemized IPA via --ipa"
+            )
+        token_ids = text_frontend.text_to_sequence(args.text, ph)
+
+    wav, sr = synth(
+        token_ids,
+        jax.random.PRNGKey(args.seed),
+        diffusion_steps=args.diffusion_steps,
+        length_scale=args.length_scale,
+        text_gradient_scale=args.text_gradient_scale,
+        spk_gradient_scale=args.spk_gradient_scale,
+    )
+    if not args.no_sv56 and cfg.inference.with_sv56_normalization:
+        wav = sv56.normalize(wav, sr)
+    write_wav(args.output, wav, sr)
+    print(f"wrote {args.output} ({len(wav) / sr:.2f}s @ {sr} Hz)")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# finetune (reference finetune.py / scripts/finetune.py)
+# ---------------------------------------------------------------------------
+
+
+def main_finetune(argv=None):
+    ap = argparse.ArgumentParser("unitspeech-tpu finetune")
+    _common(ap)
+    ap.add_argument("--reference", required=True, help="reference wav (22.05 kHz)")
+    ap.add_argument("--decoder", required=True, help="pretrained decoder ckpt")
+    ap.add_argument("--unit-encoder", required=True)
+    ap.add_argument("--output-dir", required=True)
+    ap.add_argument("--speaker-id", default="speaker")
+    ap.add_argument("--n-iters", type=int, default=None)
+    ap.add_argument("--learning-rate", type=float, default=None)
+    ap.add_argument("--spk-emb", default=None,
+                    help=".npy speaker embedding (skip the WavLM+ECAPA pass)")
+    ap.add_argument("--units", default=None,
+                    help=".npz with units+durations (skip the mHuBERT pass)")
+    ap.add_argument("--speaker-embedder", default=None,
+                    help="WavLM+ECAPA ckpt (torch or orbax)")
+    ap.add_argument("--hubert", default=None, help="mHuBERT ckpt")
+    ap.add_argument("--kmeans", default=None, help="k-means centroids (.npz/joblib)")
+    ap.add_argument("--fp32", dest="bf16", action="store_false")
+    args = ap.parse_args(argv)
+    cfg = _setup(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from unitspeech_tpu.data.dataset import load_wav
+    from unitspeech_tpu.models.diffusion import UnitSpeech
+    from unitspeech_tpu.models.encoder import Encoder
+    from unitspeech_tpu.ops.mel import mel_spectrogram, normalize_mel
+    from unitspeech_tpu.ops.units import process_unit
+    from unitspeech_tpu.train.finetune import finetune_decoder, prepare_finetune_inputs
+    from unitspeech_tpu.utils import artifacts
+
+    bundle = artifacts.load_decoder_bundle(args.decoder, cfg.decoder)
+    ue_params = artifacts.load_encoder_params(args.unit_encoder, cfg.unit_encoder)
+
+    wav, sr = load_wav(args.reference)
+    if sr != cfg.data.sampling_rate:
+        raise SystemExit(f"{args.reference}: expected {cfg.data.sampling_rate} Hz, got {sr}")
+    mel = np.asarray(
+        mel_spectrogram(wav[None, :], n_fft=cfg.data.n_fft, num_mels=cfg.data.n_feats,
+                        sampling_rate=cfg.data.sampling_rate, hop_size=cfg.data.hop_length,
+                        win_size=cfg.data.win_length, fmin=cfg.data.mel_fmin,
+                        fmax=cfg.data.mel_fmax)
+    )[0]
+    mel = normalize_mel(mel, bundle.mel_min, bundle.mel_max)
+
+    # --- speaker embedding ---
+    if args.spk_emb:
+        spk_emb = np.load(args.spk_emb).reshape(1, -1)
+    elif args.speaker_embedder:
+        spk_emb = extract_speaker_embedding(args.speaker_embedder, wav, sr, cfg)
+    elif bundle.spk_emb is not None:
+        spk_emb = bundle.spk_emb
+    else:
+        raise SystemExit("need --spk-emb, --speaker-embedder, or a decoder ckpt with spk_emb")
+    spk_emb = spk_emb / np.linalg.norm(spk_emb)
+
+    # --- units ---
+    if args.units:
+        z = np.load(args.units)
+        units, durations = z["units"], z["durations"]
+    elif args.hubert and args.kmeans:
+        units, durations = extract_units(args.hubert, args.kmeans, wav, sr, cfg)
+    else:
+        raise SystemExit("need --units or (--hubert and --kmeans)")
+    units, durations = process_unit(
+        units, durations, cfg.spk_embedder.sr, cfg.data.hop_length
+    )
+
+    unit_encoder = Encoder.from_config(cfg.unit_encoder)
+    cond_x, y, y_lengths, attn = prepare_finetune_inputs(
+        unit_encoder, ue_params, units, durations, mel,
+        num_downsamplings=cfg.decoder.num_downsamplings,
+    )
+
+    decoder = UnitSpeech.from_config(
+        cfg.decoder, dtype=jnp.bfloat16 if args.bf16 else jnp.float32
+    )
+    n_iters = args.n_iters or cfg.finetune.n_iters
+    lr = args.learning_rate or cfg.finetune.learning_rate
+    import time
+
+    t0 = time.perf_counter()
+    new_params, losses = finetune_decoder(
+        decoder.apply, bundle.params, cond_x, y, y_lengths, attn,
+        jnp.asarray(spk_emb, jnp.float32), jax.random.PRNGKey(args.seed),
+        segment_size=cfg.out_size, n_iters=n_iters, learning_rate=lr,
+        grad_clip=cfg.finetune.grad_clip,
+        beta_min=cfg.decoder.beta_min, beta_max=cfg.decoder.beta_max,
+    )
+    losses = np.asarray(losses)
+    dt = time.perf_counter() - t0
+    out = artifacts.save_decoder_bundle(
+        args.output_dir, n_iters,
+        artifacts.DecoderBundle(
+            params=new_params, spk_emb=spk_emb,
+            mel_min=np.asarray(bundle.mel_min), mel_max=np.asarray(bundle.mel_max),
+        ),
+    )
+    print(
+        f"finetuned {n_iters} iters in {dt:.1f}s "
+        f"(loss {losses[:10].mean():.4f} -> {losses[-10:].mean():.4f}) -> {out}"
+    )
+    return 0
+
+
+def extract_speaker_embedding(ckpt_path: str, wav, sr: int, cfg) -> np.ndarray:
+    """wav (22.05 kHz) -> 256-d embedding via WavLM+ECAPA (host resample to
+    16 kHz, reference finetune.py:106-110)."""
+    import jax.numpy as jnp
+    from scipy.signal import resample_poly
+
+    from unitspeech_tpu.models.speaker import SpeakerEmbedder
+    from unitspeech_tpu.utils.checkpoint import load_checkpoint
+    from unitspeech_tpu.utils.torch_convert_ssl import convert_speaker_embedder
+
+    if ckpt_path.endswith((".pt", ".pth", ".ckpt")):
+        import torch
+
+        obj = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+        sd = obj.get("model", obj)
+        sd = {k: v.detach().cpu().numpy() for k, v in sd.items()}
+        variables = convert_speaker_embedder(sd)
+    else:
+        variables = load_checkpoint(ckpt_path)
+    wav16 = resample_poly(np.asarray(wav, np.float64), cfg.spk_embedder.sr, sr)
+    model = SpeakerEmbedder()
+    emb = model.apply(variables, jnp.asarray(wav16[None], jnp.float32))
+    return np.asarray(emb)
+
+
+def extract_units(hubert_path: str, kmeans_path: str, wav, sr: int, cfg):
+    """wav -> (units, durations) at 50 Hz via mHuBERT + k-means."""
+    from scipy.signal import resample_poly
+
+    from unitspeech_tpu.models.ssl.hubert import (
+        HubertFeatureReader,
+        HubertModel,
+        mhubert_base_config,
+    )
+    from unitspeech_tpu.models.ssl.kmeans import KMeansQuantizer
+    from unitspeech_tpu.models.ssl.speech_encoder import SpeechEncoder
+    from unitspeech_tpu.utils.checkpoint import load_checkpoint
+    from unitspeech_tpu.utils.torch_convert_ssl import (
+        convert_hubert,
+        convert_sklearn_kmeans,
+    )
+
+    model = HubertModel(mhubert_base_config())
+    if hubert_path.endswith((".pt", ".pth", ".ckpt")):
+        import torch
+
+        obj = torch.load(hubert_path, map_location="cpu", weights_only=False)
+        sd = obj.get("model", obj)
+        sd = {k: v.detach().cpu().numpy() for k, v in sd.items()}
+        params = convert_hubert(sd)
+    else:
+        params = load_checkpoint(hubert_path)
+    if kmeans_path.endswith(".npz"):
+        quant = KMeansQuantizer.load(kmeans_path)
+    else:
+        quant = KMeansQuantizer(convert_sklearn_kmeans(kmeans_path))
+    wav16 = resample_poly(np.asarray(wav, np.float64), cfg.unit_extractor.sr, sr)
+    enc = SpeechEncoder(
+        HubertFeatureReader(model, params, layer=cfg.unit_extractor.hubert_layer),
+        quant, deduplicate=cfg.unit_extractor.deduplicate,
+    )
+    out = enc(wav16.astype(np.float32))
+    return out["units"], out["durations"]
+
+
+# ---------------------------------------------------------------------------
+# voice conversion (reference scripts/voice_conversion.py)
+# ---------------------------------------------------------------------------
+
+
+def main_voice_conversion(argv=None):
+    ap = argparse.ArgumentParser("unitspeech-tpu voice-conversion")
+    _common(ap)
+    ap.add_argument("--source", required=True, help="source wav (22.05 kHz)")
+    ap.add_argument("--decoder", required=True, help="finetuned decoder ckpt")
+    ap.add_argument("--content-encoder", required=True,
+                    help="contentvec encoder ckpt")
+    ap.add_argument("--content-features", default=None,
+                    help=".npy (T, 768) contentvec features (skip extraction)")
+    ap.add_argument("--contentvec", default=None, help="contentvec HuBERT ckpt")
+    ap.add_argument("--vocoder", required=True)
+    ap.add_argument("--spk-emb", default=None)
+    ap.add_argument("--output", default="converted.wav")
+    ap.add_argument("--diffusion-steps", type=int, default=50)
+    ap.add_argument("--text-gradient-scale", type=float, default=1.0)
+    ap.add_argument("--spk-gradient-scale", type=float, default=1.0)
+    ap.add_argument("--no-sv56", action="store_true")
+    ap.add_argument("--fp32", dest="bf16", action="store_false")
+    args = ap.parse_args(argv)
+    cfg = _setup(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from unitspeech_tpu.data.dataset import load_wav, write_wav
+    from unitspeech_tpu.infer.vc import voice_conversion
+    from unitspeech_tpu.models.diffusion import UnitSpeech
+    from unitspeech_tpu.models.encoder import Encoder
+    from unitspeech_tpu.models.vocoder import BigVGAN
+    from unitspeech_tpu.ops import sv56
+    from unitspeech_tpu.ops.mel import denormalize_mel  # noqa: F401 (API surface)
+    from unitspeech_tpu.utils import artifacts
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    bundle = artifacts.load_decoder_bundle(args.decoder, cfg.decoder)
+    enc_params = artifacts.load_encoder_params(
+        args.content_encoder, cfg.contentvec_encoder, contentvec=True
+    )
+    wav, sr = load_wav(args.source)
+    mel_len = len(wav) // cfg.data.hop_length
+
+    if args.content_features:
+        content = np.load(args.content_features)[None]
+    elif args.contentvec:
+        content = extract_contentvec(args.contentvec, wav, sr, cfg)[None]
+    else:
+        raise SystemExit("need --content-features or --contentvec")
+
+    spk_emb = bundle.spk_emb if args.spk_emb is None else np.load(args.spk_emb).reshape(1, -1)
+    spk_emb = spk_emb / np.linalg.norm(spk_emb)
+
+    encoder = Encoder.from_config(cfg.contentvec_encoder)
+    decoder = UnitSpeech.from_config(cfg.decoder, dtype=dtype)
+    mel = voice_conversion(
+        encoder, enc_params, decoder, bundle.params,
+        jnp.asarray(content, jnp.float32), mel_len,
+        jnp.asarray(spk_emb, jnp.float32),
+        jnp.asarray(bundle.mel_min), jnp.asarray(bundle.mel_max),
+        jax.random.PRNGKey(args.seed),
+        n_timesteps=args.diffusion_steps,
+        text_gradient_scale=args.text_gradient_scale,
+        spk_gradient_scale=args.spk_gradient_scale,
+        beta_min=cfg.decoder.beta_min, beta_max=cfg.decoder.beta_max,
+        num_downsamplings=cfg.decoder.num_downsamplings,
+    )
+    vocoder = BigVGAN.from_config(cfg.vocoder, dtype=dtype)
+    voc_params = artifacts.load_vocoder_params(args.vocoder, cfg.vocoder)
+    out_wav = np.asarray(vocoder.apply(voc_params, mel))[0][: mel_len * cfg.data.hop_length]
+    if not args.no_sv56:
+        out_wav = sv56.normalize(out_wav, cfg.data.sampling_rate)
+    write_wav(args.output, out_wav, cfg.data.sampling_rate)
+    print(f"wrote {args.output}")
+    return 0
+
+
+def extract_contentvec(ckpt_path: str, wav, sr: int, cfg) -> np.ndarray:
+    """Speaker-invariant content features via the contentvec HuBERT variant
+    (reference scripts/voice_conversion.py:46-68). Uses HF transformers for
+    the torch checkpoint, converted to our HubertModel."""
+    raise SystemExit(
+        "on-the-fly contentvec extraction requires the contentvec checkpoint "
+        "converter (utils/torch_convert_ssl.convert_hubert on the HF state "
+        "dict); precompute features and pass --content-features"
+    )
+
+
+# ---------------------------------------------------------------------------
+# training (reference train_STEP1.py / train_STEP2.py)
+# ---------------------------------------------------------------------------
+
+
+def main_train_step1(argv=None):
+    ap = argparse.ArgumentParser("unitspeech-tpu train-step1")
+    _common(ap)
+    ap.add_argument("--filelist", required=True)
+    ap.add_argument("--spk-embs", required=True, help=".npz of per-speaker embeddings")
+    ap.add_argument("--mel-stats", required=True, help=".npz with mel_min/mel_max")
+    ap.add_argument("--uncond-stats", default=None,
+                    help=".npz with text_uncond/spk_uncond (CFG training)")
+    ap.add_argument("--log-dir", default=None)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--n-epochs", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--language", default="en-us")
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args(argv)
+    cfg = _setup(args)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from unitspeech_tpu import text as text_frontend
+    from unitspeech_tpu.data.dataset import (
+        BucketCollator,
+        TextMelSpeakerDataset,
+        parse_filelist,
+    )
+    from unitspeech_tpu.models.diffusion import UnitSpeech
+    from unitspeech_tpu.models.duration import DurationPredictor
+    from unitspeech_tpu.models.encoder import Encoder
+    from unitspeech_tpu.train.loop import TrainLoop
+    from unitspeech_tpu.train.steps import TrainState, make_step1_train_step
+    from unitspeech_tpu.utils.artifacts import load_speaker_embs
+
+    if args.batch_size:
+        from unitspeech_tpu.config import replace as cfg_replace
+
+        cfg = cfg_replace(cfg, train=cfg_replace(cfg.train, batch_size=args.batch_size))
+
+    ph = text_frontend.get_phonemizer(args.language)
+
+    def text_to_ids(t):
+        if ph is None:  # pre-phonemized filelists
+            return text_frontend.phonemes_to_sequence(t, add_blank=cfg.data.add_blank)
+        return text_frontend.text_to_sequence(t, ph, add_blank=cfg.data.add_blank)
+
+    dataset = TextMelSpeakerDataset(
+        parse_filelist(args.filelist), text_to_ids,
+        hop_length=cfg.data.hop_length, sampling_rate=cfg.data.sampling_rate,
+    )
+    spk_embs = load_speaker_embs(args.spk_embs)
+    stats = np.load(args.mel_stats)
+    mel_min, mel_max = stats["mel_min"].reshape(-1), stats["mel_max"].reshape(-1)
+
+    spk_uncond = None
+    if args.uncond_stats:
+        uz = np.load(args.uncond_stats)
+        spk_uncond = jnp.asarray(uz["spk_uncond"].reshape(-1))
+
+    text_encoder = Encoder.from_config(cfg.text_encoder)
+    dp = DurationPredictor(
+        in_channels=cfg.duration_predictor.in_channels,
+        filter_channels=cfg.duration_predictor.filter_channels,
+        kernel_size=cfg.duration_predictor.kernel_size,
+        p_dropout=cfg.duration_predictor.p_dropout,
+        spk_emb_dim=cfg.duration_predictor.spk_emb_dim,
+    )
+    decoder = UnitSpeech.from_config(
+        cfg.decoder, dtype=jnp.bfloat16 if cfg.train.use_bf16 else jnp.float32
+    )
+
+    key = jax.random.PRNGKey(cfg.train.seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    s_dim = cfg.decoder.spk_emb_dim
+    params = {
+        "text_encoder": text_encoder.init(
+            k1, jnp.zeros((1, 8), jnp.int32), jnp.array([8])
+        ),
+        "duration_predictor": dp.init(
+            k2, jnp.zeros((1, 8, cfg.text_encoder.n_channels)), jnp.ones((1, 8, 1)),
+            g=jnp.zeros((1, s_dim)), reverse=True,
+        ),
+        "decoder": decoder.init(
+            k3, jnp.zeros((1, 8, cfg.data.n_feats)), jnp.ones((1, 8)),
+            jnp.zeros((1, 8, cfg.data.n_feats)), jnp.zeros((1,)),
+            jnp.zeros((1, s_dim)),
+        ),
+    }
+    if args.uncond_stats:
+        uz = np.load(args.uncond_stats)
+        p = params["decoder"]["params"]
+        params["decoder"]["params"] = dict(
+            p,
+            text_uncon=jnp.asarray(uz["text_uncond"].reshape(-1)),
+            spk_uncon=jnp.asarray(uz["spk_uncond"].reshape(-1)),
+        )
+
+    optimizer = optax.adam(cfg.train.learning_rate)
+    train_step = make_step1_train_step(
+        text_encoder, dp, decoder, optimizer, out_size=cfg.out_size,
+        spk_uncond=spk_uncond, spk_dropout=cfg.train.spk_dropout,
+        clip_norms=(
+            cfg.train.grad_clip_encoder,
+            cfg.train.grad_clip_duration,
+            cfg.train.grad_clip_decoder,
+        ),
+        beta_min=cfg.decoder.beta_min, beta_max=cfg.decoder.beta_max,
+    )
+    state = TrainState(params, optimizer.init(params), jnp.array(0))
+    loop = TrainLoop(
+        cfg=cfg, train_step=train_step, state=state, dataset=dataset,
+        collator=BucketCollator(
+            hop_length=cfg.data.hop_length,
+            num_downsamplings=cfg.decoder.num_downsamplings,
+        ),
+        mel_min=jnp.asarray(mel_min), mel_max=jnp.asarray(mel_max),
+        spk_embs=spk_embs,
+        log_dir=args.log_dir or cfg.train.log_dir,
+        checkpoint_dir=args.checkpoint_dir or cfg.train.checkpoint_dir,
+        save_every=cfg.train.save_every, seed=cfg.train.seed,
+    )
+    start = loop.resume() if args.resume else 0
+    loop.run(args.n_epochs or cfg.train.n_epochs, start)
+    return 0
+
+
+def main_train_step2(argv=None):
+    ap = argparse.ArgumentParser("unitspeech-tpu train-step2")
+    _common(ap)
+    ap.add_argument("--filelist", required=True)
+    ap.add_argument("--spk-embs", required=True)
+    ap.add_argument("--mel-stats", required=True)
+    ap.add_argument("--decoder", required=True, help="frozen pretrained decoder ckpt")
+    ap.add_argument("--log-dir", default=None)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--n-epochs", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args(argv)
+    cfg = _setup(args)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from unitspeech_tpu.data.dataset import (
+        BucketCollator,
+        UnitMelSpeakerDataset,
+        parse_filelist,
+    )
+    from unitspeech_tpu.models.diffusion import UnitSpeech
+    from unitspeech_tpu.models.encoder import Encoder
+    from unitspeech_tpu.train.loop import TrainLoop
+    from unitspeech_tpu.train.steps import TrainState, make_step2_train_step
+    from unitspeech_tpu.utils.artifacts import load_decoder_bundle, load_speaker_embs
+
+    if args.batch_size:
+        from unitspeech_tpu.config import replace as cfg_replace
+
+        cfg = cfg_replace(cfg, train=cfg_replace(cfg.train, batch_size=args.batch_size))
+
+    dataset = UnitMelSpeakerDataset(
+        parse_filelist(args.filelist),
+        hop_length=cfg.data.hop_length, sampling_rate=cfg.data.sampling_rate,
+    )
+    spk_embs = load_speaker_embs(args.spk_embs)
+    stats = np.load(args.mel_stats)
+    bundle = load_decoder_bundle(args.decoder, cfg.decoder)
+
+    unit_encoder = Encoder.from_config(cfg.unit_encoder)
+    decoder = UnitSpeech.from_config(
+        cfg.decoder, dtype=jnp.bfloat16 if cfg.train.use_bf16 else jnp.float32
+    )
+    key = jax.random.PRNGKey(cfg.train.seed)
+    ue_params = unit_encoder.init(key, jnp.zeros((1, 8), jnp.int32), jnp.array([8]))
+    optimizer = optax.adam(cfg.train.learning_rate)
+    train_step = make_step2_train_step(
+        unit_encoder, decoder, optimizer, out_size=cfg.out_size,
+        beta_min=cfg.decoder.beta_min, beta_max=cfg.decoder.beta_max,
+    )
+    state = TrainState(ue_params, optimizer.init(ue_params), jnp.array(0))
+    loop = TrainLoop(
+        cfg=cfg, train_step=train_step, state=state, dataset=dataset,
+        collator=BucketCollator(
+            hop_length=cfg.data.hop_length,
+            num_downsamplings=cfg.decoder.num_downsamplings,
+        ),
+        mel_min=jnp.asarray(stats["mel_min"].reshape(-1)),
+        mel_max=jnp.asarray(stats["mel_max"].reshape(-1)),
+        spk_embs=spk_embs,
+        log_dir=args.log_dir or cfg.train.log_dir,
+        checkpoint_dir=args.checkpoint_dir or cfg.train.checkpoint_dir,
+        save_every=cfg.train.save_every, seed=cfg.train.seed,
+        extra_step_args=(bundle.params,),
+    )
+    start = loop.resume() if args.resume else 0
+    loop.run(args.n_epochs or cfg.train.n_epochs, start)
+    return 0
+
+
+COMMANDS = {
+    "inference": main_inference,
+    "finetune": main_finetune,
+    "voice-conversion": main_voice_conversion,
+    "train-step1": main_train_step1,
+    "train-step2": main_train_step2,
+}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: python -m unitspeech_tpu.cli <command> [...]\ncommands:", file=sys.stderr)
+        for name in COMMANDS:
+            print(f"  {name}", file=sys.stderr)
+        return 0 if argv else 2
+    cmd = argv.pop(0)
+    if cmd not in COMMANDS:
+        print(f"unknown command {cmd!r}; available: {', '.join(COMMANDS)}", file=sys.stderr)
+        return 2
+    return COMMANDS[cmd](argv)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
