@@ -72,7 +72,11 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     args = ap.parse_args()
 
-    from unitspeech_tpu.infer.tts import _align_and_sample, _encode_and_duration
+    from unitspeech_tpu.infer.tts import (
+        _align_and_sample,
+        _encode_and_duration,
+        _vocode_jit,
+    )
     from unitspeech_tpu.ops.masking import sequence_mask
 
     synth = build(args.smoke)
@@ -102,8 +106,11 @@ def main():
             spk_gradient_scale=1.0,
             beta_min=m.cfg.decoder.beta_min, beta_max=m.cfg.decoder.beta_max,
         )
-        wav = m.vocoder.apply(m.vocoder_params, mel)
-        return wav.block_until_ready()
+        wav = _vocode_jit(m.vocoder, m.vocoder_params, mel)
+        # NOTE: np.asarray, not block_until_ready — the axon platform's
+        # block_until_ready returns before execution finishes; materializing
+        # to host is the only trustworthy barrier.
+        return np.asarray(wav)
 
     # warmup / compile
     for _ in range(2):

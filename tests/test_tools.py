@@ -1,0 +1,128 @@
+"""Contentvec converter structure, artifact registry, distributed
+transcription shard/merge (reference components #12, #16, #31)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unitspeech_tpu.models.ssl.contentvec import convert_hubert_hf
+from unitspeech_tpu.models.ssl.hubert import HubertConfig, HubertModel
+from unitspeech_tpu.tools.distributed_transcribe import (
+    merge_shards,
+    shard_indices,
+    transcribe_shard,
+)
+from unitspeech_tpu.utils.artifact_registry import (
+    REGISTRY,
+    CheckpointManager,
+    register,
+)
+from unitspeech_tpu.utils.torch_convert import assert_tree_match
+
+TINY_CONVS = ((8, 10, 5), (8, 3, 2), (8, 2, 2))
+
+
+def _hf_state_dict(dim=16, layers=2, ffn=16, pos_k=8, pos_groups=2):
+    sd = {}
+    for i, (c, k, s) in enumerate(TINY_CONVS):
+        cin = 1 if i == 0 else TINY_CONVS[i - 1][0]
+        sd[f"feature_extractor.conv_layers.{i}.conv.weight"] = np.zeros((c, cin, k), np.float32)
+        if i == 0:
+            sd["feature_extractor.conv_layers.0.layer_norm.weight"] = np.ones((c,), np.float32)
+            sd["feature_extractor.conv_layers.0.layer_norm.bias"] = np.zeros((c,), np.float32)
+    c_out = TINY_CONVS[-1][0]
+    sd["feature_projection.layer_norm.weight"] = np.ones((c_out,), np.float32)
+    sd["feature_projection.layer_norm.bias"] = np.zeros((c_out,), np.float32)
+    sd["feature_projection.projection.weight"] = np.zeros((dim, c_out), np.float32)
+    sd["feature_projection.projection.bias"] = np.zeros((dim,), np.float32)
+    sd["encoder.pos_conv_embed.conv.weight_g"] = np.ones((1, 1, pos_k), np.float32)
+    sd["encoder.pos_conv_embed.conv.weight_v"] = np.ones(
+        (dim, dim // pos_groups, pos_k), np.float32
+    )
+    sd["encoder.pos_conv_embed.conv.bias"] = np.zeros((dim,), np.float32)
+    sd["encoder.layer_norm.weight"] = np.ones((dim,), np.float32)
+    sd["encoder.layer_norm.bias"] = np.zeros((dim,), np.float32)
+    for i in range(layers):
+        lp = f"encoder.layers.{i}"
+        for n in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"{lp}.attention.{n}.weight"] = np.zeros((dim, dim), np.float32)
+            sd[f"{lp}.attention.{n}.bias"] = np.zeros((dim,), np.float32)
+        sd[f"{lp}.layer_norm.weight"] = np.ones((dim,), np.float32)
+        sd[f"{lp}.layer_norm.bias"] = np.zeros((dim,), np.float32)
+        sd[f"{lp}.feed_forward.intermediate_dense.weight"] = np.zeros((ffn, dim), np.float32)
+        sd[f"{lp}.feed_forward.intermediate_dense.bias"] = np.zeros((ffn,), np.float32)
+        sd[f"{lp}.feed_forward.output_dense.weight"] = np.zeros((dim, ffn), np.float32)
+        sd[f"{lp}.feed_forward.output_dense.bias"] = np.zeros((dim,), np.float32)
+        sd[f"{lp}.final_layer_norm.weight"] = np.ones((dim,), np.float32)
+        sd[f"{lp}.final_layer_norm.bias"] = np.zeros((dim,), np.float32)
+    return sd
+
+
+def test_hf_hubert_conversion_structure():
+    cfg = HubertConfig(
+        conv_layers=TINY_CONVS, embed_dim=16, num_layers=2, num_heads=2,
+        ffn_dim=16, conv_pos=8, conv_pos_groups=2,
+    )
+    model = HubertModel(cfg)
+    target = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 400)))
+    converted = convert_hubert_hf(_hf_state_dict(), num_layers=2, num_conv_layers=3)
+    assert_tree_match(
+        converted["params"], jax.tree_util.tree_map(np.asarray, target["params"])
+    )
+
+
+def test_registry_unknown_and_local(tmp_path):
+    mgr = CheckpointManager(cache_dir=str(tmp_path / "cache"))
+    with pytest.raises(KeyError):
+        mgr.get("no-such-artifact", download=False)
+    assert "mhubert-base-vp_en_es_fr" in REGISTRY
+    # local install path
+    src = tmp_path / "x.bin"
+    src.write_bytes(b"hello")
+    register("my-artifact", "https://example.invalid/x.bin")
+    dest = mgr.add_local("my-artifact", str(src))
+    assert os.path.exists(dest)
+    assert mgr.get("my-artifact", download=False) == dest
+
+
+def test_shard_indices_cover_everything():
+    world = 3
+    n = 10
+    all_idx = sorted(sum((shard_indices(n, r, world) for r in range(world)), []))
+    assert all_idx == list(range(n))
+
+
+def test_transcribe_shard_and_merge(tmp_path):
+    from unitspeech_tpu.data.dataset import write_wav
+
+    manifest = []
+    for i in range(5):
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, np.full(100, 0.01 * (i + 1), np.float32), 16000)
+        manifest.append(p)
+
+    class FakeEncoder:
+        def __call__(self, wav):
+            v = int(round(float(wav.max()) * 100))
+            return {"units": np.array([v, v]), "durations": np.array([1, 1])}
+
+    shards = []
+    world = 2
+    for rank in range(world):
+        sp = str(tmp_path / f"out.shard{rank}")
+        transcribe_shard(manifest, shard_indices(5, rank, world), FakeEncoder(), sp)
+        shards.append(sp)
+    out = str(tmp_path / "out.txt")
+    merge_shards(shards, out, 5)
+    lines = open(out).read().splitlines()
+    assert lines == [f"{i + 1} {i + 1}" for i in range(5)]
+
+
+def test_merge_detects_missing(tmp_path):
+    sp = str(tmp_path / "s0")
+    open(sp, "w").write("0\t1 2\n")
+    with pytest.raises(RuntimeError):
+        merge_shards([sp], str(tmp_path / "out"), 2)

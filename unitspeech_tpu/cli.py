@@ -401,13 +401,15 @@ def main_voice_conversion(argv=None):
 
 def extract_contentvec(ckpt_path: str, wav, sr: int, cfg) -> np.ndarray:
     """Speaker-invariant content features via the contentvec HuBERT variant
-    (reference scripts/voice_conversion.py:46-68). Uses HF transformers for
-    the torch checkpoint, converted to our HubertModel."""
-    raise SystemExit(
-        "on-the-fly contentvec extraction requires the contentvec checkpoint "
-        "converter (utils/torch_convert_ssl.convert_hubert on the HF state "
-        "dict); precompute features and pass --content-features"
-    )
+    (reference scripts/voice_conversion.py:46-68); HF-format checkpoint is
+    converted to our HubertModel."""
+    from scipy.signal import resample_poly
+
+    from unitspeech_tpu.models.ssl.contentvec import ContentvecExtractor
+
+    extractor = ContentvecExtractor.from_torch(ckpt_path)
+    wav16 = resample_poly(np.asarray(wav, np.float64), cfg.unit_extractor.sr, sr)
+    return extractor(wav16.astype(np.float32))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,165 @@
+"""Evaluation harness: sample generation with RTF accounting + objective
+metrics.
+
+TPU-native equivalent of the reference's evaluation pipeline
+(/root/reference/evaluation/evaluation_generate_samples.py:317-353 records
+wall-clock processing_time / speech_duration arrays to .npy; the metrics
+notebook computes RTF, Whisper WER/CER, predicted MOS, speaker cosine
+similarity). Here:
+
+  * generate_eval_samples: synthesize a sentence list, record per-utterance
+    processing and speech durations (host-materialized timing — the axon
+    platform's block_until_ready does not block), write wavs + timings.npz
+  * rtf_summary: the headline RTF statistic (BASELINE.md row 1)
+  * mel_l1 / mel_cepstral_distortion: parity metrics against reference mels
+  * speaker_cosine_similarity: cosine between embeddings (caller supplies the
+    embedder — WavLM+ECAPA from models/speaker.py, matching the notebook)
+
+WER/CER and predicted MOS require external ASR/MOS models (Whisper, NeMo)
+that are not vendored; hooks accept any callable `transcribe(wav, sr) -> str`.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from unitspeech_tpu.data.dataset import write_wav
+
+
+@dataclass
+class EvalTimings:
+    processing_time: np.ndarray  # (N,) seconds
+    speech_duration: np.ndarray  # (N,) seconds
+
+    @property
+    def rtf(self) -> float:
+        return float(self.processing_time.sum() / self.speech_duration.sum())
+
+    @property
+    def rtf_mean_of_ratios(self) -> float:
+        """The reference notebook's statistic: mean(proc)/mean(speech)
+        (evaluation-metrics.ipynb cell 6)."""
+        return float(self.processing_time.mean() / self.speech_duration.mean())
+
+    def save(self, path: str):
+        np.savez(
+            path,
+            processing_time=self.processing_time,
+            speech_duration=self.speech_duration,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "EvalTimings":
+        z = np.load(path)
+        return cls(z["processing_time"], z["speech_duration"])
+
+
+def generate_eval_samples(
+    synthesizer,
+    token_sequences: Sequence[Sequence[int]],
+    out_dir: str,
+    key,
+    diffusion_steps: Optional[int] = None,
+    warmup: int = 1,
+    **synth_kwargs,
+) -> EvalTimings:
+    """Synthesize every token sequence, timing each end-to-end synthesis
+    (phoneme IDs -> waveform on host), like evaluation_generate_samples.py."""
+    import jax
+
+    os.makedirs(out_dir, exist_ok=True)
+    # warm the compile caches outside the timed region
+    for seq in token_sequences[:warmup]:
+        synthesizer(list(seq), key, diffusion_steps=diffusion_steps, **synth_kwargs)
+
+    proc, speech = [], []
+    for i, seq in enumerate(token_sequences):
+        k = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        wav, sr = synthesizer(
+            list(seq), k, diffusion_steps=diffusion_steps, **synth_kwargs
+        )
+        dt = time.perf_counter() - t0
+        proc.append(dt)
+        speech.append(len(wav) / sr)
+        write_wav(os.path.join(out_dir, f"sample_{i:04d}.wav"), wav, sr)
+    timings = EvalTimings(np.asarray(proc), np.asarray(speech))
+    timings.save(os.path.join(out_dir, "timings.npz"))
+    return timings
+
+
+def rtf_summary(timings: EvalTimings) -> Dict[str, float]:
+    return {
+        "rtf": timings.rtf,
+        "rtf_mean_of_ratios": timings.rtf_mean_of_ratios,
+        "mean_processing_s": float(timings.processing_time.mean()),
+        "mean_speech_s": float(timings.speech_duration.mean()),
+        "n": int(len(timings.processing_time)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# objective parity metrics
+# ---------------------------------------------------------------------------
+
+
+def mel_l1(mel_a: np.ndarray, mel_b: np.ndarray) -> float:
+    """Mean absolute log-mel difference over the overlapping frames."""
+    t = min(mel_a.shape[0], mel_b.shape[0])
+    return float(np.abs(mel_a[:t] - mel_b[:t]).mean())
+
+
+def mel_cepstral_distortion(mel_a: np.ndarray, mel_b: np.ndarray, k: int = 13) -> float:
+    """MCD-style distance on DCT-II cepstra of log-mels (dB)."""
+    from scipy.fft import dct
+
+    t = min(mel_a.shape[0], mel_b.shape[0])
+    ca = dct(mel_a[:t], type=2, axis=1, norm="ortho")[:, 1:k]
+    cb = dct(mel_b[:t], type=2, axis=1, norm="ortho")[:, 1:k]
+    return float(
+        (10.0 / np.log(10.0))
+        * np.sqrt(2.0)
+        * np.sqrt(((ca - cb) ** 2).sum(axis=1)).mean()
+    )
+
+
+def speaker_cosine_similarity(emb_a: np.ndarray, emb_b: np.ndarray) -> float:
+    a = emb_a.reshape(-1)
+    b = emb_b.reshape(-1)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+def wer(reference: str, hypothesis: str) -> float:
+    """Word error rate via dynamic programming (no external deps; the
+    reference uses jiwer + Whisper transcripts)."""
+    r = reference.split()
+    h = hypothesis.split()
+    d = np.zeros((len(r) + 1, len(h) + 1), np.int32)
+    d[:, 0] = np.arange(len(r) + 1)
+    d[0, :] = np.arange(len(h) + 1)
+    for i in range(1, len(r) + 1):
+        for j in range(1, len(h) + 1):
+            sub = d[i - 1, j - 1] + (r[i - 1] != h[j - 1])
+            d[i, j] = min(sub, d[i - 1, j] + 1, d[i, j - 1] + 1)
+    return float(d[-1, -1] / max(len(r), 1))
+
+
+def cer(reference: str, hypothesis: str) -> float:
+    return wer(" ".join(reference.replace(" ", "")), " ".join(hypothesis.replace(" ", "")))
+
+
+def evaluate_transcriptions(
+    pairs: List, transcribe: Callable[[np.ndarray, int], str]
+) -> Dict[str, float]:
+    """pairs: [(wav, sr, reference_text)]; transcribe: external ASR hook."""
+    wers, cers = [], []
+    for wav, sr, ref_text in pairs:
+        hyp = transcribe(wav, sr)
+        wers.append(wer(ref_text.lower(), hyp.lower()))
+        cers.append(cer(ref_text.lower(), hyp.lower()))
+    return {"wer": float(np.mean(wers)), "cer": float(np.mean(cers))}

@@ -171,6 +171,11 @@ def _align_and_sample(
     return denormalize_mel(mel, mel_min, mel_max), attn
 
 
+@partial(jax.jit, static_argnames=("vocoder",))
+def _vocode_jit(vocoder, vocoder_params, mel):
+    return vocoder.apply(vocoder_params, mel)
+
+
 @dataclass
 class Synthesizer:
     """End-to-end TTS callable with bucketed compile caching."""
@@ -244,7 +249,7 @@ class Synthesizer:
         m = self.models
         if m.vocoder is None:
             raise ValueError("Synthesizer built without a vocoder.")
-        return m.vocoder.apply(m.vocoder_params, mel)
+        return _vocode_jit(m.vocoder, m.vocoder_params, mel)
 
     def __call__(self, token_ids: Sequence[int], key, **kwargs):
         """Token IDs -> (waveform np.ndarray (n_samples,), sample_rate)."""

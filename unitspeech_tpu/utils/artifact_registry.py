@@ -1,0 +1,102 @@
+"""Pretrained-artifact registry: name -> (URL, sha256), lazy download + cache.
+
+Equivalent of textlesslib's CheckpointManager
+(/root/reference/unitspeech/textlesslib/textless/checkpoint_manager/
+manager.py:23-65): artifacts are fetched once into a cache directory and
+sha256-verified. The registry ships the names the reference pipeline needs;
+URLs/digests can be overlaid from a JSON file for air-gapped mirrors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import urllib.request
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+DEFAULT_CACHE = os.path.expanduser("~/.cache/unitspeech_tpu")
+
+
+@dataclass(frozen=True)
+class Artifact:
+    name: str
+    url: str
+    sha256: Optional[str] = None
+    filename: Optional[str] = None
+
+
+# The artifact set the reference pipeline consumes (README.md:53-100 and the
+# textlesslib registry). URLs intentionally point at the canonical upstream
+# hosts; converted-to-JAX mirrors can be overlaid via register_from_json.
+REGISTRY: Dict[str, Artifact] = {}
+
+
+def register(name: str, url: str, sha256: Optional[str] = None,
+             filename: Optional[str] = None):
+    REGISTRY[name] = Artifact(name, url, sha256, filename)
+
+
+def register_from_json(path: str):
+    with open(path) as f:
+        for name, spec in json.load(f).items():
+            register(name, spec["url"], spec.get("sha256"), spec.get("filename"))
+
+
+for _name, _url in {
+    "mhubert-base-vp_en_es_fr": "https://dl.fbaipublicfiles.com/hubert/mhubert_base_vp_en_es_fr_it3.pt",
+    "mhubert-base-vp_en_es_fr-kmeans-1000": "https://dl.fbaipublicfiles.com/hubert/mhubert_base_vp_en_es_fr_it3_L11_km1000.bin",
+}.items():
+    register(_name, _url)
+
+
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+class CheckpointManager:
+    def __init__(self, cache_dir: str = DEFAULT_CACHE):
+        self.cache_dir = cache_dir
+
+    def path_for(self, name: str) -> str:
+        art = REGISTRY.get(name)
+        if art is None:
+            raise KeyError(f"unknown artifact {name!r}; known: {sorted(REGISTRY)}")
+        fname = art.filename or os.path.basename(art.url)
+        return os.path.join(self.cache_dir, fname)
+
+    def get(self, name: str, download: bool = True) -> str:
+        """Return a local path for `name`, fetching and verifying if needed."""
+        art = REGISTRY[name] if name in REGISTRY else None
+        if art is None:
+            raise KeyError(f"unknown artifact {name!r}; known: {sorted(REGISTRY)}")
+        dest = self.path_for(name)
+        if os.path.exists(dest):
+            if art.sha256 and _sha256(dest) != art.sha256:
+                raise IOError(f"{dest}: sha256 mismatch; delete and re-fetch")
+            return dest
+        if not download:
+            raise FileNotFoundError(dest)
+        os.makedirs(self.cache_dir, exist_ok=True)
+        tmp = dest + ".part"
+        urllib.request.urlretrieve(art.url, tmp)
+        if art.sha256 and _sha256(tmp) != art.sha256:
+            os.unlink(tmp)
+            raise IOError(f"{art.url}: sha256 mismatch after download")
+        shutil.move(tmp, dest)
+        return dest
+
+    def add_local(self, name: str, path: str) -> str:
+        """Install a manually-obtained file under the registry name."""
+        dest = self.path_for(name) if name in REGISTRY else os.path.join(
+            self.cache_dir, os.path.basename(path)
+        )
+        os.makedirs(self.cache_dir, exist_ok=True)
+        shutil.copyfile(path, dest)
+        return dest
