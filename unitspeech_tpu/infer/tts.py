@@ -131,6 +131,8 @@ def _encode_and_duration(
         "spk_gradient_scale",
         "beta_min",
         "beta_max",
+        "mesh",
+        "sample_spec",
     ),
 )
 def _align_and_sample(
@@ -149,6 +151,8 @@ def _align_and_sample(
     spk_gradient_scale: float,
     beta_min: float,
     beta_max: float,
+    mesh=None,
+    sample_spec=None,
 ):
     attn_mask = x_mask * y_mask[:, None, :]  # (B, Tx, Ty)
     attn = generate_path(w_ceil, attn_mask)
@@ -167,6 +171,8 @@ def _align_and_sample(
         spk_gradient_scale=spk_gradient_scale,
         beta_min=beta_min,
         beta_max=beta_max,
+        mesh=mesh,
+        sample_spec=sample_spec,
     )
     return denormalize_mel(mel, mel_min, mel_max), attn
 
@@ -185,6 +191,11 @@ class Synthesizer:
     token_buckets: Sequence[int] = field(
         default_factory=lambda: tuple(2 ** i for i in range(4, 11))
     )
+    # optional sequence/context sharding of the diffusion state over a mesh
+    # (SURVEY.md §5): e.g. mesh over ("data", "seq") with
+    # sample_spec = PartitionSpec(None, "seq", None)
+    mesh: Any = None
+    sample_spec: Any = None
 
     def synthesize_mel(
         self,
@@ -242,8 +253,67 @@ class Synthesizer:
             spk_gradient_scale=float(sg),
             beta_min=m.cfg.decoder.beta_min,
             beta_max=m.cfg.decoder.beta_max,
+            mesh=self.mesh,
+            sample_spec=self.sample_spec,
         )
         return mel, y_length, attn
+
+    def synthesize_batch(
+        self,
+        token_sequences,
+        key,
+        diffusion_steps: Optional[int] = None,
+        length_scale: Optional[float] = None,
+        text_gradient_scale: Optional[float] = None,
+        spk_gradient_scale: Optional[float] = None,
+    ):
+        """Batched guided synthesis (BASELINE config 3: CFG sweep over a
+        sentence batch). All sentences run in ONE batched sampler/vocoder
+        call at a common frame bucket. Returns a list of (wav, sr)."""
+        m = self.models
+        icfg = m.cfg.inference
+        steps = diffusion_steps if diffusion_steps is not None else icfg.diffusion_steps
+        lscale = length_scale if length_scale is not None else icfg.length_scale
+        tg = text_gradient_scale if text_gradient_scale is not None else icfg.text_gradient_scale
+        sg = spk_gradient_scale if spk_gradient_scale is not None else icfg.spk_gradient_scale
+
+        b = len(token_sequences)
+        tok_bucket = choose_bucket(
+            max(len(s) for s in token_sequences), self.token_buckets
+        )
+        tokens = np.zeros((b, tok_bucket), dtype=np.int32)
+        lengths = np.zeros((b,), dtype=np.int32)
+        for i, seq in enumerate(token_sequences):
+            tokens[i, : len(seq)] = seq
+            lengths[i] = len(seq)
+        spk = jnp.broadcast_to(m.spk_emb, (b, m.spk_emb.shape[-1]))
+
+        mu_x, x_mask, w_ceil = _encode_and_duration(
+            m.text_encoder, m.text_encoder_params,
+            m.duration_predictor, m.duration_predictor_params,
+            jnp.asarray(tokens), jnp.asarray(lengths), spk,
+        )
+        w_ceil = w_ceil * lscale
+        y_lengths = np.maximum(
+            np.asarray(jnp.sum(w_ceil, axis=1)).astype(np.int64), 1
+        )
+        num_down = m.cfg.decoder.num_downsamplings
+        y_pad = choose_bucket(
+            fix_len_compatibility(int(y_lengths.max()), num_down), self.frame_buckets
+        )
+        y_mask = sequence_mask(jnp.asarray(y_lengths), y_pad)
+        mel, _ = _align_and_sample(
+            m.decoder.apply, m.decoder_params, mu_x, x_mask, w_ceil, y_mask,
+            spk, key, m.mel_min, m.mel_max,
+            n_timesteps=int(steps), text_gradient_scale=float(tg),
+            spk_gradient_scale=float(sg),
+            beta_min=m.cfg.decoder.beta_min, beta_max=m.cfg.decoder.beta_max,
+            mesh=self.mesh, sample_spec=self.sample_spec,
+        )
+        wavs = np.asarray(self.vocode(mel))
+        hop = m.cfg.data.hop_length
+        sr = m.cfg.data.sampling_rate
+        return [(wavs[i, : int(y_lengths[i]) * hop], sr) for i in range(b)]
 
     def vocode(self, mel):
         m = self.models

@@ -166,6 +166,8 @@ def cfg_score(
         "spk_gradient_scale",
         "beta_min",
         "beta_max",
+        "mesh",
+        "sample_spec",
     ),
 )
 def reverse_diffusion(
@@ -181,15 +183,32 @@ def reverse_diffusion(
     spk_gradient_scale: float = 0.0,
     beta_min: float = 0.05,
     beta_max: float = 20.0,
+    mesh=None,
+    sample_spec=None,
 ):
     """Reverse DDPM sampling, one lax.scan (reference unitspeech.py:333-374).
 
     z/cond: (B, T, F); mask: (B, T); spk_emb: (B, S). Returns mel (B, T, F).
+
+    Sharded inference (SURVEY.md §5): pass a `jax.sharding.Mesh` and a
+    `PartitionSpec` for the (B, T, F) sample — e.g. P("data", "seq", None) —
+    and XLA keeps the diffusion state sharded across chips for every step,
+    inserting the collectives the linear attention's global softmax needs.
+    Both are hashable and static.
     """
     sched = make_reverse_schedule(n_timesteps, beta_min, beta_max)
     coeffs = sched.stacked()  # (N, 4): t, c_x, c_score, c_noise
+
+    def constrain(x):
+        if mesh is None or sample_spec is None:
+            return x
+        from jax.sharding import NamedSharding
+
+        return lax.with_sharding_constraint(x, NamedSharding(mesh, sample_spec))
+
     mask3 = mask[:, :, None]
-    xt = z * mask3
+    cond = constrain(cond)
+    xt = constrain(z * mask3)
 
     def step(carry, inp):
         xt = carry
@@ -200,7 +219,7 @@ def reverse_diffusion(
             text_gradient_scale, spk_gradient_scale,
         )
         noise = jax.random.normal(jax.random.fold_in(key, i), xt.shape)
-        xt = (sc[1] * xt + sc[2] * score + sc[3] * noise) * mask3
+        xt = constrain((sc[1] * xt + sc[2] * score + sc[3] * noise) * mask3)
         return xt, None
 
     xt, _ = lax.scan(step, xt, (jnp.arange(n_timesteps), coeffs))
