@@ -73,9 +73,8 @@ def main():
     args = ap.parse_args()
 
     from unitspeech_tpu.infer.tts import (
-        _align_and_sample,
+        _align_sample_vocode,
         _encode_and_duration,
-        _vocode_jit,
     )
     from unitspeech_tpu.ops.masking import sequence_mask
 
@@ -99,14 +98,13 @@ def main():
         # pin durations -> fixed output length (stable benchmark shape)
         w_fixed = jnp.full_like(w_ceil, frames / n_tok)
         y_mask = sequence_mask(jnp.array([frames]), frames)
-        mel, _ = _align_and_sample(
-            m.decoder.apply, m.decoder_params, mu_x, x_mask, w_fixed, y_mask,
-            m.spk_emb, key, m.mel_min, m.mel_max,
+        wav, _mel, _attn = _align_sample_vocode(
+            m.decoder.apply, m.decoder_params, m.vocoder, m.vocoder_params,
+            mu_x, x_mask, w_fixed, y_mask, m.spk_emb, key, m.mel_min, m.mel_max,
             n_timesteps=args.steps, text_gradient_scale=1.0,
             spk_gradient_scale=1.0,
             beta_min=m.cfg.decoder.beta_min, beta_max=m.cfg.decoder.beta_max,
         )
-        wav = _vocode_jit(m.vocoder, m.vocoder_params, mel)
         # NOTE: np.asarray, not block_until_ready — the axon platform's
         # block_until_ready returns before execution finishes; materializing
         # to host is the only trustworthy barrier.

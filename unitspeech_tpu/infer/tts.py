@@ -182,6 +182,33 @@ def _vocode_jit(vocoder, vocoder_params, mel):
     return vocoder.apply(vocoder_params, mel)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "decoder_apply", "vocoder", "n_timesteps", "text_gradient_scale",
+        "spk_gradient_scale", "beta_min", "beta_max", "mesh", "sample_spec",
+    ),
+)
+def _align_sample_vocode(
+    decoder_apply, dec_params, vocoder, vocoder_params,
+    mu_x, x_mask, w_ceil, y_mask, spk_emb, key, mel_min, mel_max,
+    n_timesteps: int, text_gradient_scale: float, spk_gradient_scale: float,
+    beta_min: float, beta_max: float, mesh=None, sample_spec=None,
+):
+    """Whole post-duration pipeline in ONE executable: alignment -> 50-step
+    scan sampler -> BigVGAN. One device dispatch instead of two — dispatch
+    latency is material on tunneled TPU setups."""
+    mel, attn = _align_and_sample(
+        decoder_apply, dec_params, mu_x, x_mask, w_ceil, y_mask, spk_emb, key,
+        mel_min, mel_max, n_timesteps=n_timesteps,
+        text_gradient_scale=text_gradient_scale,
+        spk_gradient_scale=spk_gradient_scale,
+        beta_min=beta_min, beta_max=beta_max, mesh=mesh, sample_spec=sample_spec,
+    )
+    wav = vocoder.apply(vocoder_params, mel)
+    return wav, mel, attn
+
+
 @dataclass
 class Synthesizer:
     """End-to-end TTS callable with bucketed compile caching."""
@@ -322,9 +349,44 @@ class Synthesizer:
         return _vocode_jit(m.vocoder, m.vocoder_params, mel)
 
     def __call__(self, token_ids: Sequence[int], key, **kwargs):
-        """Token IDs -> (waveform np.ndarray (n_samples,), sample_rate)."""
-        mel, y_length, _ = self.synthesize_mel(token_ids, key, **kwargs)
-        wav = self.vocode(mel)
-        hop = self.models.cfg.data.hop_length
+        """Token IDs -> (waveform np.ndarray (n_samples,), sample_rate).
+        Runs the post-duration pipeline as a single fused dispatch."""
+        m = self.models
+        if m.vocoder is None:
+            raise ValueError("Synthesizer built without a vocoder.")
+        icfg = m.cfg.inference
+        steps = kwargs.get("diffusion_steps") or icfg.diffusion_steps
+        lscale = kwargs.get("length_scale")
+        lscale = icfg.length_scale if lscale is None else lscale
+        tg = kwargs.get("text_gradient_scale")
+        tg = icfg.text_gradient_scale if tg is None else tg
+        sg = kwargs.get("spk_gradient_scale")
+        sg = icfg.spk_gradient_scale if sg is None else sg
+
+        n_tok = len(token_ids)
+        tok_bucket = choose_bucket(n_tok, self.token_buckets)
+        tokens = np.zeros((1, tok_bucket), dtype=np.int32)
+        tokens[0, :n_tok] = token_ids
+        mu_x, x_mask, w_ceil = _encode_and_duration(
+            m.text_encoder, m.text_encoder_params,
+            m.duration_predictor, m.duration_predictor_params,
+            jnp.asarray(tokens), jnp.array([n_tok]), m.spk_emb,
+        )
+        w_ceil = w_ceil * lscale
+        y_length = max(int(np.asarray(jnp.sum(w_ceil, axis=1))[0]), 1)
+        num_down = m.cfg.decoder.num_downsamplings
+        y_pad = choose_bucket(
+            fix_len_compatibility(y_length, num_down), self.frame_buckets
+        )
+        y_mask = sequence_mask(jnp.array([y_length]), y_pad)
+        wav, _mel, _attn = _align_sample_vocode(
+            m.decoder.apply, m.decoder_params, m.vocoder, m.vocoder_params,
+            mu_x, x_mask, w_ceil, y_mask, m.spk_emb, key, m.mel_min, m.mel_max,
+            n_timesteps=int(steps), text_gradient_scale=float(tg),
+            spk_gradient_scale=float(sg),
+            beta_min=m.cfg.decoder.beta_min, beta_max=m.cfg.decoder.beta_max,
+            mesh=self.mesh, sample_spec=self.sample_spec,
+        )
+        hop = m.cfg.data.hop_length
         n_samples = y_length * hop
-        return np.asarray(wav[0, :n_samples]), self.models.cfg.data.sampling_rate
+        return np.asarray(wav[0, :n_samples]), m.cfg.data.sampling_rate

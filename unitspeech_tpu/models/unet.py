@@ -26,6 +26,7 @@ import math
 from typing import Any, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -41,6 +42,42 @@ def sinusoidal_pos_emb(t, dim: int, scale: float = 1000.0):
     return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
 
 
+def _group_norm_lowmem(x, groups: int, scale, bias, eps: float = 1e-5):
+    """GroupNorm that keeps the big tensor in its compute dtype: statistics
+    accumulate in float32 (small per-group scalars), but no float32 copy of
+    the activation is ever materialized — on TPU the U-Net is HBM-bandwidth
+    bound, so activation bytes are the budget."""
+    from jax import lax as _lax
+
+    b, t, f, c = x.shape
+    xg = x.reshape(b, t, f, groups, c // groups)
+    mean = jnp.mean(xg, axis=(1, 2, 4), dtype=jnp.float32)  # (B, G)
+    var = jnp.mean(
+        jnp.square(xg.astype(jnp.float32)), axis=(1, 2, 4)
+    ) - jnp.square(mean)
+    inv = _lax.rsqrt(var + eps)  # (B, G)
+    mean_b = mean[:, None, None, :, None].astype(x.dtype)
+    inv_b = inv[:, None, None, :, None].astype(x.dtype)
+    y = (xg - mean_b) * inv_b
+    y = y.reshape(b, t, f, c)
+    return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class GroupNormLowMem(nn.Module):
+    """Drop-in for nn.GroupNorm (same scale/bias param tree) with
+    dtype-preserving activations and float32 statistics."""
+
+    channels: int
+    groups: int = 8
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        return _group_norm_lowmem(x, self.groups, scale, bias, self.eps)
+
+
 class Block(nn.Module):
     """conv3x3 -> GroupNorm(8) -> Mish, masked in and out
     (reference unitspeech.py:46-55)."""
@@ -53,9 +90,8 @@ class Block(nn.Module):
     def __call__(self, x, mask):
         x = nn.Conv(self.dim_out, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
                     name="conv")(x * mask)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32,
-                         name="norm")(x)
-        return mish(x).astype(self.dtype) * mask
+        x = GroupNormLowMem(self.dim_out, self.groups, name="norm")(x)
+        return mish(x) * mask
 
 
 class ResnetBlock(nn.Module):
@@ -98,7 +134,12 @@ class LinearAttention(nn.Module):
         q = qkv[:, :, 0].transpose(0, 2, 3, 1)  # (B, H, d, N)
         k = qkv[:, :, 1].transpose(0, 2, 3, 1)
         v = qkv[:, :, 2].transpose(0, 2, 3, 1)
-        k = nn.softmax(k.astype(jnp.float32), axis=-1).astype(self.dtype)
+        # softmax over the (large) token axis without materializing a float32
+        # copy: exp in compute dtype, normalizer accumulated in float32
+        k_max = jax.lax.stop_gradient(jnp.max(k, axis=-1, keepdims=True))
+        k_exp = jnp.exp(k - k_max)
+        k_sum = jnp.sum(k_exp, axis=-1, keepdims=True, dtype=jnp.float32)
+        k = k_exp / k_sum.astype(k_exp.dtype)
         context = jnp.einsum("bhdn,bhen->bhde", k, v)  # (B, H, d, e)
         out = jnp.einsum("bhde,bhdn->bhen", context, q)  # (B, H, e, N)
         out = out.transpose(0, 3, 1, 2).reshape(b, t, f, hidden)
