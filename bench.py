@@ -60,7 +60,10 @@ def build(smoke: bool):
         )
     else:
         cfg = MainConfig()
-    models = TTSModels.random_init(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    models = TTSModels.random_init(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
+        use_pallas_vocoder=jax.default_backend() == "tpu",
+    )
     return Synthesizer(models)
 
 

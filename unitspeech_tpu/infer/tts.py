@@ -58,7 +58,8 @@ class TTSModels:
     mel_max: Any = None
 
     @classmethod
-    def random_init(cls, cfg: MainConfig, key, dtype=jnp.float32, with_vocoder=True):
+    def random_init(cls, cfg: MainConfig, key, dtype=jnp.float32, with_vocoder=True,
+                    use_pallas_vocoder=False):
         """Randomly initialized bundle at full config size (for benchmarks and
         shape tests; real weights come from the checkpoint converter)."""
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
@@ -90,7 +91,9 @@ class TTSModels:
         )
         vocoder = vocoder_params = None
         if with_vocoder:
-            vocoder = BigVGAN.from_config(cfg.vocoder, dtype=dtype)
+            vocoder = BigVGAN.from_config(
+                cfg.vocoder, dtype=dtype, use_pallas=use_pallas_vocoder
+            )
             vocoder_params = vocoder.init(k4, jnp.zeros((1, 8, cfg.vocoder.num_mels)))
         return cls(
             cfg=cfg,

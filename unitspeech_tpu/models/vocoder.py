@@ -117,10 +117,16 @@ class Snake(nn.Module):
     channels: int
     alpha_logscale: bool = False
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
         init = nn.initializers.zeros if self.alpha_logscale else nn.initializers.ones
-        alpha = self.param("alpha", init, (self.channels,)).astype(x.dtype)
+        self.alpha = self.param("alpha", init, (self.channels,))
+
+    def params_ab(self):
+        """Raw (alpha, beta) parameters; Snake reuses alpha as beta."""
+        return self.alpha, self.alpha
+
+    def __call__(self, x):
+        alpha = self.alpha.astype(x.dtype)
         if self.alpha_logscale:
             alpha = jnp.exp(alpha)
         return x + (1.0 / (alpha + 1e-9)) * jnp.sin(x * alpha) ** 2
@@ -132,11 +138,17 @@ class SnakeBeta(nn.Module):
     channels: int
     alpha_logscale: bool = False
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
         init = nn.initializers.zeros if self.alpha_logscale else nn.initializers.ones
-        alpha = self.param("alpha", init, (self.channels,)).astype(x.dtype)
-        beta = self.param("beta", init, (self.channels,)).astype(x.dtype)
+        self.alpha = self.param("alpha", init, (self.channels,))
+        self.beta = self.param("beta", init, (self.channels,))
+
+    def params_ab(self):
+        return self.alpha, self.beta
+
+    def __call__(self, x):
+        alpha = self.alpha.astype(x.dtype)
+        beta = self.beta.astype(x.dtype)
         if self.alpha_logscale:
             alpha = jnp.exp(alpha)
             beta = jnp.exp(beta)
@@ -144,16 +156,27 @@ class SnakeBeta(nn.Module):
 
 
 class AntiAliasedActivation(nn.Module):
-    """upsample 2x -> snake -> downsample 2x (reference act.py:8-27)."""
+    """upsample 2x -> snake -> downsample 2x (reference act.py:8-27).
+
+    use_pallas=True runs the whole chain as one fused Pallas kernel
+    (ops/pallas_kernels.fused_aa_snake): one HBM read + one write instead of
+    ~6 passes at the 2x rate. Interior-exact; utterance-edge samples use
+    extended-LTI padding (see the kernel docstring)."""
 
     channels: int
     activation: str = "snakebeta"
     alpha_logscale: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
         act_cls = SnakeBeta if self.activation == "snakebeta" else Snake
         act = act_cls(self.channels, self.alpha_logscale, name="act")
+        if self.use_pallas:
+            from unitspeech_tpu.ops.pallas_kernels import fused_aa_snake
+
+            alpha, beta = act.params_ab()
+            return fused_aa_snake(x, alpha, beta, logscale=self.alpha_logscale)
         return downsample1d(act(upsample1d(x)))
 
 
@@ -179,18 +202,19 @@ class AMPBlock1(nn.Module):
     dilation: Tuple[int, ...] = (1, 3, 5)
     activation: str = "snakebeta"
     alpha_logscale: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
         for i, d in enumerate(self.dilation):
             xt = AntiAliasedActivation(
                 self.channels, self.activation, self.alpha_logscale,
-                name=f"act1_{i}",
+                use_pallas=self.use_pallas, name=f"act1_{i}",
             )(x)
             xt = _conv1d_torchpad(self.channels, self.kernel_size, d, name=f"conv1_{i}")(xt)
             xt = AntiAliasedActivation(
                 self.channels, self.activation, self.alpha_logscale,
-                name=f"act2_{i}",
+                use_pallas=self.use_pallas, name=f"act2_{i}",
             )(xt)
             xt = _conv1d_torchpad(self.channels, self.kernel_size, 1, name=f"conv2_{i}")(xt)
             x = xt + x
@@ -205,13 +229,14 @@ class AMPBlock2(nn.Module):
     dilation: Tuple[int, ...] = (1, 3)
     activation: str = "snakebeta"
     alpha_logscale: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
         for i, d in enumerate(self.dilation):
             xt = AntiAliasedActivation(
                 self.channels, self.activation, self.alpha_logscale,
-                name=f"act_{i}",
+                use_pallas=self.use_pallas, name=f"act_{i}",
             )(x)
             xt = _conv1d_torchpad(self.channels, self.kernel_size, d, name=f"conv_{i}")(xt)
             x = xt + x
@@ -231,6 +256,7 @@ class BigVGAN(nn.Module):
     activation: str = "snakebeta"
     snake_logscale: bool = True
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -258,19 +284,27 @@ class BigVGAN(nn.Module):
             ):
                 block = block_cls(
                     ch, rk, tuple(rd), self.activation, self.snake_logscale,
-                    name=f"resblock_{i}_{j}",
+                    use_pallas=self.use_pallas, name=f"resblock_{i}_{j}",
                 )
                 xs = block(x) if xs is None else xs + block(x)
             x = xs / num_kernels
-        act_cls = SnakeBeta if self.activation == "snakebeta" else Snake
-        x = downsample1d(
-            act_cls(ch, self.snake_logscale, name="act_post")(upsample1d(x))
-        )
+        if self.use_pallas:
+            from unitspeech_tpu.ops.pallas_kernels import fused_aa_snake
+
+            act_cls = SnakeBeta if self.activation == "snakebeta" else Snake
+            act = act_cls(ch, self.snake_logscale, name="act_post")
+            alpha, beta = act.params_ab()
+            x = fused_aa_snake(x, alpha, beta, logscale=self.snake_logscale)
+        else:
+            act_cls = SnakeBeta if self.activation == "snakebeta" else Snake
+            x = downsample1d(
+                act_cls(ch, self.snake_logscale, name="act_post")(upsample1d(x))
+            )
         x = nn.Conv(1, (7,), padding=[(3, 3)], dtype=self.dtype, name="conv_post")(x)
         return jnp.tanh(x)[..., 0].astype(jnp.float32)
 
     @classmethod
-    def from_config(cls, cfg, dtype=jnp.float32):
+    def from_config(cls, cfg, dtype=jnp.float32, use_pallas=False):
         return cls(
             num_mels=cfg.num_mels,
             upsample_rates=tuple(cfg.upsample_rates),
@@ -282,4 +316,5 @@ class BigVGAN(nn.Module):
             activation=cfg.activation,
             snake_logscale=cfg.snake_logscale,
             dtype=dtype,
+            use_pallas=use_pallas,
         )

@@ -1,0 +1,197 @@
+"""Pallas TPU kernels for the hot fused ops.
+
+fused_aa_snake: the BigVGAN anti-aliased activation
+(2x kaiser-sinc upsample -> snake/snakebeta -> 2x kaiser-sinc downsample,
+reference alias_free_torch/act.py:8-27) as ONE kernel. The XLA path
+materializes the 2x-rate intermediate in HBM ~4 times (conv_transpose out,
+snake in/out, downsample in); the fused kernel reads the input once, keeps
+the 2x intermediate in VMEM, and writes the output once — the vocoder is
+memory-bound, so this ~3x traffic cut is the win.
+
+Implementation: polyphase. The 12-tap upsample splits into two 6-tap phase
+filters; the 12-tap downsample consumes the interleaved phases directly. Tap
+values and offsets are derived numerically by probing the reference ops with
+an impulse (ops are LTI away from edges), so the kernel is exact in the
+interior by construction. Edge samples (~8 per utterance end) use
+extended-LTI padding instead of the reference's replicate-pad of the
+intermediate signal; parity there is approximate (inaudible; tested).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HALO = 16  # input-sample halo per side, covers both filters' reach
+
+
+@lru_cache(maxsize=4)
+def _phase_filters(ratio: int = 2, kernel_size: int = 12):
+    """Probe the reference up/down ops with impulses to extract exact
+    interior tap values/offsets. Returns (f0, f1, g, up_off0, up_off1,
+    down_off) as numpy arrays / ints."""
+    from unitspeech_tpu.models.vocoder import downsample1d, upsample1d
+
+    n = 64
+    mid = n // 2
+    x = np.zeros((1, n, 1), np.float32)
+    x[0, mid, 0] = 1.0
+    y = np.asarray(upsample1d(jnp.asarray(x), ratio, kernel_size))[0, :, 0]
+    # y[t] = f[t - 2*mid + C] for the impulse; collect nonzero taps
+    nz = np.nonzero(np.abs(y) > 1e-8)[0]
+    # phase p taps: positions t = 2u + p; up: y2[2u+p] = sum_k fp[k] x[u + op + k]
+    taps = {0: [], 1: []}
+    for t in nz:
+        p = int(t % 2)
+        taps[p].append((int(t // 2) - mid, float(y[t])))
+    f0_pairs = sorted(taps[0])
+    f1_pairs = sorted(taps[1])
+    # y2[2u+p] = sum_j f[t-2j+..] x[j]; from impulse at j=mid: y2[t] = coeff
+    # where u_rel = t//2 - mid = u - j  =>  x index j = u - u_rel
+    up_off0 = -f0_pairs[-1][0]
+    up_off1 = -f1_pairs[-1][0]
+    f0 = np.array([c for _, c in f0_pairs[::-1]], np.float32)
+    f1 = np.array([c for _, c in f1_pairs[::-1]], np.float32)
+
+    # down: out[u] = sum_k g[k] y2[2u + down_off + k]. An impulse at y2
+    # index m reveals taps k = m - 2u - down_off — only one parity per
+    # probe (stride 2), so probe an even and an odd position.
+    taps_d = {}
+    for m in (n, n + 1):
+        y2 = np.zeros((1, 2 * n, 1), np.float32)
+        y2[0, m, 0] = 1.0
+        z = np.asarray(downsample1d(jnp.asarray(y2), ratio, kernel_size))[0, :, 0]
+        for u in np.nonzero(np.abs(z) > 1e-8)[0]:
+            taps_d[m - 2 * int(u)] = float(z[u])
+    down_off = min(taps_d)
+    g = np.array(
+        [taps_d.get(down_off + k, 0.0) for k in range(max(taps_d) - down_off + 1)],
+        np.float32,
+    )
+    return f0, f1, g, int(up_off0), int(up_off1), int(down_off)
+
+
+def _aa_snake_kernel(x_ref, alpha_ref, beta_ref, out_ref, *, t_tile: int,
+                     f0, f1, g, up_off0, up_off1, down_off, logscale: bool):
+    x = x_ref[0, 0]  # (t_tile + 2*HALO, C)
+    dt = x.dtype
+    alpha = alpha_ref[:]  # (1, C) float32 params
+    beta = beta_ref[:]
+    if logscale:
+        alpha = jnp.exp(alpha)
+        beta = jnp.exp(beta)
+    alpha = alpha.astype(dt)
+    inv_beta = (1.0 / (beta + 1e-9)).astype(dt)
+    f0 = tuple(jnp.asarray(v, dt) for v in f0)
+    f1 = tuple(jnp.asarray(v, dt) for v in f1)
+    g = tuple(jnp.asarray(v, dt) for v in g)
+
+    # y2 indices needed: [down_off, 2*(t_tile-1) + down_off + len(g) - 1];
+    # compute whole output pairs covering that range
+    pair_lo = down_off // 2
+    pair_hi = (2 * (t_tile - 1) + down_off + len(g) - 1) // 2
+    up_len = pair_hi - pair_lo + 1
+
+    def phase(f, off):
+        acc = None
+        for k in range(len(f)):
+            # y2[2(u+pair_lo)+p] needs x[(u+pair_lo) + off + k]; x_ref is
+            # shifted by +HALO
+            start = HALO + pair_lo + off + k
+            sl = x[start : start + up_len, :] * f[k]
+            acc = sl if acc is None else acc + sl
+        return acc
+
+    y0 = phase(f0, up_off0)  # (up_len, C): y2[2(j_rel+pair_lo)]
+    y1 = phase(f1, up_off1)  # y2[2(j_rel+pair_lo)+1]
+
+    def snake(y):
+        # Mosaic only legalizes sin on float32 vectors; the cast stays in
+        # registers/VMEM (no HBM traffic)
+        s = jnp.sin((y * alpha).astype(jnp.float32)).astype(dt)
+        return y + inv_beta * s * s
+
+    y0 = snake(y0)
+    y1 = snake(y1)
+
+    # out[u] = sum_k g[k] * y2[2u + down_off + k]; pick the phase array by
+    # the parity of (down_off + k) — contiguous slices only (Mosaic cannot
+    # lower strided gathers)
+    acc = None
+    for k in range(len(g)):
+        s = down_off + k
+        if s % 2 == 0:
+            src, idx0 = y0, s // 2 - pair_lo
+        else:
+            src, idx0 = y1, (s - 1) // 2 - pair_lo
+        sl = src[idx0 : idx0 + t_tile, :] * g[k]
+        acc = sl if acc is None else acc + sl
+    out_ref[0] = acc
+
+
+def fused_aa_snake(x, alpha, beta, logscale: bool = True, t_tile: int = 256,
+                   interpret=None):
+    """x: (B, T, C) -> (B, T, C); alpha/beta: (C,) snake parameters.
+
+    Equivalent to downsample1d(snake(upsample1d(x))) with extended-LTI edge
+    handling. T is padded internally to a multiple of t_tile; overlapping
+    tile windows (halo 2*HALO) are pre-gathered so BlockSpec indexing stays
+    non-overlapping. On non-TPU backends the kernel runs in interpret mode
+    (correctness paths/tests); compiled Mosaic on TPU.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    # probe OUTSIDE the jit (omnistaging would stage the probe ops into the
+    # trace); pass as hashable static tuples
+    f0, f1, g, up_off0, up_off1, down_off = _phase_filters()
+    filters = (
+        tuple(float(v) for v in f0),
+        tuple(float(v) for v in f1),
+        tuple(float(v) for v in g),
+        int(up_off0), int(up_off1), int(down_off),
+    )
+    return _fused_aa_snake(x, alpha, beta, logscale, t_tile, interpret, filters)
+
+
+@partial(jax.jit, static_argnames=("logscale", "t_tile", "interpret", "filters"))
+def _fused_aa_snake(x, alpha, beta, logscale: bool, t_tile: int,
+                    interpret: bool, filters):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f0, f1, g, up_off0, up_off1, down_off = filters
+    b, t, c = x.shape
+    t_tile = min(t_tile, max(8, -(-t // 8) * 8))
+    t_pad = -(-t // t_tile) * t_tile
+    n_tiles = t_pad // t_tile
+    # edge halo: replicate x, plus tail padding up to the tile grid
+    xp = jnp.pad(x, ((0, 0), (HALO, HALO + (t_pad - t)), (0, 0)), mode="edge")
+    # overlapping windows -> contiguous (B, n_tiles, t_tile + 2*HALO, C)
+    win = t_tile + 2 * HALO
+    idx = np.arange(win)[None, :] + t_tile * np.arange(n_tiles)[:, None]
+    xw = xp[:, idx, :]
+
+    kernel = partial(
+        _aa_snake_kernel, t_tile=t_tile, f0=f0, f1=f1, g=g,
+        up_off0=up_off0, up_off1=up_off1, down_off=down_off,
+        logscale=logscale,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), x.dtype),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, win, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_tile, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(xw, alpha.reshape(1, -1), beta.reshape(1, -1))
+    return out[:, :t]
