@@ -117,7 +117,34 @@ class TrainLoop:
         logger.info("resumed from %s (epoch %d)", latest, epoch)
         return epoch
 
+    def _save(self, tag: int):
+        ckpt.save_checkpoint(
+            self.checkpoint_dir,
+            tag,
+            {
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": np.asarray(self.state.step),
+            },
+            keep=self.cfg.train.keep_checkpoints,
+        )
+
     def run(self, n_epochs: int, start_epoch: int = 0):
+        import signal
+
+        # preemption safety (TPU pods are preemptible; the reference loses
+        # the epoch on any crash, SURVEY.md §5): SIGTERM requests a
+        # checkpoint at the next step boundary, then exits cleanly
+        preempted = {"flag": False}
+
+        def _on_term(signum, frame):
+            preempted["flag"] = True
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:  # non-main thread
+            prev_handler = None
+
         rng = np.random.default_rng(self.seed)
         key = jax.random.PRNGKey(self.seed)
         it = int(self.state.step)
@@ -143,19 +170,18 @@ class TrainLoop:
                 for k, v in host.items():
                     sums[k] = sums.get(k, 0.0) + v
                 count += 1
+                if preempted["flag"]:
+                    logger.info("SIGTERM: checkpointing at epoch %d and exiting", epoch)
+                    self._save(epoch + 1)
+                    if prev_handler is not None:
+                        signal.signal(signal.SIGTERM, prev_handler)
+                    return self.state
             if count:
                 self.writer.epoch_summary(
                     epoch, {k: v / count for k, v in sums.items()}
                 )
             if (epoch + 1) % self.save_every == 0:
-                ckpt.save_checkpoint(
-                    self.checkpoint_dir,
-                    epoch + 1,
-                    {
-                        "params": self.state.params,
-                        "opt_state": self.state.opt_state,
-                        "step": np.asarray(self.state.step),
-                    },
-                    keep=self.cfg.train.keep_checkpoints,
-                )
+                self._save(epoch + 1)
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
         return self.state
