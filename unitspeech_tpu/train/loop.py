@@ -68,7 +68,14 @@ class TrainLoop:
     extra_step_args: tuple = ()
 
     def __post_init__(self):
-        self.mesh = make_mesh()
+        # DP width = the largest divisor of batch_size that fits the device
+        # count (batch shards must divide evenly)
+        import jax as _jax
+
+        n_dev = len(_jax.devices())
+        bs = self.cfg.train.batch_size
+        width = max(d for d in range(1, min(n_dev, bs) + 1) if bs % d == 0)
+        self.mesh = make_mesh(devices=_jax.devices()[:width])
         self.writer = MetricsWriter(self.log_dir)
         self.timer = StepTimer()
         self.state = TrainState(
