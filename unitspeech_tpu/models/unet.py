@@ -80,38 +80,53 @@ class GroupNormLowMem(nn.Module):
 
 class Block(nn.Module):
     """conv3x3 -> GroupNorm(8) -> Mish, masked in and out
-    (reference unitspeech.py:46-55)."""
+    (reference unitspeech.py:46-55).
+
+    input_pre_masked=True skips the input mask multiply when the caller
+    guarantees the padding region is already zero — bit-identical output
+    (TPU conv operands must be materialized, so each skipped multiply saves
+    a full tensor round trip to HBM)."""
 
     dim_out: int
     groups: int = 8
     dtype: Any = jnp.float32
+    input_pre_masked: bool = False
 
     @nn.compact
     def __call__(self, x, mask):
+        if not self.input_pre_masked:
+            x = x * mask
         x = nn.Conv(self.dim_out, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
-                    name="conv")(x * mask)
+                    name="conv")(x)
         x = GroupNormLowMem(self.dim_out, self.groups, name="norm")(x)
         return mish(x) * mask
 
 
 class ResnetBlock(nn.Module):
     """Two Blocks with a time/speaker FiLM bias between them + residual 1x1
-    (reference unitspeech.py:58-75)."""
+    (reference unitspeech.py:58-75).
+
+    input_pre_masked: caller guarantees x is already zero in the padding —
+    the input-side mask multiplies become no-ops and are skipped
+    (bit-identical; block2's mask stays because the FiLM bias un-masks)."""
 
     dim_out: int
     groups: int = 8
     dtype: Any = jnp.float32
+    input_pre_masked: bool = False
 
     @nn.compact
     def __call__(self, x, mask, t_emb):
-        h = Block(self.dim_out, self.groups, dtype=self.dtype, name="block1")(x, mask)
+        h = Block(self.dim_out, self.groups, dtype=self.dtype,
+                  input_pre_masked=self.input_pre_masked, name="block1")(x, mask)
         bias = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp")(mish(t_emb))
         h = h + bias[:, None, None, :]
         h = Block(self.dim_out, self.groups, dtype=self.dtype, name="block2")(h, mask)
+        x_masked = x if self.input_pre_masked else x * mask
         if x.shape[-1] != self.dim_out:
-            res = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x * mask)
+            res = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x_masked)
         else:
-            res = x * mask
+            res = x_masked
         return h + res
 
 
@@ -128,21 +143,28 @@ class LinearAttention(nn.Module):
     def __call__(self, x):
         b, t, f, c = x.shape
         n = t * f
-        hidden = self.heads * self.dim_head
+        h, d = self.heads, self.dim_head
+        hidden = h * d
+        # token-major (B, N, H, d) layout throughout: the einsums contract
+        # over N directly, so no (B, H, d, N) transpose of the big tensors is
+        # ever materialized (the U-Net is HBM-bandwidth bound)
         qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
-        q = qkv[:, :, 0].transpose(0, 2, 3, 1)  # (B, H, d, N)
-        k = qkv[:, :, 1].transpose(0, 2, 3, 1)
-        v = qkv[:, :, 2].transpose(0, 2, 3, 1)
-        # softmax over the (large) token axis without materializing a float32
-        # copy: exp in compute dtype, normalizer accumulated in float32
-        k_max = jax.lax.stop_gradient(jnp.max(k, axis=-1, keepdims=True))
+        # contiguous split (the reference's qkv-major channel order is
+        # preserved by the weight converter)
+        q, k, v = jnp.split(qkv.reshape(b, n, 3 * hidden), 3, axis=-1)
+        q = q.reshape(b, n, h, d)
+        k = k.reshape(b, n, h, d)
+        v = v.reshape(b, n, h, d)
+        # key softmax folded into the contraction: contract un-normalized
+        # exp(k) against v, then divide the SMALL (B,H,d,e) context by the
+        # normalizer — saves a full read+write of the big key tensor
+        k_max = jax.lax.stop_gradient(jnp.max(k, axis=1, keepdims=True))
         k_exp = jnp.exp(k - k_max)
-        k_sum = jnp.sum(k_exp, axis=-1, keepdims=True, dtype=jnp.float32)
-        k = k_exp / k_sum.astype(k_exp.dtype)
-        context = jnp.einsum("bhdn,bhen->bhde", k, v)  # (B, H, d, e)
-        out = jnp.einsum("bhde,bhdn->bhen", context, q)  # (B, H, e, N)
-        out = out.transpose(0, 3, 1, 2).reshape(b, t, f, hidden)
+        k_sum = jnp.sum(k_exp, axis=1, dtype=jnp.float32)  # (B, H, d)
+        context = jnp.einsum("bnhd,bnhe->bhde", k_exp, v)
+        context = context / k_sum[..., None].astype(context.dtype)
+        out = jnp.einsum("bnhd,bhde->bnhe", q, context)  # (B, N, H, e)
+        out = out.reshape(b, t, f, hidden)
         return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
 
 
@@ -223,7 +245,9 @@ class GradLogPEstimator2d(nn.Module):
             mk = masks[-1]
             h = ResnetBlock(dim_out, self.groups, dtype=self.dtype,
                             name=f"down_{ind}_res1")(h, mk, t_emb)
+            # res1's output is masked by construction -> skip res2's input mask
             h = ResnetBlock(dim_out, self.groups, dtype=self.dtype,
+                            input_pre_masked=True,
                             name=f"down_{ind}_res2")(h, mk, t_emb)
             h = RezeroAttention(dtype=self.dtype, name=f"down_{ind}_attn")(h)
             hiddens.append(h)
@@ -246,6 +270,7 @@ class GradLogPEstimator2d(nn.Module):
             h = ResnetBlock(dim_in, self.groups, dtype=self.dtype,
                             name=f"up_{ind}_res1")(h, mk, t_emb)
             h = ResnetBlock(dim_in, self.groups, dtype=self.dtype,
+                            input_pre_masked=True,
                             name=f"up_{ind}_res2")(h, mk, t_emb)
             h = RezeroAttention(dtype=self.dtype, name=f"up_{ind}_attn")(h)
             h = Upsample(dim_in, dtype=self.dtype, name=f"up_{ind}_up")(h * mk)
