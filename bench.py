@@ -73,6 +73,8 @@ def main():
     ap.add_argument("--frames", type=int, default=344, help="synthesized mel frames")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="utterances per batched synthesis (throughput mode)")
     args = ap.parse_args()
 
     from unitspeech_tpu.infer.tts import (
@@ -87,23 +89,25 @@ def main():
 
     # a ~13-word sentence phonemized + blank-interleaved is ~140 tokens
     n_tok = 140 if not args.smoke else 12
+    b = args.batch
     rng = np.random.default_rng(0)
-    tokens = jnp.asarray(rng.integers(1, 179, (1, n_tok)), jnp.int32)
-    lengths = jnp.array([n_tok])
+    tokens = jnp.asarray(rng.integers(1, 179, (b, n_tok)), jnp.int32)
+    lengths = jnp.full((b,), n_tok)
     key = jax.random.PRNGKey(42)
 
     def run_once():
+        spk = jnp.broadcast_to(m.spk_emb, (b, m.spk_emb.shape[-1]))
         mu_x, x_mask, w_ceil = _encode_and_duration(
             m.text_encoder, m.text_encoder_params,
             m.duration_predictor, m.duration_predictor_params,
-            tokens, lengths, m.spk_emb,
+            tokens, lengths, spk,
         )
         # pin durations -> fixed output length (stable benchmark shape)
         w_fixed = jnp.full_like(w_ceil, frames / n_tok)
-        y_mask = sequence_mask(jnp.array([frames]), frames)
+        y_mask = sequence_mask(jnp.full((b,), frames), frames)
         wav, _mel, _attn = _align_sample_vocode(
             m.decoder.apply, m.decoder_params, m.vocoder, m.vocoder_params,
-            mu_x, x_mask, w_fixed, y_mask, m.spk_emb, key, m.mel_min, m.mel_max,
+            mu_x, x_mask, w_fixed, y_mask, spk, key, m.mel_min, m.mel_max,
             n_timesteps=args.steps, text_gradient_scale=1.0,
             spk_gradient_scale=1.0,
             beta_min=m.cfg.decoder.beta_min, beta_max=m.cfg.decoder.beta_max,
@@ -126,6 +130,7 @@ def main():
     proc = float(np.median(times))
     hop = m.cfg.data.hop_length
     speech_s = frames * hop / m.cfg.data.sampling_rate if not args.smoke else frames * hop / SR
+    speech_s *= b  # throughput mode: RTF per chip across the batch
     rtf = proc / speech_s
     result = {
         "metric": "rtf_50step_synthesis",
@@ -135,7 +140,7 @@ def main():
     }
     print(json.dumps(result))
     print(
-        f"# proc={proc:.3f}s speech={speech_s:.2f}s frames={frames} "
+        f"# proc={proc:.3f}s speech={speech_s:.2f}s frames={frames} batch={args.batch} "
         f"steps={args.steps} device={jax.devices()[0].platform}",
         file=sys.stderr,
     )

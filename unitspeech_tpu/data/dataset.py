@@ -21,7 +21,7 @@ Dataset item contract (all numpy, host-side):
 
 from __future__ import annotations
 
-import io
+
 import os
 import wave
 from dataclasses import dataclass

@@ -10,7 +10,7 @@ k-means predict is an on-device matmul (kmeans.py); dedup is host-side.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

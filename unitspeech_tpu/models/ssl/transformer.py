@@ -17,7 +17,7 @@ reference's feature extractors (SURVEY.md §2.4). Supports:
 from __future__ import annotations
 
 import math
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ gated relative position bias. Returns all 25 hidden states (embedding +
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, List, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

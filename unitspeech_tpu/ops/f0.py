@@ -11,7 +11,7 @@ Includes trailing_silence_mask parity (f0_preprocess.py:127-131).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

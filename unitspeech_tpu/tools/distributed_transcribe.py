@@ -20,7 +20,7 @@ import argparse
 import os
 from typing import List, Optional, Tuple
 
-import numpy as np
+
 
 
 def process_topology() -> Tuple[int, int]:

@@ -15,7 +15,7 @@ fine-tune target in BASELINE.md rests on this).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Tuple
+
 
 import jax
 import jax.numpy as jnp

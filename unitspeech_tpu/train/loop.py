@@ -21,7 +21,7 @@ from typing import Any, Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
+
 
 from unitspeech_tpu.config import MainConfig
 from unitspeech_tpu.data.dataset import BucketCollator, iterate_batches
