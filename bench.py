@@ -30,7 +30,7 @@ SR = 22050
 HOP = 256
 
 
-def build(smoke: bool):
+def build(smoke: bool, use_pallas: bool = True):
     from unitspeech_tpu.config import (
         DataConfig,
         DecoderConfig,
@@ -62,7 +62,7 @@ def build(smoke: bool):
         cfg = MainConfig()
     models = TTSModels.random_init(
         cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
-        use_pallas_vocoder=jax.default_backend() == "tpu",
+        use_pallas_vocoder=use_pallas and jax.default_backend() == "tpu",
     )
     return Synthesizer(models)
 
@@ -117,9 +117,16 @@ def main():
         # to host is the only trustworthy barrier.
         return np.asarray(wav)
 
-    # warmup / compile
-    for _ in range(2):
-        wav = run_once()
+    # warmup / compile; if the Pallas vocoder path fails to compile on this
+    # toolchain, fall back to the XLA vocoder rather than failing the bench
+    try:
+        run_once()
+    except Exception as e:  # pragma: no cover - environment-specific
+        print(f"# pallas path failed ({type(e).__name__}); XLA fallback", file=sys.stderr)
+        synth = build(args.smoke, use_pallas=False)
+        m = synth.models
+        run_once()
+    run_once()
 
     times = []
     for _ in range(args.repeats):

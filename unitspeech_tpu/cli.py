@@ -154,7 +154,6 @@ def main_finetune(argv=None):
     ap.add_argument("--decoder", required=True, help="pretrained decoder ckpt")
     ap.add_argument("--unit-encoder", required=True)
     ap.add_argument("--output-dir", required=True)
-    ap.add_argument("--speaker-id", default="speaker")
     ap.add_argument("--n-iters", type=int, default=None)
     ap.add_argument("--learning-rate", type=float, default=None)
     ap.add_argument("--spk-emb", default=None,
