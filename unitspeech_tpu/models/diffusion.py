@@ -94,6 +94,62 @@ def _uncond_embeddings(params):
     return p["text_uncon"], p["spk_uncon"]
 
 
+def build_cfg_rows(
+    params, mask, cond, spk_emb,
+    text_gradient_scale: float, spk_gradient_scale: float,
+):
+    """Precompute the loop-invariant guidance rows (conditioning, speaker,
+    mask) and the score-combination function. Doing this ONCE outside the
+    sampling scan avoids re-concatenating the conditioning tensors at every
+    step (the reference rebuilds them per call, unitspeech.py:298-331).
+
+    Row layout when both scales > 0 follows the reference: conditioning rows
+    (text_uncon, cond, cond) x speaker rows (spk, spk_uncon, spk).
+    Returns (cond_c, spk_c, mask_c, n_rows, combine(s_all) -> score)."""
+    b = mask.shape[0]
+    text_uncon, spk_uncon = _uncond_embeddings(params)
+    tg, sg = float(text_gradient_scale), float(spk_gradient_scale)
+
+    if tg <= 0.0 and sg <= 0.0:
+        return cond, spk_emb, mask, 1, lambda s_all: s_all
+
+    text_uncon_b = jnp.broadcast_to(text_uncon[None, None, :], cond.shape)
+    # unit-normalize like the reference (unitspeech.py:358); the epsilon only
+    # matters for untrained zero-init params (0/0 -> NaN otherwise)
+    spk_norm = jnp.maximum(jnp.linalg.norm(spk_uncon), 1e-8)
+    spk_uncon_b = jnp.broadcast_to((spk_uncon / spk_norm)[None, :], spk_emb.shape)
+
+    if tg > 0.0 and sg > 0.0:
+        cond_c = jnp.concatenate([text_uncon_b, cond, cond], axis=0)
+        spk_c = jnp.concatenate([spk_emb, spk_uncon_b, spk_emb], axis=0)
+        mask_c = jnp.concatenate([mask, mask, mask], axis=0)
+
+        def combine(s_all):
+            s_tu, s_su, s = s_all[:b], s_all[b : 2 * b], s_all[2 * b :]
+            return s + tg * (s - s_tu) + sg * (s - s_su)
+
+        return cond_c, spk_c, mask_c, 3, combine
+    if tg > 0.0:
+        cond_c = jnp.concatenate([text_uncon_b, cond], axis=0)
+        spk_c = jnp.concatenate([spk_emb, spk_emb], axis=0)
+        mask_c = jnp.concatenate([mask, mask], axis=0)
+
+        def combine(s_all):
+            s_tu, s = s_all[:b], s_all[b:]
+            return s + tg * (s - s_tu)
+
+        return cond_c, spk_c, mask_c, 2, combine
+    cond_c = jnp.concatenate([cond, cond], axis=0)
+    spk_c = jnp.concatenate([spk_uncon_b, spk_emb], axis=0)
+    mask_c = jnp.concatenate([mask, mask], axis=0)
+
+    def combine(s_all):
+        s_su, s = s_all[:b], s_all[b:]
+        return s + sg * (s - s_su)
+
+    return cond_c, spk_c, mask_c, 2, combine
+
+
 def cfg_score(
     apply_fn,
     params,
@@ -109,52 +165,13 @@ def cfg_score(
 
     Exact algebra of the reference (unitspeech.py:298-331):
       score = s + tg*(s - s_text_uncon) + sg*(s - s_spk_uncon)
-    Row layout when both scales > 0: [text-uncond, spk-uncond, cond] — the
-    reference's [text_uncon, cond, cond] x [spk, spk_uncon, spk].
     Scales must be Python floats (static)."""
-    b = xt.shape[0]
-    text_uncon, spk_uncon = _uncond_embeddings(params)
-    tg, sg = float(text_gradient_scale), float(spk_gradient_scale)
-
-    if tg <= 0.0 and sg <= 0.0:
-        return apply_fn(params, xt, mask, cond, t, spk_emb)
-
-    text_uncon_b = jnp.broadcast_to(text_uncon[None, None, :], cond.shape)
-    # unit-normalize like the reference (unitspeech.py:358); the epsilon only
-    # matters for untrained zero-init params (0/0 -> NaN otherwise)
-    spk_norm = jnp.maximum(jnp.linalg.norm(spk_uncon), 1e-8)
-    spk_uncon_b = jnp.broadcast_to((spk_uncon / spk_norm)[None, :], spk_emb.shape)
-
-    if tg > 0.0 and sg > 0.0:
-        xt_c = jnp.concatenate([xt, xt, xt], axis=0)
-        mask_c = jnp.concatenate([mask, mask, mask], axis=0)
-        cond_c = jnp.concatenate([text_uncon_b, cond, cond], axis=0)
-        t_c = jnp.concatenate([t, t, t], axis=0)
-        spk_c = jnp.concatenate([spk_emb, spk_uncon_b, spk_emb], axis=0)
-        s_all = apply_fn(params, xt_c, mask_c, cond_c, t_c, spk_c)
-        s_tu, s_su, s = s_all[:b], s_all[b : 2 * b], s_all[2 * b :]
-        return s + tg * (s - s_tu) + sg * (s - s_su)
-    if tg > 0.0:
-        s_all = apply_fn(
-            params,
-            jnp.concatenate([xt, xt], 0),
-            jnp.concatenate([mask, mask], 0),
-            jnp.concatenate([text_uncon_b, cond], 0),
-            jnp.concatenate([t, t], 0),
-            jnp.concatenate([spk_emb, spk_emb], 0),
-        )
-        s_tu, s = s_all[:b], s_all[b:]
-        return s + tg * (s - s_tu)
-    s_all = apply_fn(
-        params,
-        jnp.concatenate([xt, xt], 0),
-        jnp.concatenate([mask, mask], 0),
-        jnp.concatenate([cond, cond], 0),
-        jnp.concatenate([t, t], 0),
-        jnp.concatenate([spk_uncon_b, spk_emb], 0),
+    cond_c, spk_c, mask_c, n_rows, combine = build_cfg_rows(
+        params, mask, cond, spk_emb, text_gradient_scale, spk_gradient_scale
     )
-    s_su, s = s_all[:b], s_all[b:]
-    return s + sg * (s - s_su)
+    xt_c = jnp.concatenate([xt] * n_rows, axis=0) if n_rows > 1 else xt
+    t_c = jnp.concatenate([t] * n_rows, axis=0) if n_rows > 1 else t
+    return combine(apply_fn(params, xt_c, mask_c, cond_c, t_c, spk_c))
 
 
 @partial(
@@ -210,14 +227,17 @@ def reverse_diffusion(
     cond = constrain(cond)
     xt = constrain(z * mask3)
 
+    # guidance rows are loop-invariant: build them ONCE outside the scan
+    cond_c, spk_c, mask_c, n_rows, combine = build_cfg_rows(
+        params, mask, cond, spk_emb, text_gradient_scale, spk_gradient_scale
+    )
+
     def step(carry, inp):
         xt = carry
         i, sc = inp
-        t = jnp.full((xt.shape[0],), sc[0], dtype=jnp.float32)
-        score = cfg_score(
-            apply_fn, params, xt, mask, cond, t, spk_emb,
-            text_gradient_scale, spk_gradient_scale,
-        )
+        xt_c = jnp.concatenate([xt] * n_rows, axis=0) if n_rows > 1 else xt
+        t_c = jnp.full((xt_c.shape[0],), sc[0], dtype=jnp.float32)
+        score = combine(apply_fn(params, xt_c, mask_c, cond_c, t_c, spk_c))
         noise = jax.random.normal(jax.random.fold_in(key, i), xt.shape)
         xt = constrain((sc[1] * xt + sc[2] * score + sc[3] * noise) * mask3)
         return xt, None
