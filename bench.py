@@ -75,6 +75,8 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--batch", type=int, default=1,
                     help="utterances per batched synthesis (throughput mode)")
+    ap.add_argument("--no-cfg", action="store_true",
+                    help="guidance scales 0 (BASELINE config 1)")
     args = ap.parse_args()
 
     from unitspeech_tpu.infer.tts import (
@@ -108,8 +110,9 @@ def main():
         wav, _mel, _attn = _align_sample_vocode(
             m.decoder.apply, m.decoder_params, m.vocoder, m.vocoder_params,
             mu_x, x_mask, w_fixed, y_mask, spk, key, m.mel_min, m.mel_max,
-            n_timesteps=args.steps, text_gradient_scale=1.0,
-            spk_gradient_scale=1.0,
+            n_timesteps=args.steps,
+            text_gradient_scale=0.0 if args.no_cfg else 1.0,
+            spk_gradient_scale=0.0 if args.no_cfg else 1.0,
             beta_min=m.cfg.decoder.beta_min, beta_max=m.cfg.decoder.beta_max,
         )
         # NOTE: np.asarray, not block_until_ready — the axon platform's
