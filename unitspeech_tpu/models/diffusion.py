@@ -52,6 +52,7 @@ class UnitSpeech(nn.Module):
     pe_scale: float = 1000.0
     spk_emb_dim: int = 256
     dtype: Any = jnp.float32
+    use_pallas_attention: bool = False
 
     def setup(self):
         self.text_uncon = self.param(
@@ -67,6 +68,7 @@ class UnitSpeech(nn.Module):
             pe_scale=self.pe_scale,
             spk_emb_dim=self.spk_emb_dim,
             dtype=self.dtype,
+            use_pallas_attention=self.use_pallas_attention,
         )
 
     def __call__(self, xt, mask, cond, t, spk_emb):
@@ -75,7 +77,7 @@ class UnitSpeech(nn.Module):
         return self.estimator(xt, mask, cond, t, spk_emb)
 
     @classmethod
-    def from_config(cls, cfg, dtype=jnp.float32):
+    def from_config(cls, cfg, dtype=jnp.float32, use_pallas_attention=False):
         return cls(
             n_feats=cfg.n_feats,
             dim=cfg.dim,
@@ -86,6 +88,7 @@ class UnitSpeech(nn.Module):
             pe_scale=cfg.pe_scale,
             spk_emb_dim=cfg.spk_emb_dim,
             dtype=dtype,
+            use_pallas_attention=use_pallas_attention,
         )
 
 

@@ -130,6 +130,26 @@ class ResnetBlock(nn.Module):
         return h + res
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's tree layout (kernel/bias), so the
+    same weights serve both the XLA math and the fused Pallas kernel."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class LinearAttention(nn.Module):
     """Softmax-over-keys linear attention over flattened (time x freq) tokens
     (reference unitspeech.py:78-96). O(N d^2): context = softmax(K) V^T, then
@@ -145,13 +165,16 @@ class LinearAttention(nn.Module):
         n = t * f
         h, d = self.heads, self.dim_head
         hidden = h * d
+        w_qkv, _ = _DenseParams(hidden * 3, use_bias=False, name="to_qkv")(c)
+        w_out, b_out = _DenseParams(c, name="to_out")(hidden)
+        w_qkv = w_qkv.astype(self.dtype)
         # token-major (B, N, H, d) layout throughout: the einsums contract
         # over N directly, so no (B, H, d, N) transpose of the big tensors is
         # ever materialized (the U-Net is HBM-bandwidth bound)
-        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        qkv = x.reshape(b, n, c) @ w_qkv
         # contiguous split (the reference's qkv-major channel order is
         # preserved by the weight converter)
-        q, k, v = jnp.split(qkv.reshape(b, n, 3 * hidden), 3, axis=-1)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, n, h, d)
         k = k.reshape(b, n, h, d)
         v = v.reshape(b, n, h, d)
@@ -165,19 +188,52 @@ class LinearAttention(nn.Module):
         context = context / k_sum[..., None].astype(context.dtype)
         out = jnp.einsum("bnhd,bhde->bnhe", q, context)  # (B, N, H, e)
         out = out.reshape(b, t, f, hidden)
-        return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+        return out @ w_out.astype(self.dtype) + b_out.astype(self.dtype)
+
+
+class _AttnParams(nn.Module):
+    """Same parameter tree as LinearAttention (to_qkv/to_out) for the fused
+    Pallas path — instantiated under the same submodule name ("fn") so
+    checkpoints are interchangeable between paths."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, c: int):
+        w_qkv, _ = _DenseParams(self.hidden * 3, use_bias=False, name="to_qkv")(c)
+        w_out, b_out = _DenseParams(c, name="to_out")(self.hidden)
+        return w_qkv, w_out, b_out
 
 
 class RezeroAttention(nn.Module):
-    """Residual(Rezero(LinearAttention)) (reference unitspeech.py:36-43, 99-106)."""
+    """Residual(Rezero(LinearAttention)) (reference unitspeech.py:36-43, 99-106).
+
+    use_pallas=True runs the whole attention block (qkv projections, online
+    key softmax, context, output projection, rezero residual) as one fused
+    Pallas kernel pair (ops/pallas_attention.py) — 2 reads + 1 write of the
+    activation instead of ~6 tensor round trips."""
 
     heads: int = 4
     dim_head: int = 32
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
         g = self.param("g", nn.initializers.zeros, (1,))
+        if self.use_pallas:
+            from unitspeech_tpu.ops.pallas_attention import fused_rezero_attention
+
+            b, t, f, c = x.shape
+            w_qkv, w_out, b_out = _AttnParams(
+                self.heads * self.dim_head, name="fn"
+            )(c)
+            y = fused_rezero_attention(
+                x.reshape(b, t * f, c).astype(self.dtype),
+                w_qkv, w_out, b_out, g,
+                heads=self.heads, dim_head=self.dim_head,
+            )
+            return y.reshape(b, t, f, c)
         y = LinearAttention(self.heads, self.dim_head, dtype=self.dtype, name="fn")(x)
         return x + y * g.astype(self.dtype)
 
@@ -223,6 +279,7 @@ class GradLogPEstimator2d(nn.Module):
     pe_scale: float = 1000.0
     spk_emb_dim: int = 256
     dtype: Any = jnp.float32
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x, mask, mu, t, spk_emb):
@@ -249,7 +306,7 @@ class GradLogPEstimator2d(nn.Module):
             h = ResnetBlock(dim_out, self.groups, dtype=self.dtype,
                             input_pre_masked=True,
                             name=f"down_{ind}_res2")(h, mk, t_emb)
-            h = RezeroAttention(dtype=self.dtype, name=f"down_{ind}_attn")(h)
+            h = RezeroAttention(dtype=self.dtype, use_pallas=self.use_pallas_attention, name=f"down_{ind}_attn")(h)
             hiddens.append(h)
             if not is_last:
                 h = Downsample(dim_out, dtype=self.dtype, name=f"down_{ind}_down")(h * mk)
@@ -259,7 +316,7 @@ class GradLogPEstimator2d(nn.Module):
         mid_dim = dims[-1]
         mk = masks[-1]
         h = ResnetBlock(mid_dim, self.groups, dtype=self.dtype, name="mid_res1")(h, mk, t_emb)
-        h = RezeroAttention(dtype=self.dtype, name="mid_attn")(h)
+        h = RezeroAttention(dtype=self.dtype, use_pallas=self.use_pallas_attention, name="mid_attn")(h)
         h = ResnetBlock(mid_dim, self.groups, dtype=self.dtype, name="mid_res2")(h, mk, t_emb)
 
         # up stages mirror down stages 1..num_res-1, reversed
@@ -272,7 +329,7 @@ class GradLogPEstimator2d(nn.Module):
             h = ResnetBlock(dim_in, self.groups, dtype=self.dtype,
                             input_pre_masked=True,
                             name=f"up_{ind}_res2")(h, mk, t_emb)
-            h = RezeroAttention(dtype=self.dtype, name=f"up_{ind}_attn")(h)
+            h = RezeroAttention(dtype=self.dtype, use_pallas=self.use_pallas_attention, name=f"up_{ind}_attn")(h)
             h = Upsample(dim_in, dtype=self.dtype, name=f"up_{ind}_up")(h * mk)
 
         h = Block(self.dim, self.groups, dtype=self.dtype, name="final_block")(h, m)
@@ -280,7 +337,7 @@ class GradLogPEstimator2d(nn.Module):
         return (out * m)[..., 0].astype(jnp.float32)
 
     @classmethod
-    def from_config(cls, cfg, dtype=jnp.float32):
+    def from_config(cls, cfg, dtype=jnp.float32, use_pallas_attention=False):
         return cls(
             dim=cfg.dim,
             dim_mults=tuple(cfg.dim_mults),
@@ -288,4 +345,5 @@ class GradLogPEstimator2d(nn.Module):
             pe_scale=cfg.pe_scale,
             spk_emb_dim=cfg.spk_emb_dim,
             dtype=dtype,
+            use_pallas_attention=use_pallas_attention,
         )
