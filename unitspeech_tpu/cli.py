@@ -102,6 +102,9 @@ def main_inference(argv=None):
     ap.add_argument("--text-gradient-scale", type=float, default=None)
     ap.add_argument("--spk-gradient-scale", type=float, default=None)
     ap.add_argument("--no-sv56", action="store_true")
+    ap.add_argument("--save-plot", default=None,
+                    help="write the generated mel spectrogram as a PNG "
+                         "(reference inference.py:143-149)")
     ap.add_argument("--fp32", dest="bf16", action="store_false")
     args = ap.parse_args(argv)
     cfg = _setup(args)
@@ -127,19 +130,48 @@ def main_inference(argv=None):
             )
         token_ids = text_frontend.text_to_sequence(args.text, ph)
 
-    wav, sr = synth(
-        token_ids,
-        jax.random.PRNGKey(args.seed),
-        diffusion_steps=args.diffusion_steps,
-        length_scale=args.length_scale,
-        text_gradient_scale=args.text_gradient_scale,
-        spk_gradient_scale=args.spk_gradient_scale,
-    )
+    key = jax.random.PRNGKey(args.seed)
+    if args.save_plot:
+        mel, y_length, _attn = synth.synthesize_mel(
+            token_ids, key,
+            diffusion_steps=args.diffusion_steps,
+            length_scale=args.length_scale,
+            text_gradient_scale=args.text_gradient_scale,
+            spk_gradient_scale=args.spk_gradient_scale,
+        )
+        save_mel_plot(np.asarray(mel[0, :y_length]), args.save_plot)
+        wav_dev = synth.vocode(mel)
+        hop = cfg.data.hop_length
+        wav = np.asarray(wav_dev[0, : y_length * hop])
+        sr = cfg.data.sampling_rate
+    else:
+        wav, sr = synth(
+            token_ids, key,
+            diffusion_steps=args.diffusion_steps,
+            length_scale=args.length_scale,
+            text_gradient_scale=args.text_gradient_scale,
+            spk_gradient_scale=args.spk_gradient_scale,
+        )
     if not args.no_sv56 and cfg.inference.with_sv56_normalization:
         wav = sv56.normalize(wav, sr)
     write_wav(args.output, wav, sr)
     print(f"wrote {args.output} ({len(wav) / sr:.2f}s @ {sr} Hz)")
     return 0
+
+
+def save_mel_plot(mel, path: str):
+    """Diagnostic spectrogram PNG (reference save_plot, util.py:110-121)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(12, 3))
+    im = ax.imshow(mel.T, aspect="auto", origin="lower", interpolation="none")
+    plt.colorbar(im, ax=ax)
+    plt.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
 
 
 # ---------------------------------------------------------------------------
