@@ -84,3 +84,37 @@ def test_synthesize_batch():
     # longer token sequence should synthesize at least as many samples as the
     # shortest (durations are random-weight but positive)
     assert max(lens) > 0
+
+
+def test_batched_synthesis_with_data_seq_sharding():
+    """Batched guided synthesis through a (data=2, seq=4) mesh matches the
+    unsharded pipeline end to end (through the vocoder)."""
+    from jax.sharding import PartitionSpec as P
+
+    from unitspeech_tpu.config import (
+        DataConfig, DecoderConfig, DurationPredictorConfig, EncoderConfig,
+        MainConfig, VocoderConfig,
+    )
+    from unitspeech_tpu.infer.tts import Synthesizer, TTSModels
+
+    cfg = MainConfig(
+        data=DataConfig(n_feats=16, hop_length=4),
+        text_encoder=EncoderConfig(n_vocab=40, n_feats=16, n_channels=16,
+                                   filter_channels=32, n_layers=1, n_heads=2),
+        duration_predictor=DurationPredictorConfig(in_channels=16, filter_channels=16, spk_emb_dim=8),
+        decoder=DecoderConfig(n_feats=16, dim=8, dim_mults=(1, 2), groups=4, spk_emb_dim=8),
+        vocoder=VocoderConfig(num_mels=16, upsample_rates=(2, 2),
+                              upsample_kernel_sizes=(4, 4), upsample_initial_channel=16,
+                              resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),)),
+    )
+    models = TTSModels.random_init(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(data=2, seq=4)
+    plain = Synthesizer(models)
+    sharded = Synthesizer(models, mesh=mesh, sample_spec=P("data", "seq", None))
+    seqs = [[1, 5, 9], [2, 4, 6, 8]]
+    a = plain.synthesize_batch(seqs, jax.random.PRNGKey(1), diffusion_steps=2,
+                               text_gradient_scale=1.0, spk_gradient_scale=1.0)
+    b = sharded.synthesize_batch(seqs, jax.random.PRNGKey(1), diffusion_steps=2,
+                                 text_gradient_scale=1.0, spk_gradient_scale=1.0)
+    for (wa, _), (wb, _) in zip(a, b):
+        np.testing.assert_allclose(wa, wb, atol=2e-2)
