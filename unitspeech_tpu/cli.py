@@ -304,20 +304,19 @@ def extract_speaker_embedding(ckpt_path: str, wav, sr: int, cfg) -> np.ndarray:
         variables = convert_speaker_embedder(sd)
     else:
         variables = load_checkpoint(ckpt_path)
-    wav16 = resample_poly(np.asarray(wav, np.float64), cfg.spk_embedder.sr, sr)
-    model = SpeakerEmbedder()
-    emb = model.apply(variables, jnp.asarray(wav16[None], jnp.float32))
+    if sr != cfg.spk_embedder.sr:
+        wav = resample_poly(np.asarray(wav, np.float64), cfg.spk_embedder.sr, sr)
+    model = SpeakerEmbedder.from_config(cfg.spk_embedder)
+    emb = model.apply(variables, jnp.asarray(np.asarray(wav)[None], jnp.float32))
     return np.asarray(emb)
 
 
-def extract_units(hubert_path: str, kmeans_path: str, wav, sr: int, cfg):
-    """wav -> (units, durations) at 50 Hz via mHuBERT + k-means."""
-    from scipy.signal import resample_poly
-
+def build_unit_extractor(hubert_path: str, kmeans_path: str, cfg):
+    """Load the mHuBERT + k-means stack ONCE; returns wav16 -> {units, durations}."""
     from unitspeech_tpu.models.ssl.hubert import (
         HubertFeatureReader,
         HubertModel,
-        mhubert_base_config,
+        hubert_config_by_name,
     )
     from unitspeech_tpu.models.ssl.kmeans import KMeansQuantizer
     from unitspeech_tpu.models.ssl.speech_encoder import SpeechEncoder
@@ -327,7 +326,7 @@ def extract_units(hubert_path: str, kmeans_path: str, wav, sr: int, cfg):
         convert_sklearn_kmeans,
     )
 
-    model = HubertModel(mhubert_base_config())
+    model = HubertModel(hubert_config_by_name(cfg.unit_extractor.dense_model_name))
     if hubert_path.endswith((".pt", ".pth", ".ckpt")):
         import torch
 
@@ -341,11 +340,20 @@ def extract_units(hubert_path: str, kmeans_path: str, wav, sr: int, cfg):
         quant = KMeansQuantizer.load(kmeans_path)
     else:
         quant = KMeansQuantizer(convert_sklearn_kmeans(kmeans_path))
-    wav16 = resample_poly(np.asarray(wav, np.float64), cfg.unit_extractor.sr, sr)
-    enc = SpeechEncoder(
+    return SpeechEncoder(
         HubertFeatureReader(model, params, layer=cfg.unit_extractor.hubert_layer),
         quant, deduplicate=cfg.unit_extractor.deduplicate,
     )
+
+
+def extract_units(hubert_path: str, kmeans_path: str, wav, sr: int, cfg):
+    """wav -> (units, durations) at 50 Hz via mHuBERT + k-means."""
+    from scipy.signal import resample_poly
+
+    enc = build_unit_extractor(hubert_path, kmeans_path, cfg)
+    wav16 = np.asarray(wav, np.float64)
+    if sr != cfg.unit_extractor.sr:
+        wav16 = resample_poly(wav16, cfg.unit_extractor.sr, sr)
     out = enc(wav16.astype(np.float32))
     return out["units"], out["durations"]
 
@@ -648,12 +656,131 @@ def main_train_step2(argv=None):
     return 0
 
 
+# ---------------------------------------------------------------------------
+# preprocessing (reference preprocessing/*.py — runnable artifact builders)
+# ---------------------------------------------------------------------------
+
+
+def main_preprocess_mel_stats(argv=None):
+    """Global per-channel mel min/max over filelists
+    (reference preprocessing/process_mel_normalization.py:15-58)."""
+    ap = argparse.ArgumentParser("unitspeech-tpu preprocess-mel-stats")
+    _common(ap)
+    ap.add_argument("--filelist", action="append", required=True,
+                    help="path|text|spk filelist (repeatable, e.g. train+test)")
+    ap.add_argument("--out", required=True, help="output mel_stats.npz")
+    ap.add_argument("--max-files", type=int, default=None)
+    args = ap.parse_args(argv)
+    cfg = _setup(args)
+    from unitspeech_tpu.preprocess.stats import compute_mel_stats
+
+    stats = compute_mel_stats(args.filelist, cfg.data, args.out, args.max_files)
+    print(
+        f"mel stats over {len(args.filelist)} filelist(s) -> {args.out} "
+        f"(min {stats['mel_min'].min():.3f}, max {stats['mel_max'].max():.3f})"
+    )
+    return 0
+
+
+def main_preprocess_spk_embs(argv=None):
+    """Per-speaker mean WavLM+ECAPA embeddings
+    (reference preprocessing/process_spkr_embs.py:63-100)."""
+    ap = argparse.ArgumentParser("unitspeech-tpu preprocess-spk-embs")
+    _common(ap)
+    ap.add_argument("--filelist", action="append", required=True)
+    ap.add_argument("--speaker-embedder", required=True,
+                    help="WavLM+ECAPA ckpt (.pt torch or converted)")
+    ap.add_argument("--out", required=True, help="output spk_embs.npz")
+    ap.add_argument("--max-files", type=int, default=None)
+    args = ap.parse_args(argv)
+    cfg = _setup(args)
+    from unitspeech_tpu.preprocess.stats import compute_speaker_embs
+
+    def embed(wav, sr):
+        return extract_speaker_embedding(args.speaker_embedder, wav, sr, cfg)
+
+    means = compute_speaker_embs(args.filelist, cfg.data, embed, args.out,
+                                 args.max_files)
+    print(f"{len(means)} speaker embedding(s) -> {args.out}")
+    return 0
+
+
+def main_preprocess_uncond(argv=None):
+    """Unconditional CFG embeddings: global mean normalized mel frame
+    (text_uncond) + mean of speaker means (spk_uncond)
+    (reference preprocessing/process_uncond_mel.py:22-48 and
+    process_uncond_spk.py:34-44)."""
+    ap = argparse.ArgumentParser("unitspeech-tpu preprocess-uncond")
+    _common(ap)
+    ap.add_argument("--filelist", action="append", required=True)
+    ap.add_argument("--mel-stats", required=True, help="mel_stats.npz")
+    ap.add_argument("--spk-embs", required=True, help="spk_embs.npz")
+    ap.add_argument("--out", required=True, help="output uncond_stats.npz")
+    ap.add_argument("--max-files", type=int, default=None)
+    args = ap.parse_args(argv)
+    cfg = _setup(args)
+    from unitspeech_tpu.preprocess.stats import (
+        compute_uncond_mel,
+        compute_uncond_spk,
+    )
+
+    stats = np.load(args.mel_stats)
+    text_uncond = compute_uncond_mel(
+        args.filelist, cfg.data, stats["mel_min"].reshape(-1),
+        stats["mel_max"].reshape(-1), max_files=args.max_files,
+    )
+    embs = np.load(args.spk_embs)
+    spk_uncond = compute_uncond_spk({k: embs[k] for k in embs.files})
+    np.savez(args.out, text_uncond=text_uncond, spk_uncond=spk_uncond)
+    print(f"uncond stats ({text_uncond.shape[0]}-d mel, "
+          f"{spk_uncond.shape[-1]}-d spk) -> {args.out}")
+    return 0
+
+
+def main_preprocess_units(argv=None):
+    """Write <wav>.units.npz sidecars via mHuBERT + k-means
+    (reference preprocessing/process_units.py:31-51)."""
+    ap = argparse.ArgumentParser("unitspeech-tpu preprocess-units")
+    _common(ap)
+    ap.add_argument("--filelist", action="append", required=True)
+    ap.add_argument("--hubert", required=True, help="mHuBERT ckpt")
+    ap.add_argument("--kmeans", required=True, help="k-means centroids (.npz/joblib)")
+    ap.add_argument("--max-files", type=int, default=None)
+    args = ap.parse_args(argv)
+    cfg = _setup(args)
+    from scipy.signal import resample_poly
+
+    from unitspeech_tpu.data.dataset import load_wav, parse_filelist
+
+    enc = build_unit_extractor(args.hubert, args.kmeans, cfg)
+    count = 0
+    for fl in args.filelist:
+        for entry in parse_filelist(fl):
+            path = entry[0]
+            wav, sr = load_wav(path)
+            wav = np.asarray(wav, np.float64)
+            if sr != cfg.unit_extractor.sr:
+                wav = resample_poly(wav, cfg.unit_extractor.sr, sr)
+            out = enc(wav.astype(np.float32))
+            side = path.rsplit(".", 1)[0] + ".units.npz"
+            np.savez(side, units=out["units"], durations=out["durations"])
+            count += 1
+            if args.max_files and count >= args.max_files:
+                break
+    print(f"unit sidecars for {count} wav(s)")
+    return 0
+
+
 COMMANDS = {
     "inference": main_inference,
     "finetune": main_finetune,
     "voice-conversion": main_voice_conversion,
     "train-step1": main_train_step1,
     "train-step2": main_train_step2,
+    "preprocess-mel-stats": main_preprocess_mel_stats,
+    "preprocess-spk-embs": main_preprocess_spk_embs,
+    "preprocess-uncond": main_preprocess_uncond,
+    "preprocess-units": main_preprocess_units,
 }
 
 

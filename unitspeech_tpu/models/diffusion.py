@@ -205,10 +205,15 @@ def reverse_diffusion(
     beta_max: float = 20.0,
     mesh=None,
     sample_spec=None,
+    noises=None,
 ):
     """Reverse DDPM sampling, one lax.scan (reference unitspeech.py:333-374).
 
     z/cond: (B, T, F); mask: (B, T); spk_emb: (B, S). Returns mel (B, T, F).
+
+    `noises` (optional, (n_timesteps, B, T, F)): pre-drawn per-step noise used
+    instead of the PRNG — for deterministic parity against the reference torch
+    loop (which draws torch.randn per step, unitspeech.py:366).
 
     Sharded inference (SURVEY.md §5): pass a `jax.sharding.Mesh` and a
     `PartitionSpec` for the (B, T, F) sample — e.g. P("data", "seq", None) —
@@ -237,15 +242,21 @@ def reverse_diffusion(
 
     def step(carry, inp):
         xt = carry
-        i, sc = inp
+        if noises is None:
+            i, sc = inp
+            noise = jax.random.normal(jax.random.fold_in(key, i), xt.shape)
+        else:
+            i, sc, noise = inp
         xt_c = jnp.concatenate([xt] * n_rows, axis=0) if n_rows > 1 else xt
         t_c = jnp.full((xt_c.shape[0],), sc[0], dtype=jnp.float32)
         score = combine(apply_fn(params, xt_c, mask_c, cond_c, t_c, spk_c))
-        noise = jax.random.normal(jax.random.fold_in(key, i), xt.shape)
         xt = constrain((sc[1] * xt + sc[2] * score + sc[3] * noise) * mask3)
         return xt, None
 
-    xt, _ = lax.scan(step, xt, (jnp.arange(n_timesteps), coeffs))
+    xs = (jnp.arange(n_timesteps), coeffs)
+    if noises is not None:
+        xs = xs + (noises,)
+    xt, _ = lax.scan(step, xt, xs)
     return xt * mask3
 
 

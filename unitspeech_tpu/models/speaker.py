@@ -190,3 +190,29 @@ class SpeakerEmbedder(nn.Module):
             emb_dim=self.emb_dim, n_hidden_states=len(hidden),
             dtype=self.dtype, name="ecapa",
         )(stacked)
+
+    @classmethod
+    def from_config(cls, cfg, dtype=jnp.float32):
+        """Build from SpeakerEmbedderConfig (config.py): feat_type selects the
+        WavLM variant (reference conf/hydra_config.py:166-175 pins
+        wavlm_large; wavlm-test exists for smoke/CLI tests)."""
+        from unitspeech_tpu.models.ssl.wavlm import (
+            wavlm_base_config,
+            wavlm_large_config,
+            wavlm_test_config,
+        )
+
+        table = {
+            "wavlm_large": wavlm_large_config,
+            "wavlm_base": wavlm_base_config,
+            "wavlm_test": wavlm_test_config,
+        }
+        if cfg.feat_type not in table:
+            raise KeyError(
+                f"unknown feat_type {cfg.feat_type!r}; known: {sorted(table)}"
+            )
+        wavlm_cfg = table[cfg.feat_type]()
+        return cls(
+            wavlm_config=wavlm_cfg, channels=cfg.channels,
+            emb_dim=cfg.spk_emb_dim, dtype=dtype,
+        )

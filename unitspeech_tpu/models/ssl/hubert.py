@@ -48,6 +48,27 @@ def mhubert_base_config() -> HubertConfig:
     return HubertConfig()
 
 
+def hubert_test_config() -> HubertConfig:
+    """Tiny HuBERT for smoke/dev runs and CLI e2e tests (no reference
+    equivalent — real runs use mhubert_base)."""
+    return HubertConfig(
+        conv_layers=((8, 10, 5), (8, 3, 2), (8, 2, 2)),
+        embed_dim=16, num_layers=3, num_heads=2, ffn_dim=32,
+        conv_pos=8, conv_pos_groups=2,
+    )
+
+
+def hubert_config_by_name(name: str) -> HubertConfig:
+    """Dense-model registry lookup (reference textless/__init__.py:12-34)."""
+    table = {
+        "mhubert-base-vp_en_es_fr": mhubert_base_config,
+        "hubert-test": hubert_test_config,
+    }
+    if name not in table:
+        raise KeyError(f"unknown dense model {name!r}; known: {sorted(table)}")
+    return table[name]()
+
+
 class HubertModel(nn.Module):
     config: HubertConfig = HubertConfig()
     dtype: Any = jnp.float32

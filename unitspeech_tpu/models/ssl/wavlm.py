@@ -52,6 +52,16 @@ def wavlm_base_config() -> WavLMConfig:
     )
 
 
+def wavlm_test_config() -> WavLMConfig:
+    """Tiny WavLM for smoke/dev runs and CLI e2e tests (no reference
+    equivalent — real runs use wavlm_large)."""
+    return WavLMConfig(
+        conv_layers=((8, 10, 5), (8, 3, 2), (8, 2, 2)),
+        embed_dim=16, num_layers=2, num_heads=2, ffn_dim=32,
+        num_buckets=16, max_distance=64, conv_pos=8, conv_pos_groups=2,
+    )
+
+
 class WavLMModel(nn.Module):
     config: WavLMConfig = WavLMConfig()
     dtype: Any = jnp.float32

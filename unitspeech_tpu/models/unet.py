@@ -108,7 +108,14 @@ class ResnetBlock(nn.Module):
 
     input_pre_masked: caller guarantees x is already zero in the padding —
     the input-side mask multiplies become no-ops and are skipped
-    (bit-identical; block2's mask stays because the FiLM bias un-masks)."""
+    (bit-identical; block2's mask stays because the FiLM bias un-masks).
+
+    The res_conv OUTPUT is masked (its bias would otherwise fill the padding),
+    so every ResnetBlock output is fully masked. The reference instead leaves
+    that leak in res1's output and masks it away in res2's residual
+    (unitspeech.py:71-74 res_conv(x * mask)); both arrangements produce the
+    same downstream values — verified output-level against the real reference
+    modules in tests/test_reference_parity.py, including padded batches."""
 
     dim_out: int
     groups: int = 8
@@ -125,6 +132,7 @@ class ResnetBlock(nn.Module):
         x_masked = x if self.input_pre_masked else x * mask
         if x.shape[-1] != self.dim_out:
             res = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x_masked)
+            res = res * mask
         else:
             res = x_masked
         return h + res

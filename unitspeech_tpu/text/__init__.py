@@ -37,15 +37,31 @@ def collapse_whitespace(text: str) -> str:
     return re.sub(_whitespace_re, " ", text)
 
 
-class EspeakPhonemizer:
-    """Grapheme->IPA via the espeak-ng CLI (reference wraps the same C library
-    through the `phonemizer` package, util.py:154-172)."""
+# the `phonemizer` package's Punctuation._DEFAULT_MARKS — the same set the
+# reference preserves (preserve_punctuation=True, util.py:154-172); every one
+# of these has a symbol ID in text/symbols.py:7
+PUNCTUATION_MARKS = ';:,.!?¡¿—…"«»“”'
+_marks_re = re.compile(rf"(\s*[{re.escape(PUNCTUATION_MARKS)}]+\s*)+")
+# espeak emits "(en)"-style flags when it switches language mid-text;
+# language_switch="remove-flags" strips them (reference util.py:160)
+_lang_flag_re = re.compile(r"\([a-z]{2,5}(?:-[a-z0-9-]+)?\)")
+_stress_re = re.compile(r"[ˈˌ]")
 
-    def __init__(self, language: str = "en-us", with_stress: bool = True):
+
+class EspeakPhonemizer:
+    """Grapheme->IPA via the espeak-ng CLI with the reference's phonemizer
+    flags reproduced (util.py:154-172): preserve_punctuation=True (marks are
+    split out, the text between them is phonemized, and the marks re-attached
+    in place — the `phonemizer` package's Punctuation.preserve/restore
+    contract), with_stress=True, language_switch="remove-flags"."""
+
+    def __init__(self, language: str = "en-us", with_stress: bool = True,
+                 preserve_punctuation: bool = True):
         if language not in SUPPORTED_LANGUAGES:
             raise ValueError(f"Language {language} not supported.")
         self.language = language
         self.with_stress = with_stress
+        self.preserve_punctuation = preserve_punctuation
         self._binary = shutil.which("espeak-ng") or shutil.which("espeak")
         if self._binary is None:
             raise RuntimeError(
@@ -53,19 +69,41 @@ class EspeakPhonemizer:
                 "IPA text to phonemes_to_sequence()."
             )
 
+    def _espeak_ipa(self, text: str) -> str:
+        """One espeak call: raw IPA for a punctuation-free chunk."""
+        args = [self._binary, "-q", "--ipa", "-v", self.language]
+        proc = subprocess.run(
+            args + ["--", text], capture_output=True, text=True, check=True
+        )
+        ph = proc.stdout.replace("\n", " ")
+        # espeak ties multi-char phones with U+0361; the symbol table has
+        # none, drop them like the phonemizer package's default.
+        ph = ph.replace("͡", "").replace("‍", "")
+        ph = _lang_flag_re.sub("", ph)
+        if not self.with_stress:
+            ph = _stress_re.sub("", ph)
+        return ph.strip()
+
     def phonemize(self, texts: Sequence[str], strip: bool = True) -> List[str]:
         out = []
         for text in texts:
-            args = [self._binary, "-q", "--ipa", "-v", self.language]
-            if not self.with_stress:
-                args.append("--ipa=3")
-            proc = subprocess.run(
-                args + ["--", text], capture_output=True, text=True, check=True
-            )
-            ph = proc.stdout.replace("\n", " ")
-            # espeak ties multi-char phones with U+0361; the symbol table has
-            # none, drop them like the phonemizer package's default.
-            ph = ph.replace("͡", "").replace("‍", "")
+            if not self.preserve_punctuation:
+                ph = self._espeak_ipa(text)
+            else:
+                # split into text chunks and punctuation marks (marks keep
+                # their surrounding whitespace, like phonemizer's restore)
+                parts: List[str] = []
+                pos = 0
+                for m in _marks_re.finditer(text):
+                    chunk = text[pos:m.start()]
+                    if chunk.strip():
+                        parts.append(self._espeak_ipa(chunk))
+                    parts.append(m.group())
+                    pos = m.end()
+                tail = text[pos:]
+                if tail.strip():
+                    parts.append(self._espeak_ipa(tail))
+                ph = "".join(parts)
             if strip:
                 ph = ph.strip()
             out.append(ph)

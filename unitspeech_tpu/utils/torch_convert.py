@@ -46,6 +46,15 @@ def conv2d_kernel(w) -> np.ndarray:
     return np.asarray(w).transpose(2, 3, 1, 0)
 
 
+def conv2d_kernel_tf(w) -> np.ndarray:
+    """torch (out, in, kF, kT) -> flax (kT, kF, in, out), swapping the two
+    spatial axes: the reference U-Net runs on (B, C, feats, time) while our
+    estimator is (B, time, feats, C) (unitspeech.py:171 stacks mel-channels
+    as H and frames as W; models/unet.py puts time first). Verified
+    output-level in tests/test_reference_parity.py."""
+    return np.asarray(w).transpose(3, 2, 1, 0)
+
+
 def convtranspose1d_kernel(w) -> np.ndarray:
     """torch (in,out,k) -> flax (k,in,out), spatially flipped: flax's
     ConvTranspose (transpose_kernel=False) correlates where torch convolves."""
@@ -56,6 +65,14 @@ def convtranspose1d_kernel(w) -> np.ndarray:
 def convtranspose2d_kernel(w) -> np.ndarray:
     w = np.asarray(w)
     return w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1).copy()
+
+
+def convtranspose2d_kernel_tf(w) -> np.ndarray:
+    """torch (in, out, kF, kT) -> flax (kT, kF, in, out) with spatial flip,
+    swapping the spatial axes for the time-major estimator layout (see
+    conv2d_kernel_tf)."""
+    w = np.asarray(w)
+    return w[:, :, ::-1, ::-1].transpose(3, 2, 0, 1).copy()
 
 
 def dense_from_conv1x1(w) -> np.ndarray:
@@ -204,7 +221,7 @@ def _convert_resnet_block(sd, prefix: str, has_res_conv: bool) -> Dict:
     for bn in ("block1", "block2"):
         out[bn] = {
             "conv": {
-                "kernel": conv2d_kernel(sd[f"{prefix}.{bn}.block.0.weight"]),
+                "kernel": conv2d_kernel_tf(sd[f"{prefix}.{bn}.block.0.weight"]),
                 "bias": np.asarray(sd[f"{prefix}.{bn}.block.0.bias"]),
             },
             "norm": {
@@ -214,7 +231,7 @@ def _convert_resnet_block(sd, prefix: str, has_res_conv: bool) -> Dict:
         }
     if has_res_conv:
         out["res_conv"] = {
-            "kernel": conv2d_kernel(sd[f"{prefix}.res_conv.weight"]),
+            "kernel": conv2d_kernel_tf(sd[f"{prefix}.res_conv.weight"]),
             "bias": np.asarray(sd[f"{prefix}.res_conv.bias"]),
         }
     return out
@@ -264,7 +281,7 @@ def convert_decoder(sd: Dict[str, np.ndarray], dim: int = 128,
         if i < num_res - 1:
             est[f"down_{i}_down"] = {
                 "conv": {
-                    "kernel": conv2d_kernel(sd[f"estimator.downs.{i}.3.conv.weight"]),
+                    "kernel": conv2d_kernel_tf(sd[f"estimator.downs.{i}.3.conv.weight"]),
                     "bias": np.asarray(sd[f"estimator.downs.{i}.3.conv.bias"]),
                 }
             }
@@ -278,13 +295,13 @@ def convert_decoder(sd: Dict[str, np.ndarray], dim: int = 128,
         est[f"up_{ind}_attn"] = _convert_attn(sd, f"estimator.ups.{j}.2")
         est[f"up_{ind}_up"] = {
             "conv": {
-                "kernel": convtranspose2d_kernel(sd[f"estimator.ups.{j}.3.conv.weight"]),
+                "kernel": convtranspose2d_kernel_tf(sd[f"estimator.ups.{j}.3.conv.weight"]),
                 "bias": np.asarray(sd[f"estimator.ups.{j}.3.conv.bias"]),
             }
         }
     est["final_block"] = {
         "conv": {
-            "kernel": conv2d_kernel(sd["estimator.final_block.block.0.weight"]),
+            "kernel": conv2d_kernel_tf(sd["estimator.final_block.block.0.weight"]),
             "bias": np.asarray(sd["estimator.final_block.block.0.bias"]),
         },
         "norm": {
@@ -293,7 +310,7 @@ def convert_decoder(sd: Dict[str, np.ndarray], dim: int = 128,
         },
     }
     est["final_conv"] = {
-        "kernel": conv2d_kernel(sd["estimator.final_conv.weight"]),
+        "kernel": conv2d_kernel_tf(sd["estimator.final_conv.weight"]),
         "bias": np.asarray(sd["estimator.final_conv.bias"]),
     }
     p["estimator"] = est
