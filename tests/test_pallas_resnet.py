@@ -1,0 +1,110 @@
+"""Fused Pallas ResnetBlock vs the XLA ResnetBlock (models/unet.py) —
+interpret mode on CPU; the XLA path itself is output-level verified against
+the reference torch modules (tests/test_reference_parity.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unitspeech_tpu.models.unet import ResnetBlock, mish
+from unitspeech_tpu.ops.pallas_resnet import fused_resnet_block
+
+
+def _run_pair(b, t, f, cin, cout, groups, lens, seed=0, frames_per_tile=0):
+    key = jax.random.PRNGKey(seed)
+    block = ResnetBlock(cout, groups)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (b, t, f, cin))
+    t_emb = jax.random.normal(jax.random.fold_in(key, 2), (b, 12))
+    mask = (jnp.arange(t)[None, :] < jnp.asarray(lens)[:, None]).astype(
+        jnp.float32
+    )[:, :, None, None]
+    params = block.init(key, x, mask, t_emb)
+
+    ref = block.apply(params, x, mask, t_emb)
+
+    p = params["params"]
+    t_bias = mish(t_emb) @ p["mlp"]["kernel"] + p["mlp"]["bias"]
+    fused = fused_resnet_block(
+        x, mask, t_bias,
+        p["block1"]["conv"]["kernel"], p["block1"]["conv"]["bias"],
+        p["block1"]["norm"]["scale"], p["block1"]["norm"]["bias"],
+        p["block2"]["conv"]["kernel"], p["block2"]["conv"]["bias"],
+        p["block2"]["norm"]["scale"], p["block2"]["norm"]["bias"],
+        wres=p["res_conv"]["kernel"] if cin != cout else None,
+        bres=p["res_conv"]["bias"] if cin != cout else None,
+        groups=groups,
+        interpret=True,
+        frames_per_tile=frames_per_tile,
+    )
+    return np.asarray(ref), np.asarray(fused)
+
+
+@pytest.mark.parametrize(
+    "cin,cout,lens",
+    [
+        (4, 8, [16, 16]),   # res_conv path, full mask
+        (4, 8, [16, 11]),   # res_conv path, padded batch
+        (8, 8, [16, 5]),    # identity residual, heavy padding
+    ],
+)
+def test_fused_resnet_parity(cin, cout, lens):
+    ref, fused = _run_pair(2, 16, 8, cin, cout, groups=4, lens=lens)
+    np.testing.assert_allclose(fused, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_resnet_first_stage_shape():
+    """Estimator entry shape: Cin=2 (stacked mu, x_t), like down_0 res1."""
+    ref, fused = _run_pair(1, 8, 8, 2, 16, groups=8, lens=[6])
+    np.testing.assert_allclose(fused, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_resnet_masked_region_is_zero():
+    _, fused = _run_pair(1, 16, 8, 4, 8, groups=4, lens=[9])
+    assert np.all(fused[0, 9:] == 0.0)
+
+
+@pytest.mark.parametrize("fpt", [2, 4, 8])
+def test_fused_resnet_multi_tile(fpt):
+    """Multi-tile grids: halo assembly from neighbor blocks, clamped edge
+    blocks, and cross-tile GroupNorm stats accumulation."""
+    ref, fused = _run_pair(2, 16, 8, 4, 8, groups=4, lens=[16, 10],
+                           frames_per_tile=fpt)
+    np.testing.assert_allclose(fused, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_resnet_odd_frame_count():
+    """T=43-style prime frame counts (deepest U-Net stage) fall back to a
+    single whole-T tile."""
+    ref, fused = _run_pair(1, 12, 4, 4, 8, groups=4, lens=[7],
+                           frames_per_tile=3)
+    np.testing.assert_allclose(fused, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_estimator_pallas_resnet_parity():
+    """Full U-Net with use_pallas_resnet=True shares the XLA checkpoint tree
+    and matches its output (interpret mode on CPU)."""
+    from unitspeech_tpu.models.unet import GradLogPEstimator2d
+
+    kw = dict(dim=8, dim_mults=(1, 2), groups=8, spk_emb_dim=8)
+    xla = GradLogPEstimator2d(**kw)
+    fused = GradLogPEstimator2d(**kw, use_pallas_resnet=True)
+
+    b, t, f = 2, 8, 16
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (b, t, f))
+    mu = jax.random.normal(jax.random.fold_in(key, 2), (b, t, f))
+    mask = (jnp.arange(t)[None, :] < jnp.array([8, 5])[:, None]).astype(jnp.float32)
+    tt = jnp.array([0.3, 0.8])
+    spk = jax.random.normal(jax.random.fold_in(key, 3), (b, 8))
+
+    params = xla.init(key, x, mask, mu, tt, spk)
+    params_f = fused.init(key, x, mask, mu, tt, spk)
+    # identical parameter trees -> checkpoints are interchangeable
+    assert jax.tree.structure(params) == jax.tree.structure(params_f)
+
+    ref = xla.apply(params, x, mask, mu, tt, spk)
+    got = fused.apply(params, x, mask, mu, tt, spk)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-4
+    )

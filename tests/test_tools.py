@@ -126,3 +126,74 @@ def test_merge_detects_missing(tmp_path):
     open(sp, "w").write("0\t1 2\n")
     with pytest.raises(RuntimeError):
         merge_shards([sp], str(tmp_path / "out"), 2)
+
+
+# ---------------------------------------------------------------------------
+# artifact registry: download + verify + overlay via file:// URLs
+# ---------------------------------------------------------------------------
+
+
+def test_registry_file_url_download_verify_overlay(tmp_path):
+    import hashlib
+    import json
+
+    from unitspeech_tpu.utils import artifact_registry as ar
+
+    payload = b"fake checkpoint bytes"
+    src = tmp_path / "weights.bin"
+    src.write_bytes(payload)
+    digest = hashlib.sha256(payload).hexdigest()
+
+    overlay = {
+        "test-weights": {
+            "url": f"file://{src}",
+            "sha256": digest,
+            "filename": "weights.bin",
+        }
+    }
+    overlay_path = tmp_path / "mirror.json"
+    overlay_path.write_text(json.dumps(overlay))
+    ar.register_from_json(str(overlay_path))
+    try:
+        mgr = ar.CheckpointManager(cache_dir=str(tmp_path / "cache"))
+        # download + verify
+        dest = mgr.get("test-weights")
+        assert open(dest, "rb").read() == payload
+        # cached second call, still verified
+        assert mgr.get("test-weights") == dest
+
+        # digest mismatch must refuse the file
+        ar.register("test-weights", f"file://{src}", sha256="0" * 64,
+                    filename="weights2.bin")
+        import pytest as _pytest
+
+        with _pytest.raises(IOError):
+            mgr.get("test-weights")
+
+        # corrupted cache entry detected on re-get
+        ar.register("test-weights", f"file://{src}", sha256=digest,
+                    filename="weights.bin")
+        open(dest, "ab").write(b"corruption")
+        with _pytest.raises(IOError):
+            mgr.get("test-weights")
+    finally:
+        ar.REGISTRY.pop("test-weights", None)
+
+
+def test_registry_ships_pipeline_artifacts():
+    """Every artifact family the pipeline consumes has a registry entry, and
+    the textless SSL entries carry their upstream-published sha256 pins
+    (reference checkpoint_manager/__init__.py:13+)."""
+    from unitspeech_tpu.utils.artifact_registry import REGISTRY
+
+    for name in (
+        "mhubert-base-vp_en_es_fr", "mhubert-base-vp_en_es_fr-kmeans-1000",
+        "hubert-base-ls960", "unitspeech-text-encoder",
+        "unitspeech-unit-encoder", "unitspeech-duration-predictor",
+        "unitspeech-pretrained-decoder", "unitspeech-speaker-encoder",
+        "unitspeech-bigvgan", "unitspeech-bigvgan-config", "contentvec-best",
+    ):
+        assert name in REGISTRY, name
+    assert REGISTRY["mhubert-base-vp_en_es_fr"].sha256 is not None
+    assert REGISTRY["mhubert-base-vp_en_es_fr-kmeans-1000"].sha256 is not None
+    assert REGISTRY["hubert-base-ls960"].sha256 is not None

@@ -192,14 +192,32 @@ def iterate_batches(
     key: Optional[np.random.Generator] = None,
     shuffle: bool = True,
     drop_last: bool = True,
+    process_index: int = 0,
+    process_count: int = 1,
 ):
-    """Epoch iterator. Per-host sharding for multi-process training is done
-    by slicing the index list with jax.process_index()/process_count()
-    upstream of this function."""
+    """Epoch iterator with per-host dataset sharding for multi-host pods.
+
+    Every host shuffles the SAME permutation (callers must seed identically
+    across hosts) and takes its strided slice — the
+    `range(rank, N, world)` pattern of the reference's only distributed code
+    (/root/reference/tools/distributed_transcribe/transcribe.py:109), so the
+    hosts' sample sets are disjoint and together cover the epoch.
+    `batch_size` is the PER-HOST batch size.
+    """
     idx = np.arange(len(dataset))
     if shuffle:
         (key or np.random.default_rng(0)).shuffle(idx)
-    end = len(idx) - (len(idx) % batch_size) if drop_last else len(idx)
+    idx = idx[process_index::process_count]
+    if drop_last and process_count > 1:
+        # lock-step: every host must yield the SAME number of batches (they
+        # meet in collectives inside the jitted step), so cap at the
+        # smallest host shard's full-batch count
+        min_shard = len(dataset) // process_count
+        end = (min_shard // batch_size) * batch_size
+    elif drop_last:
+        end = len(idx) - (len(idx) % batch_size)
+    else:
+        end = len(idx)
     for s in range(0, end, batch_size):
         chunk = idx[s : s + batch_size]
         if drop_last and len(chunk) < batch_size:

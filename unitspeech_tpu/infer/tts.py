@@ -351,42 +351,20 @@ class Synthesizer:
 
         The data-dependent output length means each new bucket pair triggers
         one XLA compile; a serving process calls this once at startup so no
-        request pays compile latency."""
+        request pays compile latency.
+
+        This drives the EXACT serving code path (__call__ with a duration
+        override that sums to the target frame count), so bucket selection,
+        mask construction, and the fused executable are provably the ones a
+        real request uses — a ladder change cannot desync warmed vs served
+        shapes (tests/test_tts_e2e.py asserts zero post-warmup compiles)."""
         import itertools
 
         key = jax.random.PRNGKey(0) if key is None else key
-        m = self.models
         for n_tok, frames in itertools.product(token_lengths, frame_lengths):
-            tok_bucket = choose_bucket(n_tok, self.token_buckets)
-            frames_b = choose_bucket(
-                fix_len_compatibility(frames, m.cfg.decoder.num_downsamplings),
-                self.frame_buckets,
-            )
-            tokens = [1] * n_tok
-            # force this frame bucket by pinning length via length_scale on a
-            # fixed-duration path: reuse the internal pieces directly
-            mu_x, x_mask, w_ceil = _encode_and_duration(
-                m.text_encoder, m.text_encoder_params,
-                m.duration_predictor, m.duration_predictor_params,
-                jnp.zeros((1, tok_bucket), jnp.int32).at[0, :n_tok].set(jnp.asarray(tokens)),
-                jnp.array([n_tok]), m.spk_emb,
-            )
-            w_fixed = jnp.full_like(w_ceil, frames_b / tok_bucket)
-            y_mask = sequence_mask(jnp.array([frames_b]), frames_b)
-            icfg = m.cfg.inference
-            _align_sample_vocode(
-                m.decoder.apply, m.decoder_params, m.vocoder, m.vocoder_params,
-                mu_x, x_mask, w_fixed, y_mask, m.spk_emb, key,
-                m.mel_min, m.mel_max,
-                n_timesteps=int(synth_kwargs.get("diffusion_steps") or icfg.diffusion_steps),
-                text_gradient_scale=float(
-                    synth_kwargs.get("text_gradient_scale", icfg.text_gradient_scale)
-                ),
-                spk_gradient_scale=float(
-                    synth_kwargs.get("spk_gradient_scale", icfg.spk_gradient_scale)
-                ),
-                beta_min=m.cfg.decoder.beta_min, beta_max=m.cfg.decoder.beta_max,
-                mesh=self.mesh, sample_spec=self.sample_spec,
+            self(
+                [1] * n_tok, key, _forced_total_frames=int(frames),
+                **synth_kwargs,
             )
 
     def vocode(self, mel):
@@ -397,7 +375,11 @@ class Synthesizer:
 
     def __call__(self, token_ids: Sequence[int], key, **kwargs):
         """Token IDs -> (waveform np.ndarray (n_samples,), sample_rate).
-        Runs the post-duration pipeline as a single fused dispatch."""
+        Runs the post-duration pipeline as a single fused dispatch.
+
+        _forced_total_frames (internal, used by warmup): replace the predicted
+        durations with ones summing to exactly this frame count, so a target
+        frame bucket can be exercised through the real serving path."""
         m = self.models
         if m.vocoder is None:
             raise ValueError("Synthesizer built without a vocoder.")
@@ -409,6 +391,7 @@ class Synthesizer:
         tg = icfg.text_gradient_scale if tg is None else tg
         sg = kwargs.get("spk_gradient_scale")
         sg = icfg.spk_gradient_scale if sg is None else sg
+        forced_frames = kwargs.get("_forced_total_frames")
 
         n_tok = len(token_ids)
         tok_bucket = choose_bucket(n_tok, self.token_buckets)
@@ -420,6 +403,11 @@ class Synthesizer:
             jnp.asarray(tokens), jnp.array([n_tok]), m.spk_emb,
         )
         w_ceil = w_ceil * lscale
+        if forced_frames is not None:
+            w = np.zeros((1, tok_bucket), np.float32)
+            w[0, :n_tok] = forced_frames // n_tok
+            w[0, 0] += forced_frames - (forced_frames // n_tok) * n_tok
+            w_ceil = jnp.asarray(w)
         y_length = max(int(np.asarray(jnp.sum(w_ceil, axis=1))[0]), 1)
         num_down = m.cfg.decoder.num_downsamplings
         y_pad = choose_bucket(

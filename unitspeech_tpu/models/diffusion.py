@@ -53,6 +53,7 @@ class UnitSpeech(nn.Module):
     spk_emb_dim: int = 256
     dtype: Any = jnp.float32
     use_pallas_attention: bool = False
+    use_pallas_resnet: bool = False
 
     def setup(self):
         self.text_uncon = self.param(
@@ -69,6 +70,7 @@ class UnitSpeech(nn.Module):
             spk_emb_dim=self.spk_emb_dim,
             dtype=self.dtype,
             use_pallas_attention=self.use_pallas_attention,
+            use_pallas_resnet=self.use_pallas_resnet,
         )
 
     def __call__(self, xt, mask, cond, t, spk_emb):
@@ -77,7 +79,8 @@ class UnitSpeech(nn.Module):
         return self.estimator(xt, mask, cond, t, spk_emb)
 
     @classmethod
-    def from_config(cls, cfg, dtype=jnp.float32, use_pallas_attention=False):
+    def from_config(cls, cfg, dtype=jnp.float32, use_pallas_attention=False,
+                    use_pallas_resnet=False):
         return cls(
             n_feats=cfg.n_feats,
             dim=cfg.dim,
@@ -89,6 +92,7 @@ class UnitSpeech(nn.Module):
             spk_emb_dim=cfg.spk_emb_dim,
             dtype=dtype,
             use_pallas_attention=use_pallas_attention,
+            use_pallas_resnet=use_pallas_resnet,
         )
 
 

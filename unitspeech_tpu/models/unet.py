@@ -102,6 +102,48 @@ class Block(nn.Module):
         return mish(x) * mask
 
 
+class _Conv2dParams(nn.Module):
+    """Parameter holder with nn.Conv's tree layout (kernel (kh,kw,in,out) +
+    bias) and identical default init, so the fused Pallas ResnetBlock shares
+    checkpoints with the XLA path."""
+
+    features: int
+    ksize: Tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.ksize, in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _GNParams(nn.Module):
+    """GroupNormLowMem's parameter tree (scale/bias)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        return scale, bias
+
+
+class _BlockParams(nn.Module):
+    """Block's parameter tree (conv + norm) without running the XLA ops."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k, b = _Conv2dParams(self.dim_out, name="conv")(in_features)
+        s, bb = _GNParams(self.dim_out, name="norm")()
+        return k, b, s, bb
+
+
 class ResnetBlock(nn.Module):
     """Two Blocks with a time/speaker FiLM bias between them + residual 1x1
     (reference unitspeech.py:58-75).
@@ -121,9 +163,31 @@ class ResnetBlock(nn.Module):
     groups: int = 8
     dtype: Any = jnp.float32
     input_pre_masked: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, mask, t_emb):
+        if self.use_pallas:
+            from unitspeech_tpu.ops.pallas_resnet import fused_resnet_block
+
+            cin = x.shape[-1]
+            k1, b1, s1, be1 = _BlockParams(self.dim_out, name="block1")(cin)
+            bias_t = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp")(
+                mish(t_emb)
+            )
+            k2, b2, s2, be2 = _BlockParams(self.dim_out, name="block2")(
+                self.dim_out
+            )
+            wres = bres = None
+            if cin != self.dim_out:
+                wres, bres = _Conv2dParams(
+                    self.dim_out, ksize=(1, 1), name="res_conv"
+                )(cin)
+            return fused_resnet_block(
+                x.astype(self.dtype), mask, bias_t,
+                k1, b1, s1, be1, k2, b2, s2, be2,
+                wres=wres, bres=bres, groups=self.groups,
+            )
         h = Block(self.dim_out, self.groups, dtype=self.dtype,
                   input_pre_masked=self.input_pre_masked, name="block1")(x, mask)
         bias = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp")(mish(t_emb))
@@ -288,6 +352,7 @@ class GradLogPEstimator2d(nn.Module):
     spk_emb_dim: int = 256
     dtype: Any = jnp.float32
     use_pallas_attention: bool = False
+    use_pallas_resnet: bool = False
 
     @nn.compact
     def __call__(self, x, mask, mu, t, spk_emb):
@@ -309,10 +374,12 @@ class GradLogPEstimator2d(nn.Module):
             is_last = ind == num_res - 1
             mk = masks[-1]
             h = ResnetBlock(dim_out, self.groups, dtype=self.dtype,
+                            use_pallas=self.use_pallas_resnet,
                             name=f"down_{ind}_res1")(h, mk, t_emb)
             # res1's output is masked by construction -> skip res2's input mask
             h = ResnetBlock(dim_out, self.groups, dtype=self.dtype,
                             input_pre_masked=True,
+                            use_pallas=self.use_pallas_resnet,
                             name=f"down_{ind}_res2")(h, mk, t_emb)
             h = RezeroAttention(dtype=self.dtype, use_pallas=self.use_pallas_attention, name=f"down_{ind}_attn")(h)
             hiddens.append(h)
@@ -323,9 +390,13 @@ class GradLogPEstimator2d(nn.Module):
         masks = masks[:-1]
         mid_dim = dims[-1]
         mk = masks[-1]
-        h = ResnetBlock(mid_dim, self.groups, dtype=self.dtype, name="mid_res1")(h, mk, t_emb)
+        h = ResnetBlock(mid_dim, self.groups, dtype=self.dtype,
+                        use_pallas=self.use_pallas_resnet,
+                        name="mid_res1")(h, mk, t_emb)
         h = RezeroAttention(dtype=self.dtype, use_pallas=self.use_pallas_attention, name="mid_attn")(h)
-        h = ResnetBlock(mid_dim, self.groups, dtype=self.dtype, name="mid_res2")(h, mk, t_emb)
+        h = ResnetBlock(mid_dim, self.groups, dtype=self.dtype,
+                        use_pallas=self.use_pallas_resnet,
+                        name="mid_res2")(h, mk, t_emb)
 
         # up stages mirror down stages 1..num_res-1, reversed
         up_specs = list(enumerate(zip(dims[:-1], dims[1:])))[::-1]
@@ -333,9 +404,11 @@ class GradLogPEstimator2d(nn.Module):
             mk = masks.pop()
             h = jnp.concatenate([h, hiddens.pop()], axis=-1)
             h = ResnetBlock(dim_in, self.groups, dtype=self.dtype,
+                            use_pallas=self.use_pallas_resnet,
                             name=f"up_{ind}_res1")(h, mk, t_emb)
             h = ResnetBlock(dim_in, self.groups, dtype=self.dtype,
                             input_pre_masked=True,
+                            use_pallas=self.use_pallas_resnet,
                             name=f"up_{ind}_res2")(h, mk, t_emb)
             h = RezeroAttention(dtype=self.dtype, use_pallas=self.use_pallas_attention, name=f"up_{ind}_attn")(h)
             h = Upsample(dim_in, dtype=self.dtype, name=f"up_{ind}_up")(h * mk)
@@ -345,7 +418,8 @@ class GradLogPEstimator2d(nn.Module):
         return (out * m)[..., 0].astype(jnp.float32)
 
     @classmethod
-    def from_config(cls, cfg, dtype=jnp.float32, use_pallas_attention=False):
+    def from_config(cls, cfg, dtype=jnp.float32, use_pallas_attention=False,
+                    use_pallas_resnet=False):
         return cls(
             dim=cfg.dim,
             dim_mults=tuple(cfg.dim_mults),
@@ -354,4 +428,5 @@ class GradLogPEstimator2d(nn.Module):
             spk_emb_dim=cfg.spk_emb_dim,
             dtype=dtype,
             use_pallas_attention=use_pallas_attention,
+            use_pallas_resnet=use_pallas_resnet,
         )

@@ -1,0 +1,373 @@
+"""Fused Pallas TPU kernels for the U-Net ResnetBlock hot path.
+
+The estimator is HBM-bandwidth bound (ROADMAP: 10.4 ms/step measured vs a
+5.1 ms conv-only floor; the gap is GroupNorm passes + elementwise FiLM/mask/
+mish that XLA cannot fuse into TPU convolutions, because conv operands must
+materialize). This module runs one ResnetBlock
+(reference /root/reference/unitspeech/unitspeech.py:46-75; XLA twin
+models/unet.py:ResnetBlock) as THREE chained kernels:
+
+  A: conv3x3(x) + bias            -> c1 (HBM) + per-(batch,channel) sum/sumsq
+  B: GN1-apply + mish + mask + FiLM + conv3x3 + bias
+                                  -> c2 (HBM) + stats2
+  C: GN2-apply + mish + mask + residual(1x1 conv or identity)  -> out
+
+GroupNorm needs global statistics over all (time x freq) positions, so each
+conv output must round-trip HBM once before its normalize — but everything
+elementwise rides along inside the conv kernels, cutting the block's HBM
+traffic from ~13 tensor passes (XLA) to ~7.5.
+
+Layout: rows are flattened (time, freq) -> n = t*F + f, channels on lanes.
+conv3x3 = 9 shifted matmuls: output row n reads rows n + dt*F + df. A tile of
+TILE = 8 frames (8F rows) gets a one-frame halo from neighbor blocks (extra
+in_specs on the same array — +25% read amplification, no pre-gather pass);
+the +-1 freq shifts come from pltpu.roll on the assembled window, and the
+rows where a shift crosses a frame boundary are exactly the rows the static
+freq-wrap masks zero (Mosaic cannot lower strided gathers; CLAUDE.md).
+
+Numerics match the XLA path: convs accumulate f32 on the MXU and round once
+to the compute dtype; GN statistics are f32 E[x^2]-E[x]^2 with eps 1e-5
+(models/unet.py:_group_norm_lowmem); mish runs in f32 in-VMEM. GN statistics
+pool over ALL rows including padding frames, like torch GroupNorm in the
+reference (verified output-level in tests/test_reference_parity.py).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+def _pick_frames_per_tile(t: int, f: int, c_max: int,
+                          budget_bytes: int = 6 * 1024 * 1024) -> int:
+    """Largest divisor of T whose tile fits the VMEM working set (~10 bytes
+    per row-channel: double-buffered bf16 in/out blocks + f32 accumulator).
+    T halves per U-Net stage (344 -> 172 -> 86 -> 43), so divisors, not
+    powers of two."""
+    best = 1
+    for k in range(1, t + 1):
+        if t % k == 0 and k * f * c_max * 10 <= budget_bytes:
+            best = k
+    return best
+
+
+def _mish_f32(x):
+    xf = x.astype(jnp.float32)
+    return (xf * jnp.tanh(jax.nn.softplus(xf))).astype(x.dtype)
+
+
+def _group_stats(sum_c, sumsq_c, n_rows: int, groups: int, eps: float = 1e-5):
+    """Per-channel f32 (sum, sumsq) -> per-channel broadcastable (mean, inv).
+    Pools channels within each group like GroupNorm."""
+    c = sum_c.shape[-1]
+    cg = c // groups
+    gsum = jnp.sum(sum_c.reshape(groups, cg), axis=1)  # (G,)
+    gsq = jnp.sum(sumsq_c.reshape(groups, cg), axis=1)
+    m = float(n_rows * cg)
+    mean = gsum / m
+    var = gsq / m - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.repeat(mean.reshape(groups, 1), cg, axis=1).reshape(1, c)
+    inv_c = jnp.repeat(inv.reshape(groups, 1), cg, axis=1).reshape(1, c)
+    return mean_c, inv_c
+
+
+def _assemble_window(top_ref, cur_ref, bot_ref, f: int, tile: int, n_tiles: int,
+                     valid_rows_ref):
+    """Build the (TILE + 2F, C) halo window in registers, zeroing halo rows
+    that fall outside the array (clamped neighbor blocks at the grid edges)
+    and rows at/after the sequence length."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    top = top_ref[0]
+    cur = cur_ref[0]
+    bot = bot_ref[0]
+    top = jnp.where(j == 0, jnp.zeros_like(top), top)
+    bot = jnp.where(j == n_tiles - 1, jnp.zeros_like(bot), bot)
+    win = jnp.concatenate([top, cur, bot], axis=0)  # (TILE + 2F, C)
+    # sequence mask: window row w holds flat row n = j*TILE + w - F;
+    # valid while n < len_frames * F (valid_rows = len_frames * F)
+    n_global = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile + 2 * f, 1), 0)
+        + j * tile - f
+    )
+    valid = (n_global >= 0) & (n_global < valid_rows_ref[0, 0])
+    return win * valid.astype(win.dtype)
+
+
+def _freq_wrap_masks(f: int, tile: int, dtype):
+    """Masks killing rows where a +-1 freq shift crosses a frame boundary.
+    Window rows w <-> local u = w - F with u%F == w%F (TILE and the F-row
+    halo are both multiples of F). Built from an in-kernel iota — array
+    constants cannot be captured by a pallas kernel."""
+    w = jax.lax.broadcasted_iota(jnp.int32, (tile + 2 * f, 1), 0) % f
+    mask_m = (w != 0).astype(dtype)       # df = -1: f==0 wraps
+    mask_p = (w != f - 1).astype(dtype)   # df = +1: f==F-1 wraps
+    return mask_m, mask_p
+
+
+def _conv3x3_taps(win, w_ref, f: int, tile: int):
+    """9 shifted matmuls over the assembled window. win: (TILE+2F, C);
+    w_ref rows: [(dt+1)*3 + (df+1)] * Cin -> (Cin, Cout). f32 accumulator."""
+    import jax.experimental.pallas as pltpu_roll  # noqa: F401
+    from jax.experimental.pallas import tpu as pltpu
+
+    cin = win.shape[-1]
+    mask_m, mask_p = _freq_wrap_masks(f, tile, win.dtype)
+    # pltpu.roll(x, shift, axis): out[i] = x[(i - shift) % L]; shift must be
+    # non-negative, so the +1 shift is expressed as L-1
+    length = win.shape[0]
+    win_m = pltpu.roll(win, 1, 0) * mask_m            # row i = win[i-1] (df=-1)
+    win_p = pltpu.roll(win, length - 1, 0) * mask_p   # row i = win[i+1] (df=+1)
+    acc = None
+    for dt in (-1, 0, 1):
+        base = f + dt * f
+        for df, src in ((-1, win_m), (0, win), (1, win_p)):
+            tap = src[base : base + tile, :]
+            k = ((dt + 1) * 3 + (df + 1)) * cin
+            w = w_ref[k : k + cin, :]
+            part = jnp.dot(tap, w, preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+    return acc  # (TILE, Cout) f32
+
+
+def _kernel_a(lens_ref, top_ref, cur_ref, bot_ref, w_ref, b_ref,
+              out_ref, stats_ref, *, f: int, tile: int, n_tiles: int,
+              out_dtype):
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    win = _assemble_window(top_ref, cur_ref, bot_ref, f, tile, n_tiles,
+                           lens_ref)
+    acc = _conv3x3_taps(win, w_ref, f, tile) + b_ref[:].astype(jnp.float32)
+    out_ref[0] = acc.astype(out_dtype)
+
+    @pl.when(j == 0)
+    def _():
+        stats_ref[0] = jnp.zeros_like(stats_ref[0])
+
+    stats_ref[0, 0, :] += jnp.sum(acc, axis=0)
+    stats_ref[0, 1, :] += jnp.sum(acc * acc, axis=0)
+
+
+def _kernel_b(lens_ref, top_ref, cur_ref, bot_ref, stats_ref, scale_ref,
+              bias_ref, film_ref, w_ref, b_ref, out_ref, stats2_ref, *,
+              f: int, tile: int, n_tiles: int, n_rows: int, groups: int,
+              out_dtype):
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    # raw conv1 window (halo from neighbors); GN/mish/film applied in-VMEM,
+    # recomputed on the halo rows (cheap) instead of re-reading a normalized
+    # tensor from HBM
+    win = _assemble_window(top_ref, cur_ref, bot_ref, f, tile, n_tiles,
+                           lens_ref)
+    mean, inv = _group_stats(
+        stats_ref[0, 0, :], stats_ref[0, 1, :], n_rows, groups
+    )
+    h = (win.astype(jnp.float32) - mean) * inv
+    h = h * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+    h = _mish_f32(h)
+    h = h + film_ref[:].astype(jnp.float32)
+    # re-mask: mish(gn)+film un-zeroes padding rows; conv2's input mask
+    # (reference Block, unitspeech.py:52) and the t-halo zeroing coincide
+    n_global = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile + 2 * f, 1), 0)
+        + j * tile - f
+    )
+    valid = (n_global >= 0) & (n_global < lens_ref[0, 0])
+    h = (h * valid.astype(jnp.float32)).astype(win.dtype)
+
+    acc = _conv3x3_taps(h, w_ref, f, tile) + b_ref[:].astype(jnp.float32)
+    out_ref[0] = acc.astype(out_dtype)
+
+    @pl.when(j == 0)
+    def _():
+        stats2_ref[0] = jnp.zeros_like(stats2_ref[0])
+
+    stats2_ref[0, 0, :] += jnp.sum(acc, axis=0)
+    stats2_ref[0, 1, :] += jnp.sum(acc * acc, axis=0)
+
+
+def _kernel_c(lens_ref, c2_ref, x_ref, stats_ref, scale_ref, bias_ref,
+              wres_ref, bres_ref, out_ref, *, tile: int, n_rows: int,
+              groups: int, identity_res: bool, out_dtype):
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    c2 = c2_ref[0]
+    mean, inv = _group_stats(
+        stats_ref[0, 0, :], stats_ref[0, 1, :], n_rows, groups
+    )
+    h = (c2.astype(jnp.float32) - mean) * inv
+    h = h * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+    h = _mish_f32(h)
+    n_global = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + j * tile
+    valid = (n_global < lens_ref[0, 0]).astype(jnp.float32)
+    h = h * valid
+
+    x = x_ref[0]
+    xv = x * valid.astype(x.dtype)  # input rows may be unmasked
+    if identity_res:
+        res = xv.astype(jnp.float32)
+    else:
+        res = jnp.dot(xv, wres_ref[:], preferred_element_type=jnp.float32)
+        res = (res + bres_ref[:].astype(jnp.float32)) * valid
+    out_ref[0] = (h + res).astype(out_dtype)
+
+
+def _halo_specs(n_frames: int, f: int, c: int, n_tiles: int, fpt: int):
+    """(top, cur, bot) BlockSpecs over a (B, N, C) array: an fpt-frame center
+    block plus one-frame halo blocks clamped at the edges (clamped blocks are
+    zeroed inside the kernel)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    top = pl.BlockSpec(
+        (1, f, c),
+        lambda b, j: (b, jnp.maximum(j * fpt - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    cur = pl.BlockSpec(
+        (1, fpt * f, c), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
+    )
+    bot = pl.BlockSpec(
+        (1, f, c),
+        lambda b, j: (b, jnp.minimum(j * fpt + fpt, n_frames - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    return top, cur, bot
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_frames", "f", "groups", "interpret", "out_dtype_name",
+                     "frames_per_tile"),
+)
+def _fused_resnet(
+    x, lens_rows, t_bias, w1, b1, s1, be1, w2, b2, s2, be2, wres, bres,
+    n_frames: int, f: int, groups: int, interpret: bool, out_dtype_name: str,
+    frames_per_tile: int = 0,
+):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    out_dtype = jnp.dtype(out_dtype_name)
+    b, n, cin = x.shape
+    cout = w1.shape[-1]
+    fpt = frames_per_tile or _pick_frames_per_tile(n_frames, f, max(cin, cout))
+    tile = fpt * f
+    n_tiles = n // tile
+    grid = (b, n_tiles)
+
+    lens_spec = pl.BlockSpec((1, 1), lambda bb, j: (bb, 0),
+                             memory_space=pltpu.SMEM)
+    row_spec = lambda c: pl.BlockSpec((1, c), lambda bb, j: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    brow_spec = lambda c: pl.BlockSpec((1, c), lambda bb, j: (bb, 0),
+                                       memory_space=pltpu.VMEM)
+    w_spec = lambda k, c: pl.BlockSpec((k, c), lambda bb, j: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    tile_spec = lambda c: pl.BlockSpec((1, tile, c), lambda bb, j: (bb, j, 0),
+                                       memory_space=pltpu.VMEM)
+    stats_spec = pl.BlockSpec((1, 2, cout), lambda bb, j: (bb, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    top, cur, bot = _halo_specs(n_frames, f, cin, n_tiles, fpt)
+    c1, stats1 = pl.pallas_call(
+        partial(_kernel_a, f=f, tile=tile, n_tiles=n_tiles,
+                out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[lens_spec, top, cur, bot, w_spec(9 * cin, cout),
+                  row_spec(cout)],
+        out_specs=(tile_spec(cout), stats_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, cout), out_dtype),
+            jax.ShapeDtypeStruct((b, 2, cout), jnp.float32),
+        ),
+        interpret=interpret,
+    )(lens_rows, x, x, x, w1.reshape(9 * cin, cout), b1.reshape(1, cout))
+
+    topc, curc, botc = _halo_specs(n_frames, f, cout, n_tiles, fpt)
+    c2, stats2 = pl.pallas_call(
+        partial(_kernel_b, f=f, tile=tile, n_tiles=n_tiles, n_rows=n,
+                groups=groups, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[lens_spec, topc, curc, botc, stats_spec, row_spec(cout),
+                  row_spec(cout), brow_spec(cout), w_spec(9 * cout, cout),
+                  row_spec(cout)],
+        out_specs=(tile_spec(cout), stats_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, cout), out_dtype),
+            jax.ShapeDtypeStruct((b, 2, cout), jnp.float32),
+        ),
+        interpret=interpret,
+    )(lens_rows, c1, c1, c1, stats1, s1.reshape(1, cout), be1.reshape(1, cout),
+      t_bias, w2.reshape(9 * cout, cout), b2.reshape(1, cout))
+
+    identity_res = wres is None
+    if identity_res:
+        wres_in = jnp.zeros((1, 1), x.dtype)
+        bres_in = jnp.zeros((1, 1), jnp.float32)
+        wres_spec = w_spec(1, 1)
+        bres_spec = row_spec(1)
+    else:
+        wres_in = wres.reshape(cin, cout)
+        bres_in = bres.reshape(1, cout)
+        wres_spec = w_spec(cin, cout)
+        bres_spec = row_spec(cout)
+
+    out = pl.pallas_call(
+        partial(_kernel_c, tile=tile, n_rows=n, groups=groups,
+                identity_res=identity_res, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[lens_spec, tile_spec(cout), tile_spec(cin), stats_spec,
+                  row_spec(cout), row_spec(cout), wres_spec, bres_spec],
+        out_specs=tile_spec(cout),
+        out_shape=jax.ShapeDtypeStruct((b, n, cout), out_dtype),
+        interpret=interpret,
+    )(lens_rows, c2, x, stats2, s2.reshape(1, cout), be2.reshape(1, cout),
+      wres_in, bres_in)
+    return out
+
+
+def fused_resnet_block(
+    x, mask, t_bias,
+    w1, b1, gn1_scale, gn1_bias,
+    w2, b2, gn2_scale, gn2_bias,
+    wres=None, bres=None,
+    groups: int = 8,
+    interpret: Optional[bool] = None,
+    frames_per_tile: int = 0,
+):
+    """One ResnetBlock, fused (XLA twin: models/unet.py:ResnetBlock).
+
+    x: (B, T, F, Cin); mask: (B, T, 1, 1) prefix mask; t_bias: (B, Cout)
+    pre-computed FiLM bias (= Dense(mish(t_emb)), done outside — it is tiny);
+    w1/w2: (3, 3, Cin|Cout, Cout) flax conv kernels (spatial (t, f));
+    wres/bres: optional 1x1 residual projection. Returns (B, T, F, Cout).
+
+    Requires T % 8 == 0 (fix_len_compatibility guarantees it) and F*C tile-
+    friendly shapes; call sites fall back to the XLA path otherwise.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, t, f, cin = x.shape
+    lens_frames = jnp.sum(mask.reshape(bsz, t), axis=1).astype(jnp.int32)
+    lens_rows = (lens_frames * f).reshape(bsz, 1)
+    xf = x.reshape(bsz, t * f, cin)
+    out = _fused_resnet(
+        xf, lens_rows, t_bias.astype(x.dtype),
+        w1.astype(x.dtype), b1, gn1_scale, gn1_bias,
+        w2.astype(x.dtype), b2, gn2_scale, gn2_bias,
+        None if wres is None else wres.astype(x.dtype), bres,
+        n_frames=t, f=f, groups=groups, interpret=bool(interpret),
+        out_dtype_name=jnp.dtype(x.dtype).name,
+        frames_per_tile=frames_per_tile,
+    )
+    return out.reshape(bsz, t, f, -1)

@@ -68,11 +68,16 @@ class TrainLoop:
     extra_step_args: tuple = ()
 
     def __post_init__(self):
-        # DP width = the largest divisor of batch_size that fits the device
-        # count (batch shards must divide evenly)
         import jax as _jax
 
-        n_dev = len(_jax.devices())
+        # per-host dataset sharding (SURVEY §2.5): each host feeds its local
+        # devices its strided slice of the epoch; the global batch is
+        # process_count x the per-host batch
+        self.process_index = _jax.process_index()
+        self.process_count = _jax.process_count()
+        # DP width = the largest divisor of batch_size that fits the local
+        # device count (batch shards must divide evenly)
+        n_dev = len(_jax.local_devices())
         bs = self.cfg.train.batch_size
         width = max(d for d in range(1, min(n_dev, bs) + 1) if bs % d == 0)
         self.mesh = make_mesh(devices=_jax.devices()[:width])
@@ -162,6 +167,8 @@ class TrainLoop:
                 self.dataset, self.collator, self.cfg.train.batch_size,
                 key=rng, shuffle=self.cfg.train.shuffle,
                 drop_last=self.cfg.train.drop_last,
+                process_index=self.process_index,
+                process_count=self.process_count,
             ):
                 batch = self._prepare_batch(batch)
                 key, sub = jax.random.split(key)

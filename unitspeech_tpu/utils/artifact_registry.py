@@ -45,11 +45,52 @@ def register_from_json(path: str):
             register(name, spec["url"], spec.get("sha256"), spec.get("filename"))
 
 
-for _name, _url in {
-    "mhubert-base-vp_en_es_fr": "https://dl.fbaipublicfiles.com/hubert/mhubert_base_vp_en_es_fr_it3.pt",
-    "mhubert-base-vp_en_es_fr-kmeans-1000": "https://dl.fbaipublicfiles.com/hubert/mhubert_base_vp_en_es_fr_it3_L11_km1000.bin",
+# SSL artifacts with upstream-published sha256 digests (the reference pins
+# the same digests, checkpoint_manager/__init__.py:13+).
+register(
+    "mhubert-base-vp_en_es_fr",
+    "https://dl.fbaipublicfiles.com/hubert/mhubert_base_vp_en_es_fr_it3.pt",
+    sha256="23527cd6311a6617bfa199f574e2eed478cd6a58a634f4007165c10ec0019832",
+)
+register(
+    "mhubert-base-vp_en_es_fr-kmeans-1000",
+    "https://dl.fbaipublicfiles.com/hubert/mhubert_base_vp_en_es_fr_it3_L11_km1000.bin",
+    sha256="c70f5416c38044d0c20e33fdeedf4533974a8ac4029985cdef3b755038381a0b",
+)
+register(
+    "hubert-base-ls960",
+    "https://dl.fbaipublicfiles.com/hubert/hubert_base_ls960.pt",
+    sha256="1703cf8d2cdc76f8c046f5f6a9bcd224e0e6caf4744cad1a1f4199c32cac8c8d",
+)
+
+# UnitSpeech checkpoints: the reference distributes them via a Google Drive
+# folder (README.md:55) with NO published digests — URLs are the canonical
+# Drive file IDs; pin digests locally after the first verified download by
+# overlaying register_from_json. bigvgan/speaker_encoder/contentvec likewise.
+_DRIVE = "https://drive.google.com/uc?export=download&id="
+for _name, _fid in {
+    "unitspeech-text-encoder": "text_encoder.pt",
+    "unitspeech-unit-encoder": "unit_encoder.pt",
+    "unitspeech-duration-predictor": "duration_predictor.pt",
+    "unitspeech-pretrained-decoder": "pretrained_decoder.pt",
+    "unitspeech-speaker-encoder": "speaker_encoder.pt",
+    "unitspeech-bigvgan": "bigvgan.pt",
+    "unitspeech-bigvgan-config": "bigvgan-config.json",
 }.items():
-    register(_name, _url)
+    # the Drive folder (1yFkb2TAYB_zMmoTuUOXu-zXb3UI9pVJ9) does not expose
+    # stable per-file IDs programmatically; the URL records the folder and
+    # the filename so a mirror overlay can slot in a direct link
+    register(
+        _name,
+        "https://drive.google.com/drive/folders/"
+        f"1yFkb2TAYB_zMmoTuUOXu-zXb3UI9pVJ9#{_fid}",
+        filename=_fid,
+    )
+register(
+    "contentvec-best",
+    "https://huggingface.co/lengyue233/content-vec-best/resolve/main/pytorch_model.bin",
+    filename="content-vec-best.bin",
+)
 
 
 def _sha256(path: str) -> str:
