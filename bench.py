@@ -30,7 +30,7 @@ SR = 22050
 HOP = 256
 
 
-def build(smoke: bool, use_pallas: bool = True):
+def build(smoke: bool, use_pallas: bool = True, use_pallas_resnet: bool = True):
     from unitspeech_tpu.config import (
         DataConfig,
         DecoderConfig,
@@ -60,9 +60,11 @@ def build(smoke: bool, use_pallas: bool = True):
         )
     else:
         cfg = MainConfig()
+    on_tpu = jax.default_backend() == "tpu"
     models = TTSModels.random_init(
         cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
-        use_pallas_vocoder=use_pallas and jax.default_backend() == "tpu",
+        use_pallas_vocoder=use_pallas and on_tpu,
+        use_pallas_resnet=use_pallas_resnet and on_tpu,
     )
     return Synthesizer(models)
 
@@ -126,7 +128,7 @@ def main():
         run_once()
     except Exception as e:  # pragma: no cover - environment-specific
         print(f"# pallas path failed ({type(e).__name__}); XLA fallback", file=sys.stderr)
-        synth = build(args.smoke, use_pallas=False)
+        synth = build(args.smoke, use_pallas=False, use_pallas_resnet=False)
         m = synth.models
         run_once()
     run_once()

@@ -21,7 +21,7 @@ Layout: rows are flattened (time, freq) -> n = t*F + f, channels on lanes.
 conv3x3 = 9 shifted matmuls: output row n reads rows n + dt*F + df. A tile of
 TILE = 8 frames (8F rows) gets a one-frame halo from neighbor blocks (extra
 in_specs on the same array — +25% read amplification, no pre-gather pass);
-the +-1 freq shifts come from pltpu.roll on the assembled window, and the
+the +-1 freq shifts are static slice+concat row shifts, and the
 rows where a shift crosses a frame boundary are exactly the rows the static
 freq-wrap masks zero (Mosaic cannot lower strided gathers; CLAUDE.md).
 
@@ -34,13 +34,11 @@ reference (verified output-level in tests/test_reference_parity.py).
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 def _pick_frames_per_tile(t: int, f: int, c_max: int,
                           budget_bytes: int = 6 * 1024 * 1024) -> int:
@@ -62,18 +60,26 @@ def _mish_f32(x):
 
 def _group_stats(sum_c, sumsq_c, n_rows: int, groups: int, eps: float = 1e-5):
     """Per-channel f32 (sum, sumsq) -> per-channel broadcastable (mean, inv).
-    Pools channels within each group like GroupNorm."""
+    Pools channels within each group like GroupNorm.
+
+    The pooling is a matmul against a (C, C) same-group indicator matrix —
+    reshaping (C,) to (groups, C/groups) would split the 128-lane dim, which
+    Mosaic cannot lower (CLAUDE.md). One (1,C)x(C,C) matmul both pools and
+    broadcasts back per channel."""
     c = sum_c.shape[-1]
     cg = c // groups
-    gsum = jnp.sum(sum_c.reshape(groups, cg), axis=1)  # (G,)
-    gsq = jnp.sum(sumsq_c.reshape(groups, cg), axis=1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0) // cg
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1) // cg
+    same_group = (row == col).astype(jnp.float32)  # (C, C)
     m = float(n_rows * cg)
-    mean = gsum / m
-    var = gsq / m - mean * mean
-    inv = jax.lax.rsqrt(var + eps)
-    mean_c = jnp.repeat(mean.reshape(groups, 1), cg, axis=1).reshape(1, c)
-    inv_c = jnp.repeat(inv.reshape(groups, 1), cg, axis=1).reshape(1, c)
-    return mean_c, inv_c
+    mean_c = jnp.dot(
+        sum_c.reshape(1, c), same_group, preferred_element_type=jnp.float32
+    ) / m
+    ex2_c = jnp.dot(
+        sumsq_c.reshape(1, c), same_group, preferred_element_type=jnp.float32
+    ) / m
+    inv_c = jax.lax.rsqrt(ex2_c - mean_c * mean_c + eps)
+    return mean_c, inv_c  # (1, C) each, constant within each group
 
 
 def _assemble_window(top_ref, cur_ref, bot_ref, f: int, tile: int, n_tiles: int,
@@ -114,16 +120,15 @@ def _freq_wrap_masks(f: int, tile: int, dtype):
 def _conv3x3_taps(win, w_ref, f: int, tile: int):
     """9 shifted matmuls over the assembled window. win: (TILE+2F, C);
     w_ref rows: [(dt+1)*3 + (df+1)] * Cin -> (Cin, Cout). f32 accumulator."""
-    import jax.experimental.pallas as pltpu_roll  # noqa: F401
-    from jax.experimental.pallas import tpu as pltpu
-
     cin = win.shape[-1]
     mask_m, mask_p = _freq_wrap_masks(f, tile, win.dtype)
-    # pltpu.roll(x, shift, axis): out[i] = x[(i - shift) % L]; shift must be
-    # non-negative, so the +1 shift is expressed as L-1
-    length = win.shape[0]
-    win_m = pltpu.roll(win, 1, 0) * mask_m            # row i = win[i-1] (df=-1)
-    win_p = pltpu.roll(win, length - 1, 0) * mask_p   # row i = win[i+1] (df=+1)
+    # +-1 row shifts as static slice+concat (Mosaic's rotate op does not
+    # support 16-bit data). The zero edge row replaces roll's wraparound row,
+    # which the freq-wrap mask kills either way (the window's first/last rows
+    # are frame-boundary rows by construction: (2F-1) % F == F-1).
+    zero_row = jnp.zeros((1, cin), win.dtype)
+    win_m = jnp.concatenate([zero_row, win[:-1]], 0) * mask_m  # row i = win[i-1]
+    win_p = jnp.concatenate([win[1:], zero_row], 0) * mask_p   # row i = win[i+1]
     acc = None
     for dt in (-1, 0, 1):
         base = f + dt * f
