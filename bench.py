@@ -81,12 +81,6 @@ def main():
                     help="guidance scales 0 (BASELINE config 1)")
     args = ap.parse_args()
 
-    from unitspeech_tpu.infer.tts import (
-        _align_sample_vocode,
-        _encode_and_duration,
-    )
-    from unitspeech_tpu.ops.masking import sequence_mask
-
     synth = build(args.smoke)
     m = synth.models
     frames = args.frames if not args.smoke else 48
@@ -95,27 +89,27 @@ def main():
     n_tok = 140 if not args.smoke else 12
     b = args.batch
     rng = np.random.default_rng(0)
-    tokens = jnp.asarray(rng.integers(1, 179, (b, n_tok)), jnp.int32)
-    lengths = jnp.full((b,), n_tok)
+    tokens_np = rng.integers(1, 179, (b, n_tok)).astype(np.int32)
     key = jax.random.PRNGKey(42)
+    tg = sg = 0.0 if args.no_cfg else 1.0
 
     def run_once():
-        spk = jnp.broadcast_to(m.spk_emb, (b, m.spk_emb.shape[-1]))
-        mu_x, x_mask, w_ceil = _encode_and_duration(
-            m.text_encoder, m.text_encoder_params,
-            m.duration_predictor, m.duration_predictor_params,
-            tokens, lengths, spk,
-        )
-        # pin durations -> fixed output length (stable benchmark shape)
-        w_fixed = jnp.full_like(w_ceil, frames / n_tok)
-        y_mask = sequence_mask(jnp.full((b,), frames), frames)
-        wav, _mel, _attn = _align_sample_vocode(
-            m.decoder.apply, m.decoder_params, m.vocoder, m.vocoder_params,
-            mu_x, x_mask, w_fixed, y_mask, spk, key, m.mel_min, m.mel_max,
-            n_timesteps=args.steps,
-            text_gradient_scale=0.0 if args.no_cfg else 1.0,
-            spk_gradient_scale=0.0 if args.no_cfg else 1.0,
-            beta_min=m.cfg.decoder.beta_min, beta_max=m.cfg.decoder.beta_max,
+        # The real serving path: durations pinned to frames/n_tok so the
+        # synthesized length is the baseline's mean speech duration; the
+        # whole pipeline (encode -> duration -> align -> scan sampler ->
+        # vocoder) is ONE dispatch since the bucket is known up front
+        # (Synthesizer.__call__ forced-durations policy).
+        if b == 1:
+            wav, _sr = synth(
+                list(tokens_np[0]), key, _forced_total_frames=frames,
+                diffusion_steps=args.steps,
+                text_gradient_scale=tg, spk_gradient_scale=sg,
+            )
+            return np.asarray(wav)
+        w = np.full((b, n_tok), frames / n_tok, np.float32)
+        wav, _mel, ylens, _yp, _fits = synth._single_dispatch(
+            tokens_np, np.full((b,), n_tok), w, frames, key,
+            args.steps, 1.0, tg, sg,
         )
         # NOTE: np.asarray, not block_until_ready — the axon platform's
         # block_until_ready returns before execution finishes; materializing

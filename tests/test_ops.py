@@ -83,3 +83,43 @@ def test_buckets():
     assert choose_bucket(100, buckets) in buckets
     # monotone
     assert list(buckets) == sorted(buckets)
+
+
+# --- conv3x3 matmul reformulations (ops/conv_matmul.py) ---------------------
+
+
+@pytest.mark.parametrize(
+    "cin,cout,impl",
+    [(512, 512, "taps"), (512, 1024, "im2col"),
+     (1024, 1024, "im2col"), (1024, 512, "im2col"), (8, 16, "taps")],
+)
+def test_conv3x3_matmul_exact_vs_nn_conv(cin, cout, impl):
+    """taps/im2col are EXACT reformulations of a SAME-padded 3x3 conv on the
+    (T, F) grid — checkpoint-compatible with nn.Conv at the deep U-Net
+    stages (the shapes where Block swaps implementations)."""
+    import flax.linen as nn
+    import jax
+
+    from unitspeech_tpu.ops.conv_matmul import conv3x3_matmul
+
+    b, t, f = 2, 6, 5
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (b, t, f, cin))
+    conv = nn.Conv(cout, (3, 3), padding=[(1, 1), (1, 1)])
+    p = conv.init(jax.random.PRNGKey(1), x)
+    ref = np.asarray(conv.apply(p, x))
+    got = np.asarray(
+        conv3x3_matmul(x, p["params"]["kernel"], p["params"]["bias"], impl)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_choose_conv_impl_stages():
+    from unitspeech_tpu.ops.conv_matmul import choose_conv_impl
+
+    assert choose_conv_impl(2, 128) == "xla"       # stage0 entry
+    assert choose_conv_impl(256, 256) == "xla"     # stage1
+    assert choose_conv_impl(512, 512) == "taps"    # stage2
+    assert choose_conv_impl(512, 1024) == "im2col"  # stage3 entry
+    assert choose_conv_impl(1024, 1024) == "im2col"  # mid
+    assert choose_conv_impl(1024, 512) == "im2col"  # up skip-concat

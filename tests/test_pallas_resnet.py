@@ -108,3 +108,48 @@ def test_estimator_pallas_resnet_parity():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-4
     )
+
+
+def test_flat_matmul_resnet_parity(monkeypatch):
+    """Deep-stage ResnetBlocks (C >= 512) run whole-block in the flat
+    (B, T*F, C) layout with matmul convs; same params must reproduce the
+    nn.Conv branch (which we force via the impl chooser) to f32 tolerance."""
+    import unitspeech_tpu.ops.conv_matmul as cm
+    from unitspeech_tpu.models.unet import ResnetBlock
+
+    b, t, f, cin, cout = 2, 8, 4, 512, 512
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (b, t, f, cin)) * 0.4
+    t_emb = jax.random.normal(jax.random.fold_in(key, 2), (b, 24))
+    mask = (jnp.arange(t)[None, :] < jnp.asarray([8, 5])[:, None]).astype(
+        jnp.float32
+    )[:, :, None, None]
+
+    block = ResnetBlock(cout, groups=8)
+    params = block.init(key, x, mask, t_emb)  # flat branch builds the tree
+    got = np.asarray(block.apply(params, x, mask, t_emb))
+
+    monkeypatch.setattr(cm, "choose_conv_impl", lambda ci, co: "xla")
+    ref = np.asarray(block.apply(params, x, mask, t_emb))
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
+    assert np.all(got[1, 5:] == 0.0)  # padding stays zero
+
+
+def test_flat_matmul_resnet_res_conv_parity(monkeypatch):
+    """Same, with the 1x1 residual projection path (cin != cout)."""
+    import unitspeech_tpu.ops.conv_matmul as cm
+    from unitspeech_tpu.models.unet import ResnetBlock
+
+    b, t, f, cin, cout = 1, 4, 4, 256, 512
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (b, t, f, cin)) * 0.4
+    t_emb = jax.random.normal(jax.random.fold_in(key, 2), (b, 24))
+    mask = jnp.ones((b, t, 1, 1))
+
+    block = ResnetBlock(cout, groups=8)
+    params = block.init(key, x, mask, t_emb)
+    got = np.asarray(block.apply(params, x, mask, t_emb))
+
+    monkeypatch.setattr(cm, "choose_conv_impl", lambda ci, co: "xla")
+    ref = np.asarray(block.apply(params, x, mask, t_emb))
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)

@@ -119,3 +119,37 @@ def test_warmup_covers_served_grid(tiny_synth):
     assert choose_bucket(6, synth.token_buckets) == choose_bucket(
         6, synth.token_buckets
     )
+
+
+def test_single_dispatch_matches_exact_path(tiny_synth):
+    """Forced-duration requests run the WHOLE pipeline as one dispatch
+    (encode -> duration -> align -> sampler -> vocoder); the waveform must
+    match the exact two-dispatch path bit-for-bit given the same key."""
+    tokens = [1, 5, 9, 3, 7, 2]
+    kw = dict(diffusion_steps=3, text_gradient_scale=1.0,
+              spk_gradient_scale=1.0, _forced_total_frames=24)
+    wav_fused, sr1 = tiny_synth(tokens, jax.random.PRNGKey(11), **kw)
+    wav_exact, sr2 = tiny_synth(tokens, jax.random.PRNGKey(11), _exact=True, **kw)
+    assert sr1 == sr2
+    np.testing.assert_allclose(wav_fused, wav_exact, atol=1e-5, rtol=1e-5)
+
+
+def test_speculative_serving_fits_and_fallback(tiny_synth):
+    """Speculative mode: a generous frames-per-token guess serves in one
+    dispatch; a guess of ~0 overflows and must fall back to the exact path,
+    returning the identical waveform."""
+    import dataclasses as dc
+
+    tokens = [1, 5, 9, 3]
+    kw = dict(diffusion_steps=2, text_gradient_scale=0.0,
+              spk_gradient_scale=0.0)
+    wav_ref, _ = tiny_synth(tokens, jax.random.PRNGKey(5), **kw)
+
+    spec = dc.replace(tiny_synth, speculative_frames_per_token=64.0)
+    wav_spec, _ = spec(tokens, jax.random.PRNGKey(5), **kw)
+    # same mel content, different bucket padding -> same synthesized length
+    assert len(wav_spec) == len(wav_ref)
+
+    tight = dc.replace(tiny_synth, speculative_frames_per_token=1e-6)
+    wav_fb, _ = tight(tokens, jax.random.PRNGKey(5), **kw)
+    np.testing.assert_allclose(wav_fb, wav_ref, atol=0, rtol=0)

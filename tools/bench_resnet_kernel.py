@@ -44,7 +44,7 @@ def main():
     args = ap.parse_args()
 
     from unitspeech_tpu.models.unet import ResnetBlock, mish
-    from unitspeech_tpu.ops.pallas_resnet import fused_resnet_block
+    from unitspeech_tpu.ops.pallas_resnet import fused_resnet_block, supports_shape
 
     dtype = jnp.dtype(args.dtype)
     print(f"backend={jax.default_backend()} dtype={dtype.name}", flush=True)
@@ -74,18 +74,22 @@ def main():
             block.init(jax.random.PRNGKey(1), x, mask, t_emb),
         )["params"]
 
-        def xla_chain(k):
+        # chains return an f32 SCALAR: materializing the (3,T,F,C) output
+        # costs ~450 ms over the ~47 MB/s tunnel and its jitter swamps the
+        # differenced block time (observed: negative ms/block)
+        def xla_chain(k, reduce=True):
             @jax.jit
             def run(xx):
                 def body(i, h):
                     return block.apply({"params": params}, h, mask, t_emb)
-                return lax.fori_loop(0, k, body, xx)
+                out = lax.fori_loop(0, k, body, xx)
+                return jnp.sum(out.astype(jnp.float32)) if reduce else out
             return run
 
         t_bias = (mish(t_emb.astype(jnp.float32)) @ params["mlp"]["kernel"]
                   + params["mlp"]["bias"])
 
-        def pallas_chain(k):
+        def pallas_chain(k, reduce=True):
             @jax.jit
             def run(xx):
                 def body(i, h):
@@ -101,16 +105,25 @@ def main():
                         params["block2"]["norm"]["bias"],
                         groups=8, interpret=False,
                     ).astype(h.dtype)
-                return lax.fori_loop(0, k, body, xx)
+                out = lax.fori_loop(0, k, body, xx)
+                return jnp.sum(out.astype(jnp.float32)) if reduce else out
             return run
 
         dt_x = (_timed(xla_chain(args.k2), x) - _timed(xla_chain(args.k1), x)) \
             / (args.k2 - args.k1)
+        if not supports_shape(t, f):
+            print(f"stage{si} T={t} F={f} C={c}: xla {dt_x*1e3:.3f} ms/block  "
+                  f"pallas SKIP (F%8!=0 -> XLA fallback in the estimator)",
+                  flush=True)
+            w = weights.get(si, 1)
+            total_x += w * dt_x
+            total_p += w * dt_x
+            continue
         try:
             dt_p = (_timed(pallas_chain(args.k2), x)
                     - _timed(pallas_chain(args.k1), x)) / (args.k2 - args.k1)
-            ref = np.asarray(xla_chain(1)(x), np.float32)
-            got = np.asarray(pallas_chain(1)(x), np.float32)
+            ref = np.asarray(xla_chain(1, reduce=False)(x), np.float32)
+            got = np.asarray(pallas_chain(1, reduce=False)(x), np.float32)
             err = np.abs(ref - got).max() / (np.abs(ref).max() + 1e-6)
             note = f"relerr={err:.2e}"
         except Exception as e:  # noqa: BLE001

@@ -190,6 +190,59 @@ def _vocode_jit(vocoder, vocoder_params, mel):
 @partial(
     jax.jit,
     static_argnames=(
+        "text_encoder", "duration_predictor", "decoder_apply", "vocoder",
+        "frame_bucket", "n_timesteps", "length_scale", "text_gradient_scale",
+        "spk_gradient_scale", "beta_min", "beta_max", "override_durations",
+        "mesh", "sample_spec",
+    ),
+)
+def _synthesize_single_dispatch(
+    text_encoder, te_params, duration_predictor, dp_params,
+    decoder_apply, dec_params, vocoder, vocoder_params,
+    tokens, lengths, w_override, spk_emb, key, mel_min, mel_max,
+    frame_bucket: int, n_timesteps: int, length_scale: float,
+    text_gradient_scale: float, spk_gradient_scale: float,
+    beta_min: float, beta_max: float, override_durations: bool = False,
+    mesh=None, sample_spec=None,
+):
+    """The ENTIRE pipeline — text encoder -> duration -> alignment -> scan
+    sampler -> BigVGAN — as ONE device dispatch at a statically chosen frame
+    bucket. Per-dispatch latency is ~35 ms on tunneled TPU setups, so merging
+    the encode and sample dispatches matters whenever the output bucket is
+    known up front: forced-duration runs (warmup, benchmarks), voice
+    conversion (output length = source length), and speculative serving
+    (bucket guessed from token count; `fits` reports whether the predicted
+    durations overflowed it and the caller must re-run the exact path).
+
+    Returns (wav, mel, y_lengths, y_pred_lengths, fits): y_lengths are the
+    lengths actually synthesized (clamped to the bucket); y_pred_lengths are
+    the duration predictor's (kept as an output so duration compute is never
+    dead-code-eliminated under override_durations).
+    """
+    mu_x, hidden, x_mask = text_encoder.apply(te_params, tokens, lengths)
+    logw = duration_predictor.apply(
+        dp_params, hidden, x_mask, g=spk_emb, reverse=True
+    )
+    # ceil BEFORE length_scale (reference unitspeech.py:424-425)
+    w_pred = jnp.ceil(jnp.exp(logw) * x_mask[..., 0]) * length_scale
+    y_pred_lengths = jnp.maximum(jnp.sum(w_pred, axis=1), 1.0)
+    w_ceil = w_override if override_durations else w_pred
+    y_lengths = jnp.maximum(jnp.sum(w_ceil, axis=1).astype(jnp.int32), 1)
+    fits = jnp.all(y_lengths <= frame_bucket)
+    y_mask = sequence_mask(jnp.minimum(y_lengths, frame_bucket), frame_bucket)
+    wav, mel, _attn = _align_sample_vocode(
+        decoder_apply, dec_params, vocoder, vocoder_params,
+        mu_x, x_mask, w_ceil, y_mask, spk_emb, key, mel_min, mel_max,
+        n_timesteps=n_timesteps, text_gradient_scale=text_gradient_scale,
+        spk_gradient_scale=spk_gradient_scale,
+        beta_min=beta_min, beta_max=beta_max, mesh=mesh, sample_spec=sample_spec,
+    )
+    return wav, mel, y_lengths, y_pred_lengths, fits
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
         "decoder_apply", "vocoder", "n_timesteps", "text_gradient_scale",
         "spk_gradient_scale", "beta_min", "beta_max", "mesh", "sample_spec",
     ),
@@ -228,6 +281,14 @@ class Synthesizer:
     # sample_spec = PartitionSpec(None, "seq", None)
     mesh: Any = None
     sample_spec: Any = None
+    # opt-in speculative single-dispatch serving: guess the frame bucket as
+    # choose_bucket(n_tokens * this ratio) and run the whole pipeline in one
+    # dispatch; if the predicted durations overflow the guess, fall back to
+    # the exact two-dispatch path. None = always exact. Worth it only when
+    # the guess is tight — bucket padding runs the 50-step sampler at the
+    # padded length, which costs more than the saved dispatch if the ratio
+    # over-shoots by more than ~10%.
+    speculative_frames_per_token: Optional[float] = None
 
     def synthesize_mel(
         self,
@@ -348,26 +409,32 @@ class Synthesizer:
         return [(wavs[i, : int(y_lengths[i]) * hop], sr) for i in range(b)]
 
     def warmup(self, token_lengths=(64,), frame_lengths=(344,), key=None,
-               **synth_kwargs):
+               modes=("exact",), **synth_kwargs):
         """Precompile the (token bucket, frame bucket) grid before serving.
 
         The data-dependent output length means each new bucket pair triggers
         one XLA compile; a serving process calls this once at startup so no
         request pays compile latency.
 
-        This drives the EXACT serving code path (__call__ with a duration
+        This drives the REAL serving code paths (__call__ with a duration
         override that sums to the target frame count), so bucket selection,
-        mask construction, and the fused executable are provably the ones a
+        mask construction, and the fused executables are provably the ones a
         real request uses — a ladder change cannot desync warmed vs served
-        shapes (tests/test_tts_e2e.py asserts zero post-warmup compiles)."""
+        shapes (tests/test_tts_e2e.py asserts zero post-warmup compiles).
+
+        modes: "exact" warms the two-dispatch path open-ended text requests
+        use; "fused" warms the single-dispatch executable used by
+        forced-duration requests and speculative serving
+        (speculative_frames_per_token) at the same bucket pairs."""
         import itertools
 
         key = jax.random.PRNGKey(0) if key is None else key
         for n_tok, frames in itertools.product(token_lengths, frame_lengths):
-            self(
-                [1] * n_tok, key, _forced_total_frames=int(frames),
-                **synth_kwargs,
-            )
+            for mode in modes:
+                self(
+                    [1] * n_tok, key, _forced_total_frames=int(frames),
+                    _exact=(mode == "exact"), **synth_kwargs,
+                )
 
     def vocode(self, mel):
         m = self.models
@@ -375,13 +442,41 @@ class Synthesizer:
             raise ValueError("Synthesizer built without a vocoder.")
         return _vocode_jit(m.vocoder, m.vocoder_params, mel)
 
+    def _single_dispatch(self, tokens, lengths, w_override, frame_bucket,
+                         key, steps, lscale, tg, sg):
+        """Run _synthesize_single_dispatch over a (B, tok_bucket) batch."""
+        m = self.models
+        override = w_override is not None
+        if not override:
+            w_override = jnp.zeros_like(tokens, jnp.float32)
+        b = tokens.shape[0]
+        spk = jnp.broadcast_to(m.spk_emb, (b, m.spk_emb.shape[-1]))
+        return _synthesize_single_dispatch(
+            m.text_encoder, m.text_encoder_params,
+            m.duration_predictor, m.duration_predictor_params,
+            m.decoder.apply, m.decoder_params, m.vocoder, m.vocoder_params,
+            jnp.asarray(tokens), jnp.asarray(lengths), jnp.asarray(w_override),
+            spk, key, m.mel_min, m.mel_max,
+            frame_bucket=int(frame_bucket), n_timesteps=int(steps),
+            length_scale=float(lscale), text_gradient_scale=float(tg),
+            spk_gradient_scale=float(sg),
+            beta_min=m.cfg.decoder.beta_min, beta_max=m.cfg.decoder.beta_max,
+            override_durations=override,
+            mesh=self.mesh, sample_spec=self.sample_spec,
+        )
+
     def __call__(self, token_ids: Sequence[int], key, **kwargs):
         """Token IDs -> (waveform np.ndarray (n_samples,), sample_rate).
-        Runs the post-duration pipeline as a single fused dispatch.
 
-        _forced_total_frames (internal, used by warmup): replace the predicted
-        durations with ones summing to exactly this frame count, so a target
-        frame bucket can be exercised through the real serving path."""
+        Dispatch policy (per-dispatch latency is ~35 ms on tunneled TPUs):
+          * _forced_total_frames set (warmup, benchmarks): the frame bucket is
+            known up front -> the WHOLE pipeline runs as one dispatch.
+          * speculative_frames_per_token set: one dispatch at a guessed
+            bucket; exact two-dispatch fallback if predictions overflow it.
+          * otherwise: exact — encode+duration dispatch, host sync for the
+            data-dependent length (reference unitspeech.py:427-429), then the
+            fused align->sample->vocode dispatch.
+        """
         m = self.models
         if m.vocoder is None:
             raise ValueError("Synthesizer built without a vocoder.")
@@ -395,23 +490,55 @@ class Synthesizer:
         sg = icfg.spk_gradient_scale if sg is None else sg
         forced_frames = kwargs.get("_forced_total_frames")
 
+        hop = m.cfg.data.hop_length
+        sr = m.cfg.data.sampling_rate
+        num_down = m.cfg.decoder.num_downsamplings
+        exact = bool(kwargs.get("_exact", False))
         n_tok = len(token_ids)
         tok_bucket = choose_bucket(n_tok, self.token_buckets)
         tokens = np.zeros((1, tok_bucket), dtype=np.int32)
         tokens[0, :n_tok] = token_ids
+
+        w_forced = None
+        if forced_frames is not None:
+            w_forced = np.zeros((1, tok_bucket), np.float32)
+            w_forced[0, :n_tok] = forced_frames // n_tok
+            w_forced[0, 0] += forced_frames - (forced_frames // n_tok) * n_tok
+
+        if forced_frames is not None and not exact:
+            bucket = choose_bucket(
+                fix_len_compatibility(int(forced_frames), num_down),
+                self.frame_buckets,
+            )
+            wav, _mel, y_lengths, _yp, _fits = self._single_dispatch(
+                tokens, [n_tok], w_forced, bucket, key, steps, lscale, tg, sg
+            )
+            wav, y_len = jax.device_get((wav, y_lengths))
+            return np.asarray(wav)[0, : int(y_len[0]) * hop], sr
+
+        if self.speculative_frames_per_token is not None and not exact \
+                and forced_frames is None:
+            guess = int(np.ceil(n_tok * self.speculative_frames_per_token))
+            bucket = choose_bucket(
+                fix_len_compatibility(guess, num_down), self.frame_buckets
+            )
+            wav, _mel, y_lengths, _yp, fits = self._single_dispatch(
+                tokens, [n_tok], None, bucket, key, steps, lscale, tg, sg
+            )
+            wav, y_len, fits = jax.device_get((wav, y_lengths, fits))
+            if bool(fits):
+                return np.asarray(wav)[0, : int(y_len[0]) * hop], sr
+            # predicted durations overflowed the guessed bucket: exact re-run
+
         mu_x, x_mask, w_ceil = _encode_and_duration(
             m.text_encoder, m.text_encoder_params,
             m.duration_predictor, m.duration_predictor_params,
             jnp.asarray(tokens), jnp.array([n_tok]), m.spk_emb,
         )
         w_ceil = w_ceil * lscale
-        if forced_frames is not None:
-            w = np.zeros((1, tok_bucket), np.float32)
-            w[0, :n_tok] = forced_frames // n_tok
-            w[0, 0] += forced_frames - (forced_frames // n_tok) * n_tok
-            w_ceil = jnp.asarray(w)
+        if w_forced is not None:  # exact-path warmup at a target frame count
+            w_ceil = jnp.asarray(w_forced)
         y_length = max(int(np.asarray(jnp.sum(w_ceil, axis=1))[0]), 1)
-        num_down = m.cfg.decoder.num_downsamplings
         y_pad = choose_bucket(
             fix_len_compatibility(y_length, num_down), self.frame_buckets
         )
@@ -424,6 +551,4 @@ class Synthesizer:
             beta_min=m.cfg.decoder.beta_min, beta_max=m.cfg.decoder.beta_max,
             mesh=self.mesh, sample_spec=self.sample_spec,
         )
-        hop = m.cfg.data.hop_length
-        n_samples = y_length * hop
-        return np.asarray(wav[0, :n_samples]), m.cfg.data.sampling_rate
+        return np.asarray(wav[0, : y_length * hop]), sr

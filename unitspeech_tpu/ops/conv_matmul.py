@@ -1,0 +1,117 @@
+"""conv3x3 as explicit MXU matmuls over the flattened (time*freq, C) layout.
+
+At the U-Net's deep stages the activation tensors are small (2.6-5.3 MB) but
+XLA's conv lowering costs 2-6x the MXU matmul floor (measured on v5e,
+tools/bench_conv_variants.py: stage3 nn.Conv 0.778 ms vs 0.132 ms as one
+im2col matmul; stage2 0.421 vs 0.366 as 9 shifted matmuls). Reformulating the
+conv as plain matmuls lets XLA tile the MXU directly:
+
+  * ``taps``:   out[n] = sum_{dt,df} x[n + dt*F + df] @ W[dt,df]  — 9 matmuls,
+                row shifts are pad/slice, freq-wrap rows masked to zero.
+  * ``im2col``: concat the 9 shifted copies on channels -> one
+                (N, 9*Cin) x (9*Cin, Cout) matmul. 9x read amplification,
+                wins when compute dominates bytes (Cout >= 1024).
+
+Both are exact reformulations of a padding=SAME 3x3 conv on the (T, F) grid
+(verified to float32 roundoff vs flax nn.Conv in tests/test_ops.py), so they
+are safe for training and inference alike. The reference computes the same
+convs via torch Conv2d NCHW (/root/reference/unitspeech/unitspeech.py:46-55).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _shifted(base, df, wrap_m, wrap_p, z1):
+    if df == -1:
+        return jnp.concatenate([z1, base[:, :-1]], 1) * wrap_m
+    if df == 1:
+        return jnp.concatenate([base[:, 1:], z1], 1) * wrap_p
+    return base
+
+
+def _time_shifts(xf, f):
+    b, n, cin = xf.shape
+    zf = jnp.zeros((b, f, cin), xf.dtype)
+    return {
+        -1: jnp.concatenate([zf, xf[:, :-f]], 1),
+        0: xf,
+        1: jnp.concatenate([xf[:, f:], zf], 1),
+    }
+
+
+def _wrap_masks(n, f, dtype):
+    idx = jnp.arange(n) % f
+    wrap_m = (idx != 0).astype(dtype)[None, :, None]      # df=-1 kills f==0
+    wrap_p = (idx != f - 1).astype(dtype)[None, :, None]  # df=+1 kills f==F-1
+    return wrap_m, wrap_p
+
+
+def conv3x3_taps(xf, w, f: int):
+    """9 shifted matmuls. xf: (B, N=T*F, Cin); w: (3, 3, Cin, Cout) flax
+    kernel (spatial (t, f)). Returns (B, N, Cout) float32 accumulators."""
+    b, n, cin = xf.shape
+    wrap_m, wrap_p = _wrap_masks(n, f, xf.dtype)
+    z1 = jnp.zeros((b, 1, cin), xf.dtype)
+    x_dt = _time_shifts(xf, f)
+    acc = None
+    for dt in (-1, 0, 1):
+        for df in (-1, 0, 1):
+            tap = _shifted(x_dt[dt], df, wrap_m, wrap_p, z1)
+            part = jnp.einsum(
+                "bnc,cd->bnd", tap, w[dt + 1, df + 1],
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+    return acc
+
+
+def conv3x3_im2col(xf, w, f: int):
+    """One (B, N, 9*Cin) x (9*Cin, Cout) matmul (column order = (dt, df)
+    row-major, matching w.reshape(9*Cin, Cout))."""
+    b, n, cin = xf.shape
+    wrap_m, wrap_p = _wrap_masks(n, f, xf.dtype)
+    z1 = jnp.zeros((b, 1, cin), xf.dtype)
+    x_dt = _time_shifts(xf, f)
+    cols = []
+    for dt in (-1, 0, 1):
+        for df in (-1, 0, 1):
+            cols.append(_shifted(x_dt[dt], df, wrap_m, wrap_p, z1))
+    col = jnp.concatenate(cols, -1)
+    return jnp.einsum(
+        "bnk,kd->bnd", col, w.reshape(9 * cin, -1),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def choose_conv_impl(cin: int, cout: int) -> str:
+    """Shape-keyed implementation choice, from v5e measurements at the
+    reference estimator stages (tools/bench_conv_variants.py):
+
+      C=128, F=80: nn.Conv 0.638 / fused-Pallas 0.539 ms  -> "xla"
+      C=256, F=40: nn.Conv 0.652 / fused-Pallas 0.357 ms  -> "xla"
+      C=512, F=20: nn.Conv 0.421 / taps 0.366 / im2col 0.443 -> "taps"
+      C=1024,F=10: nn.Conv 0.778 / taps 0.390 / im2col 0.132 -> "im2col"
+
+    The early stages stay "xla" here because the fused Pallas ResnetBlock
+    (ops/pallas_resnet.py) covers them; when it is disabled they are
+    HBM-bound and nn.Conv is already near the roofline."""
+    if max(cin, cout) >= 1024:
+        return "im2col"
+    if max(cin, cout) >= 512:
+        return "taps"
+    return "xla"
+
+
+def conv3x3_matmul(x, w, bias, impl: str):
+    """(B, T, F, Cin) -> (B, T, F, Cout) via the chosen matmul formulation,
+    rounding the f32 accumulator to x.dtype once (same numerics contract as
+    the fused Pallas kernels)."""
+    b, t, f, cin = x.shape
+    xf = x.reshape(b, t * f, cin)
+    fn = conv3x3_im2col if impl == "im2col" else conv3x3_taps
+    y = fn(xf, w.astype(x.dtype), f)
+    if bias is not None:
+        y = y + bias
+    return y.astype(x.dtype).reshape(b, t, f, -1)

@@ -42,15 +42,31 @@ import jax.numpy as jnp
 
 def _pick_frames_per_tile(t: int, f: int, c_max: int,
                           budget_bytes: int = 6 * 1024 * 1024) -> int:
-    """Largest divisor of T whose tile fits the VMEM working set (~10 bytes
-    per row-channel: double-buffered bf16 in/out blocks + f32 accumulator).
-    T halves per U-Net stage (344 -> 172 -> 86 -> 43), so divisors, not
-    powers of two."""
-    best = 1
+    """Divisor of T whose tile is closest to ~1024 rows within the VMEM
+    working-set budget (~10 bytes per row-channel: double-buffered bf16
+    in/out blocks + f32 accumulator). v5e sweep (tools/bench_conv_variants
+    --fpt-sweep): tiny tiles pay halo re-reads (stage1 fpt=1: 0.755 ms vs
+    0.356 at fpt=43); very large tiles pipeline slightly worse (stage0
+    fpt=43/3440 rows: 0.562 ms vs 0.539 at fpt=8/640 rows). T halves per
+    U-Net stage (344 -> 172 -> 86), so divisors, not powers of two."""
+    target_rows = 1024
+    best, best_key = 1, None
     for k in range(1, t + 1):
         if t % k == 0 and k * f * c_max * 10 <= budget_bytes:
-            best = k
+            key = (abs(k * f - target_rows), -k)
+            if best_key is None or key < best_key:
+                best, best_key = k, key
     return best
+
+
+def supports_shape(t: int, f: int) -> bool:
+    """Mosaic requires every block's sublane dim be a multiple of 8: the
+    center tile is fpt*f rows and the halo blocks are f rows, so the fused
+    path needs f % 8 == 0. In the estimator that holds for the first two
+    U-Net stages (F=80, 40); the deeper stages (F=20, 10) fall back to the
+    XLA ResnetBlock — they carry 4-8x fewer activation bytes, so the HBM win
+    lives in the early stages anyway."""
+    return f % 8 == 0 and t >= 1
 
 
 def _mish_f32(x):
@@ -102,7 +118,7 @@ def _assemble_window(top_ref, cur_ref, bot_ref, f: int, tile: int, n_tiles: int,
         jax.lax.broadcasted_iota(jnp.int32, (tile + 2 * f, 1), 0)
         + j * tile - f
     )
-    valid = (n_global >= 0) & (n_global < valid_rows_ref[0, 0])
+    valid = (n_global >= 0) & (n_global < valid_rows_ref[0, 0, 0])
     return win * valid.astype(win.dtype)
 
 
@@ -178,14 +194,14 @@ def _kernel_b(lens_ref, top_ref, cur_ref, bot_ref, stats_ref, scale_ref,
     h = (win.astype(jnp.float32) - mean) * inv
     h = h * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
     h = _mish_f32(h)
-    h = h + film_ref[:].astype(jnp.float32)
+    h = h + film_ref[0].astype(jnp.float32)
     # re-mask: mish(gn)+film un-zeroes padding rows; conv2's input mask
     # (reference Block, unitspeech.py:52) and the t-halo zeroing coincide
     n_global = (
         jax.lax.broadcasted_iota(jnp.int32, (tile + 2 * f, 1), 0)
         + j * tile - f
     )
-    valid = (n_global >= 0) & (n_global < lens_ref[0, 0])
+    valid = (n_global >= 0) & (n_global < lens_ref[0, 0, 0])
     h = (h * valid.astype(jnp.float32)).astype(win.dtype)
 
     acc = _conv3x3_taps(h, w_ref, f, tile) + b_ref[:].astype(jnp.float32)
@@ -213,7 +229,7 @@ def _kernel_c(lens_ref, c2_ref, x_ref, stats_ref, scale_ref, bias_ref,
     h = h * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
     h = _mish_f32(h)
     n_global = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + j * tile
-    valid = (n_global < lens_ref[0, 0]).astype(jnp.float32)
+    valid = (n_global < lens_ref[0, 0, 0]).astype(jnp.float32)
     h = h * valid
 
     x = x_ref[0]
@@ -270,11 +286,15 @@ def _fused_resnet(
     n_tiles = n // tile
     grid = (b, n_tiles)
 
-    lens_spec = pl.BlockSpec((1, 1), lambda bb, j: (bb, 0),
+    # batched per-row operands carry a singleton middle axis so the BLOCK's
+    # last two dims equal the ARRAY's last two dims — Mosaic requires block
+    # dims be (8,128)-divisible or exactly match the array (a (1,1) block
+    # over (B,1) fails for B>1; verified on-chip)
+    lens_spec = pl.BlockSpec((1, 1, 1), lambda bb, j: (bb, 0, 0),
                              memory_space=pltpu.SMEM)
     row_spec = lambda c: pl.BlockSpec((1, c), lambda bb, j: (0, 0),
                                       memory_space=pltpu.VMEM)
-    brow_spec = lambda c: pl.BlockSpec((1, c), lambda bb, j: (bb, 0),
+    brow_spec = lambda c: pl.BlockSpec((1, 1, c), lambda bb, j: (bb, 0, 0),
                                        memory_space=pltpu.VMEM)
     w_spec = lambda k, c: pl.BlockSpec((k, c), lambda bb, j: (0, 0),
                                        memory_space=pltpu.VMEM)
@@ -313,7 +333,8 @@ def _fused_resnet(
         ),
         interpret=interpret,
     )(lens_rows, c1, c1, c1, stats1, s1.reshape(1, cout), be1.reshape(1, cout),
-      t_bias, w2.reshape(9 * cout, cout), b2.reshape(1, cout))
+      t_bias.reshape(b, 1, cout), w2.reshape(9 * cout, cout),
+      b2.reshape(1, cout))
 
     identity_res = wres is None
     if identity_res:
@@ -364,7 +385,7 @@ def fused_resnet_block(
         interpret = jax.default_backend() != "tpu"
     bsz, t, f, cin = x.shape
     lens_frames = jnp.sum(mask.reshape(bsz, t), axis=1).astype(jnp.int32)
-    lens_rows = (lens_frames * f).reshape(bsz, 1)
+    lens_rows = (lens_frames * f).reshape(bsz, 1, 1)
     xf = x.reshape(bsz, t * f, cin)
     out = _fused_resnet(
         xf, lens_rows, t_bias.astype(x.dtype),
