@@ -30,7 +30,8 @@ SR = 22050
 HOP = 256
 
 
-def build(smoke: bool, use_pallas: bool = True, use_pallas_resnet: bool = True):
+def build(smoke: bool, use_pallas: bool = True, use_pallas_resnet: bool = True,
+          use_int8: bool = False):
     from unitspeech_tpu.config import (
         DataConfig,
         DecoderConfig,
@@ -65,6 +66,7 @@ def build(smoke: bool, use_pallas: bool = True, use_pallas_resnet: bool = True):
         cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
         use_pallas_vocoder=use_pallas and on_tpu,
         use_pallas_resnet=use_pallas_resnet and on_tpu,
+        use_int8_deep=use_int8,
     )
     return Synthesizer(models)
 
@@ -79,9 +81,12 @@ def main():
                     help="utterances per batched synthesis (throughput mode)")
     ap.add_argument("--no-cfg", action="store_true",
                     help="guidance scales 0 (BASELINE config 1)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 convs at the deep U-Net stages (opt-in, "
+                         "~1%% per-conv quantization error)")
     args = ap.parse_args()
 
-    synth = build(args.smoke)
+    synth = build(args.smoke, use_int8=args.int8)
     m = synth.models
     frames = args.frames if not args.smoke else 48
 
@@ -122,7 +127,7 @@ def main():
         run_once()
     except Exception as e:  # pragma: no cover - environment-specific
         print(f"# pallas path failed ({type(e).__name__}); XLA fallback", file=sys.stderr)
-        synth = build(args.smoke, use_pallas=False, use_pallas_resnet=False)
+        synth = build(args.smoke, use_pallas=False, use_pallas_resnet=False, use_int8=args.int8)
         m = synth.models
         run_once()
     run_once()

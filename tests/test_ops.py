@@ -123,3 +123,22 @@ def test_choose_conv_impl_stages():
     assert choose_conv_impl(512, 1024) == "im2col"  # stage3 entry
     assert choose_conv_impl(1024, 1024) == "im2col"  # mid
     assert choose_conv_impl(1024, 512) == "im2col"  # up skip-concat
+
+
+def test_conv3x3_int8_error_bound():
+    """Opt-in int8 conv: dynamic per-tensor activation + per-channel weight
+    scales keep the relative error at the ~1% level at realistic magnitudes
+    (max-normalized; per-tensor activation quantization's floor)."""
+    import jax
+
+    from unitspeech_tpu.ops.conv_matmul import conv3x3_int8, conv3x3_taps
+
+    b, t, f, cin, cout = 2, 6, 5, 32, 48
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (b, t, f, cin)) * 0.5
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout)) * 0.1
+    xf = x.reshape(b, t * f, cin)
+    ref = np.asarray(conv3x3_taps(xf, w, f))
+    got = np.asarray(conv3x3_int8(xf, w, f))
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.02, rel

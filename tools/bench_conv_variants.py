@@ -263,7 +263,8 @@ def main():
                               up.init(jax.random.PRNGKey(3), xs))
 
             def downup(h):
-                return up.apply(pu, down.apply(pd, h))
+                # odd T (stage3: 43) rounds up through down->up; crop back
+                return up.apply(pu, down.apply(pd, h))[:, :t, :f]
 
             ms_downup = _chain_ms(downup, x, args.k1, args.k2)
             print(f"stage{si} T={t} F={f} C={c}: attn {ms_attn:.3f} "

@@ -54,6 +54,7 @@ class UnitSpeech(nn.Module):
     dtype: Any = jnp.float32
     use_pallas_attention: bool = False
     use_pallas_resnet: bool = False
+    use_int8_deep: bool = False
 
     def setup(self):
         self.text_uncon = self.param(
@@ -71,6 +72,7 @@ class UnitSpeech(nn.Module):
             dtype=self.dtype,
             use_pallas_attention=self.use_pallas_attention,
             use_pallas_resnet=self.use_pallas_resnet,
+            use_int8_deep=self.use_int8_deep,
         )
 
     def __call__(self, xt, mask, cond, t, spk_emb):
@@ -80,7 +82,7 @@ class UnitSpeech(nn.Module):
 
     @classmethod
     def from_config(cls, cfg, dtype=jnp.float32, use_pallas_attention=False,
-                    use_pallas_resnet=False):
+                    use_pallas_resnet=False, use_int8_deep=False):
         return cls(
             n_feats=cfg.n_feats,
             dim=cfg.dim,
@@ -93,6 +95,7 @@ class UnitSpeech(nn.Module):
             dtype=dtype,
             use_pallas_attention=use_pallas_attention,
             use_pallas_resnet=use_pallas_resnet,
+            use_int8_deep=use_int8_deep,
         )
 
 

@@ -175,19 +175,25 @@ class ResnetBlock(nn.Module):
     conv) the WHOLE block runs in the flattened (B, T*F, C) layout: convs as
     MXU matmuls, GroupNorm/mish/FiLM on the flat f32 accumulators, one
     round to the compute dtype per conv (the Pallas kernel's numerics
-    contract). Measured on v5e at stage3 (T=43, F=10, C=1024): 0.13 ms/block
-    vs 0.78 for nn.Conv and 0.38 for per-op NHWC<->flat round-trips."""
+    contract). Measured on v5e at stage3 (T=43, F=10, C=1024): ~0.33
+    ms/block vs 0.4-0.8 for nn.Conv across runs (the tunneled chip has high
+    run-to-run variance; tools/bench_conv_variants.py)."""
 
     dim_out: int
     groups: int = 8
     dtype: Any = jnp.float32
     input_pre_masked: bool = False
     use_pallas: bool = False
+    # OPT-IN int8 convs for the flat path (dynamic per-tensor activation +
+    # per-channel weight scales; ~1% relative error per conv). Measured
+    # stage2 0.21 vs 0.31 ms/block bf16; stage3 break-even. Excluded from
+    # parity claims; see ops/conv_matmul.conv3x3_int8.
+    use_int8: bool = False
 
     def _flat_matmul_block(self, x, mask, t_emb):
         """Whole-block flat fast path (identical parameter tree)."""
         from unitspeech_tpu.ops.conv_matmul import (
-            choose_conv_impl, conv3x3_im2col, conv3x3_taps,
+            choose_conv_impl, conv3x3_im2col, conv3x3_int8, conv3x3_taps,
         )
 
         b, t, f, cin = x.shape
@@ -216,6 +222,8 @@ class ResnetBlock(nn.Module):
             return h * jnp.tanh(nn.softplus(h))
 
         def conv(h, w):
+            if self.use_int8:
+                return conv3x3_int8(h, w, f)
             impl = choose_conv_impl(h.shape[-1], self.dim_out)
             fn = conv3x3_im2col if impl == "im2col" else conv3x3_taps
             return fn(h, w.astype(self.dtype), f)
@@ -434,6 +442,7 @@ class GradLogPEstimator2d(nn.Module):
     dtype: Any = jnp.float32
     use_pallas_attention: bool = False
     use_pallas_resnet: bool = False
+    use_int8_deep: bool = False
 
     @nn.compact
     def __call__(self, x, mask, mu, t, spk_emb):
@@ -456,11 +465,13 @@ class GradLogPEstimator2d(nn.Module):
             mk = masks[-1]
             h = ResnetBlock(dim_out, self.groups, dtype=self.dtype,
                             use_pallas=self.use_pallas_resnet,
+                            use_int8=self.use_int8_deep,
                             name=f"down_{ind}_res1")(h, mk, t_emb)
             # res1's output is masked by construction -> skip res2's input mask
             h = ResnetBlock(dim_out, self.groups, dtype=self.dtype,
                             input_pre_masked=True,
                             use_pallas=self.use_pallas_resnet,
+                            use_int8=self.use_int8_deep,
                             name=f"down_{ind}_res2")(h, mk, t_emb)
             h = RezeroAttention(dtype=self.dtype, use_pallas=self.use_pallas_attention, name=f"down_{ind}_attn")(h)
             hiddens.append(h)
@@ -473,10 +484,12 @@ class GradLogPEstimator2d(nn.Module):
         mk = masks[-1]
         h = ResnetBlock(mid_dim, self.groups, dtype=self.dtype,
                         use_pallas=self.use_pallas_resnet,
+                        use_int8=self.use_int8_deep,
                         name="mid_res1")(h, mk, t_emb)
         h = RezeroAttention(dtype=self.dtype, use_pallas=self.use_pallas_attention, name="mid_attn")(h)
         h = ResnetBlock(mid_dim, self.groups, dtype=self.dtype,
                         use_pallas=self.use_pallas_resnet,
+                        use_int8=self.use_int8_deep,
                         name="mid_res2")(h, mk, t_emb)
 
         # up stages mirror down stages 1..num_res-1, reversed
@@ -486,10 +499,12 @@ class GradLogPEstimator2d(nn.Module):
             h = jnp.concatenate([h, hiddens.pop()], axis=-1)
             h = ResnetBlock(dim_in, self.groups, dtype=self.dtype,
                             use_pallas=self.use_pallas_resnet,
+                            use_int8=self.use_int8_deep,
                             name=f"up_{ind}_res1")(h, mk, t_emb)
             h = ResnetBlock(dim_in, self.groups, dtype=self.dtype,
                             input_pre_masked=True,
                             use_pallas=self.use_pallas_resnet,
+                            use_int8=self.use_int8_deep,
                             name=f"up_{ind}_res2")(h, mk, t_emb)
             h = RezeroAttention(dtype=self.dtype, use_pallas=self.use_pallas_attention, name=f"up_{ind}_attn")(h)
             h = Upsample(dim_in, dtype=self.dtype, name=f"up_{ind}_up")(h * mk)
@@ -500,7 +515,7 @@ class GradLogPEstimator2d(nn.Module):
 
     @classmethod
     def from_config(cls, cfg, dtype=jnp.float32, use_pallas_attention=False,
-                    use_pallas_resnet=False):
+                    use_pallas_resnet=False, use_int8_deep=False):
         return cls(
             dim=cfg.dim,
             dim_mults=tuple(cfg.dim_mults),
@@ -510,4 +525,5 @@ class GradLogPEstimator2d(nn.Module):
             dtype=dtype,
             use_pallas_attention=use_pallas_attention,
             use_pallas_resnet=use_pallas_resnet,
+            use_int8_deep=use_int8_deep,
         )

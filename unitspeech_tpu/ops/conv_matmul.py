@@ -85,6 +85,38 @@ def conv3x3_im2col(xf, w, f: int):
     )
 
 
+def conv3x3_int8(xf, w, f: int):
+    """int8 im2col conv: dynamic symmetric per-tensor activation scale +
+    per-output-channel weight scales, int8 x int8 -> int32 on the MXU (v5e
+    has 2x int8 throughput and the int8 column tensor halves HBM bytes).
+    Measured ~30% faster than the bf16 matmul at C=512 (tools/
+    bench_conv_variants.py --int8). Returns f32 like the other variants.
+
+    Quantization error is ~1% relative per conv (tests/test_ops.py); the
+    estimator consumes it over a 50-step recurrent sampler, so this path is
+    OPT-IN (ResnetBlock use_int8) and excluded from parity claims."""
+    b, n, cin = xf.shape
+    cout = w.shape[-1]
+    xf32 = xf.astype(jnp.float32)
+    sx = 127.0 / jnp.maximum(jnp.max(jnp.abs(xf32)), 1e-8)
+    x8 = jnp.clip(jnp.round(xf32 * sx), -127, 127).astype(jnp.int8)
+    wm = w.astype(jnp.float32).reshape(9 * cin, cout)
+    sw = 127.0 / jnp.maximum(jnp.max(jnp.abs(wm), axis=0), 1e-8)  # (Cout,)
+    w8 = jnp.clip(jnp.round(wm * sw), -127, 127).astype(jnp.int8)
+
+    wrap_m, wrap_p = _wrap_masks(n, f, jnp.int8)
+    z1 = jnp.zeros((b, 1, cin), jnp.int8)
+    x_dt = _time_shifts(x8, f)
+    cols = [
+        _shifted(x_dt[dt], df, wrap_m, wrap_p, z1)
+        for dt in (-1, 0, 1) for df in (-1, 0, 1)
+    ]
+    col = jnp.concatenate(cols, -1)
+    y = jnp.einsum("bnk,kd->bnd", col, w8,
+                   preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * (1.0 / (sx * sw))
+
+
 def choose_conv_impl(cin: int, cout: int) -> str:
     """Shape-keyed implementation choice, from v5e measurements at the
     reference estimator stages (tools/bench_conv_variants.py):
