@@ -66,6 +66,9 @@ def build(smoke: bool, use_pallas: bool = True, use_pallas_resnet: bool = True,
         cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
         use_pallas_vocoder=use_pallas and on_tpu,
         use_pallas_resnet=use_pallas_resnet and on_tpu,
+        # shape-gated inside RezeroAttention: the kernel runs only at token
+        # counts where it beats XLA (N >= 16384, i.e. the full-res stage)
+        use_pallas_attention=use_pallas and on_tpu,
         use_int8_deep=use_int8,
     )
     return Synthesizer(models)

@@ -289,24 +289,28 @@ def main():
         t_bias = (mish(t_emb.astype(jnp.float32)) @ params["mlp"]["kernel"]
                   + params["mlp"]["bias"])
         for fpt in [int(v) for v in fpts.split(",")]:
-            def step(h, fpt=fpt):
-                return fused_resnet_block(
-                    h, mask, t_bias,
-                    params["block1"]["conv"]["kernel"],
-                    params["block1"]["conv"]["bias"],
-                    params["block1"]["norm"]["scale"],
-                    params["block1"]["norm"]["bias"],
-                    params["block2"]["conv"]["kernel"],
-                    params["block2"]["conv"]["bias"],
-                    params["block2"]["norm"]["scale"],
-                    params["block2"]["norm"]["bias"],
-                    groups=8, interpret=False, frames_per_tile=fpt,
-                ).astype(h.dtype)
-            try:
-                ms = _chain_ms(step, x, args.k1, args.k2)
-                print(f"stage{si} pallas fpt={fpt}: {ms:.3f} ms/block", flush=True)
-            except Exception as e:  # noqa: BLE001
-                print(f"stage{si} pallas fpt={fpt}: FAIL {e}"[:200], flush=True)
+            for i2c in (False, True):
+                def step(h, fpt=fpt, i2c=i2c):
+                    return fused_resnet_block(
+                        h, mask, t_bias,
+                        params["block1"]["conv"]["kernel"],
+                        params["block1"]["conv"]["bias"],
+                        params["block1"]["norm"]["scale"],
+                        params["block1"]["norm"]["bias"],
+                        params["block2"]["conv"]["kernel"],
+                        params["block2"]["conv"]["bias"],
+                        params["block2"]["norm"]["scale"],
+                        params["block2"]["norm"]["bias"],
+                        groups=8, interpret=False, frames_per_tile=fpt,
+                        im2col=i2c,
+                    ).astype(h.dtype)
+                try:
+                    ms = _chain_ms(step, x, args.k1, args.k2)
+                    print(f"stage{si} pallas fpt={fpt} im2col={int(i2c)}: "
+                          f"{ms:.3f} ms/block", flush=True)
+                except Exception as e:  # noqa: BLE001
+                    print(f"stage{si} pallas fpt={fpt} im2col={int(i2c)}: "
+                          f"FAIL {e}"[:200], flush=True)
 
 
 if __name__ == "__main__":

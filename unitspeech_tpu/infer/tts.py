@@ -60,7 +60,7 @@ class TTSModels:
     @classmethod
     def random_init(cls, cfg: MainConfig, key, dtype=jnp.float32, with_vocoder=True,
                     use_pallas_vocoder=False, use_pallas_resnet=False,
-                    use_int8_deep=False):
+                    use_pallas_attention=False, use_int8_deep=False):
         """Randomly initialized bundle at full config size (for benchmarks and
         shape tests; real weights come from the checkpoint converter)."""
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
@@ -82,6 +82,7 @@ class TTSModels:
         dp_params = dp.init(k2, hidden, mask, g=spk, reverse=True)
         decoder = UnitSpeech.from_config(
             cfg.decoder, dtype=dtype, use_pallas_resnet=use_pallas_resnet,
+            use_pallas_attention=use_pallas_attention,
             use_int8_deep=use_int8_deep,
         )
         t8 = fix_len_compatibility(8, cfg.decoder.num_downsamplings)

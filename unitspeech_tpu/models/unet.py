@@ -219,7 +219,9 @@ class ResnetBlock(nn.Module):
             var = jnp.mean(jnp.square(ag), axis=(1, 3), keepdims=True) - jnp.square(mean)
             h = ((ag - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(b, n, self.dim_out)
             h = h * scale + bias
-            return h * jnp.tanh(nn.softplus(h))
+            # mish via the one-exp identity (exact; see pallas_resnet._mish_f32)
+            e2 = jnp.square(1.0 + jnp.exp(jnp.minimum(h, 30.0)))
+            return jnp.where(h > 20.0, h, h * ((e2 - 1.0) / (e2 + 1.0)))
 
         def conv(h, w):
             if self.use_int8:
@@ -372,7 +374,15 @@ class RezeroAttention(nn.Module):
     use_pallas=True runs the whole attention block (qkv projections, online
     key softmax, context, output projection, rezero residual) as one fused
     Pallas kernel pair (ops/pallas_attention.py) — 2 reads + 1 write of the
-    activation instead of ~6 tensor round trips."""
+    activation instead of ~6 tensor round trips. The kernel only pays off
+    where the XLA chain is HBM-bound, i.e. at large token counts: measured
+    v5e (tools/bench_conv_variants.py --extras) N=27520 C=128: 0.164 ms vs
+    0.291 XLA; N<=6880: XLA wins (0.02-0.12 ms vs 0.13-0.48 Pallas, the
+    fixed per-tile weight residency dominates). use_pallas is therefore
+    additionally gated on N >= PALLAS_MIN_TOKENS, so enabling it picks the
+    faster path per call site."""
+
+    PALLAS_MIN_TOKENS = 16384
 
     heads: int = 4
     dim_head: int = 32
@@ -382,7 +392,7 @@ class RezeroAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         g = self.param("g", nn.initializers.zeros, (1,))
-        if self.use_pallas:
+        if self.use_pallas and x.shape[1] * x.shape[2] >= self.PALLAS_MIN_TOKENS:
             from unitspeech_tpu.ops.pallas_attention import fused_rezero_attention
 
             b, t, f, c = x.shape

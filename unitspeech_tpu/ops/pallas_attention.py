@@ -19,13 +19,14 @@ MXU and a block-diagonal head mask zeroes the cross-head terms — the masked
 result is EXACTLY the per-head computation, and a block-diagonal context
 makes phase 2's q @ ctx identical to per-head attention.
 
-Status: numerically verified against the XLA path on TPU (bf16 tolerance),
-but measured SLOWER than XLA at the U-Net's shapes (11.4 vs 10.4 ms/step at
-B=3, T=344 — XLA already fuses this chain well, and the per-tile weight
-residency plus the two-phase ctx round trip eat the savings). Kept as an
-off-by-default option (`use_pallas_attention`) and as the scaffold for a
-future conv-fused variant; the production win from Pallas in this framework
-is the vocoder's fused_aa_snake.
+Status: numerically verified against the XLA path on TPU (bf16 tolerance).
+Per-shape timings (v5e, tools/bench_conv_variants.py --extras): the kernel
+wins where the XLA chain is HBM-bound — N=27520 (full-res stage): 0.164 ms
+vs 0.291 XLA — and loses at the small deep stages (N<=6880: 0.13-0.48 vs
+0.02-0.12 XLA; per-tile weight residency dominates). The model therefore
+gates it by token count (models/unet.py RezeroAttention.PALLAS_MIN_TOKENS),
+and `use_pallas_attention=True` is ON in the serving/bench path: each call
+site gets whichever implementation measured faster at its shape.
 """
 
 from __future__ import annotations

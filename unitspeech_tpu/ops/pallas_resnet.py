@@ -70,8 +70,17 @@ def supports_shape(t: int, f: int) -> bool:
 
 
 def _mish_f32(x):
+    """mish(x) = x * tanh(softplus(x)), computed with ONE transcendental via
+    the exact identity tanh(log(1+e^x)) = ((1+e^x)^2 - 1)/((1+e^x)^2 + 1) —
+    the naive form costs ~3 (exp, log1p, tanh), and the VPU's transcendental
+    throughput is a real term in the fused kernels' budget. (1+e^x)^2
+    overflows f32 at x ~ 44 (-> inf/inf = NaN), and tanh(softplus(x)) == 1.0
+    to f32 precision for x > 20, so large x selects the identity branch."""
     xf = x.astype(jnp.float32)
-    return (xf * jnp.tanh(jax.nn.softplus(xf))).astype(x.dtype)
+    t = jnp.square(1.0 + jnp.exp(jnp.minimum(xf, 30.0)))
+    return jnp.where(
+        xf > 20.0, xf, xf * ((t - 1.0) / (t + 1.0))
+    ).astype(x.dtype)
 
 
 def _group_stats(sum_c, sumsq_c, n_rows: int, groups: int, eps: float = 1e-5):
@@ -133,9 +142,18 @@ def _freq_wrap_masks(f: int, tile: int, dtype):
     return mask_m, mask_p
 
 
-def _conv3x3_taps(win, w_ref, f: int, tile: int):
-    """9 shifted matmuls over the assembled window. win: (TILE+2F, C);
-    w_ref rows: [(dt+1)*3 + (df+1)] * Cin -> (Cin, Cout). f32 accumulator."""
+def _conv3x3_taps(win, w_ref, f: int, tile: int, im2col: bool = False):
+    """conv3x3 over the assembled window. win: (TILE+2F, C); w_ref rows:
+    [(dt+1)*3 + (df+1)] * Cin -> (Cin, Cout). f32 accumulator.
+
+    im2col=False: 9 shifted (TILE, C) x (C, Cout) matmuls. im2col=True:
+    concatenate the 9 taps on lanes IN VMEM and run ONE
+    (TILE, 9C) x (9C, Cout) matmul. The hypothesis was that the 9x-longer K
+    would amortize the MXU's systolic pipeline better at small C; measured
+    on v5e it LOSES — stage0 fpt=8: 0.67 vs 0.58 taps; stage1's best taps
+    config also wins (0.305 at fpt=43 vs 0.34 im2col) — the in-VMEM tap
+    concat costs more vector moves than the longer contraction saves, so
+    taps stays the default (tools/bench_conv_variants.py --fpt-sweep)."""
     cin = win.shape[-1]
     mask_m, mask_p = _freq_wrap_masks(f, tile, win.dtype)
     # +-1 row shifts as static slice+concat (Mosaic's rotate op does not
@@ -145,6 +163,14 @@ def _conv3x3_taps(win, w_ref, f: int, tile: int):
     zero_row = jnp.zeros((1, cin), win.dtype)
     win_m = jnp.concatenate([zero_row, win[:-1]], 0) * mask_m  # row i = win[i-1]
     win_p = jnp.concatenate([win[1:], zero_row], 0) * mask_p   # row i = win[i+1]
+    if im2col:
+        taps = [
+            src[f + dt * f : f + dt * f + tile, :]
+            for dt in (-1, 0, 1)
+            for _, src in ((-1, win_m), (0, win), (1, win_p))
+        ]
+        col = jnp.concatenate(taps, axis=1)  # (TILE, 9C), tap order == w rows
+        return jnp.dot(col, w_ref[:], preferred_element_type=jnp.float32)
     acc = None
     for dt in (-1, 0, 1):
         base = f + dt * f
@@ -159,13 +185,13 @@ def _conv3x3_taps(win, w_ref, f: int, tile: int):
 
 def _kernel_a(lens_ref, top_ref, cur_ref, bot_ref, w_ref, b_ref,
               out_ref, stats_ref, *, f: int, tile: int, n_tiles: int,
-              out_dtype):
+              out_dtype, im2col: bool):
     import jax.experimental.pallas as pl
 
     j = pl.program_id(1)
     win = _assemble_window(top_ref, cur_ref, bot_ref, f, tile, n_tiles,
                            lens_ref)
-    acc = _conv3x3_taps(win, w_ref, f, tile) + b_ref[:].astype(jnp.float32)
+    acc = _conv3x3_taps(win, w_ref, f, tile, im2col) + b_ref[:].astype(jnp.float32)
     out_ref[0] = acc.astype(out_dtype)
 
     @pl.when(j == 0)
@@ -179,7 +205,7 @@ def _kernel_a(lens_ref, top_ref, cur_ref, bot_ref, w_ref, b_ref,
 def _kernel_b(lens_ref, top_ref, cur_ref, bot_ref, stats_ref, scale_ref,
               bias_ref, film_ref, w_ref, b_ref, out_ref, stats2_ref, *,
               f: int, tile: int, n_tiles: int, n_rows: int, groups: int,
-              out_dtype):
+              out_dtype, im2col: bool):
     import jax.experimental.pallas as pl
 
     j = pl.program_id(1)
@@ -204,7 +230,7 @@ def _kernel_b(lens_ref, top_ref, cur_ref, bot_ref, stats_ref, scale_ref,
     valid = (n_global >= 0) & (n_global < lens_ref[0, 0, 0])
     h = (h * valid.astype(jnp.float32)).astype(win.dtype)
 
-    acc = _conv3x3_taps(h, w_ref, f, tile) + b_ref[:].astype(jnp.float32)
+    acc = _conv3x3_taps(h, w_ref, f, tile, im2col) + b_ref[:].astype(jnp.float32)
     out_ref[0] = acc.astype(out_dtype)
 
     @pl.when(j == 0)
@@ -268,12 +294,12 @@ def _halo_specs(n_frames: int, f: int, c: int, n_tiles: int, fpt: int):
 @partial(
     jax.jit,
     static_argnames=("n_frames", "f", "groups", "interpret", "out_dtype_name",
-                     "frames_per_tile"),
+                     "frames_per_tile", "im2col"),
 )
 def _fused_resnet(
     x, lens_rows, t_bias, w1, b1, s1, be1, w2, b2, s2, be2, wres, bres,
     n_frames: int, f: int, groups: int, interpret: bool, out_dtype_name: str,
-    frames_per_tile: int = 0,
+    frames_per_tile: int = 0, im2col: bool = False,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -306,7 +332,7 @@ def _fused_resnet(
     top, cur, bot = _halo_specs(n_frames, f, cin, n_tiles, fpt)
     c1, stats1 = pl.pallas_call(
         partial(_kernel_a, f=f, tile=tile, n_tiles=n_tiles,
-                out_dtype=out_dtype),
+                out_dtype=out_dtype, im2col=im2col),
         grid=grid,
         in_specs=[lens_spec, top, cur, bot, w_spec(9 * cin, cout),
                   row_spec(cout)],
@@ -321,7 +347,7 @@ def _fused_resnet(
     topc, curc, botc = _halo_specs(n_frames, f, cout, n_tiles, fpt)
     c2, stats2 = pl.pallas_call(
         partial(_kernel_b, f=f, tile=tile, n_tiles=n_tiles, n_rows=n,
-                groups=groups, out_dtype=out_dtype),
+                groups=groups, out_dtype=out_dtype, im2col=im2col),
         grid=grid,
         in_specs=[lens_spec, topc, curc, botc, stats_spec, row_spec(cout),
                   row_spec(cout), brow_spec(cout), w_spec(9 * cout, cout),
@@ -370,6 +396,7 @@ def fused_resnet_block(
     groups: int = 8,
     interpret: Optional[bool] = None,
     frames_per_tile: int = 0,
+    im2col: bool = False,
 ):
     """One ResnetBlock, fused (XLA twin: models/unet.py:ResnetBlock).
 
@@ -394,6 +421,6 @@ def fused_resnet_block(
         None if wres is None else wres.astype(x.dtype), bres,
         n_frames=t, f=f, groups=groups, interpret=bool(interpret),
         out_dtype_name=jnp.dtype(x.dtype).name,
-        frames_per_tile=frames_per_tile,
+        frames_per_tile=frames_per_tile, im2col=im2col,
     )
     return out.reshape(bsz, t, f, -1)
