@@ -136,3 +136,57 @@ def test_preprocess_units(corpus):
         assert units.min() >= 0 and units.max() < 20
         # deduplicated: no consecutive repeats
         assert np.all(units[1:] != units[:-1])
+
+
+def test_make_filelist_ljspeech_and_libritts(tmp_path):
+    """make-filelist builds path|text|spk splits from both corpus layouts
+    (reference ships fixed filelists, resources/filelists/*; conf/
+    hydra_config.py:49-74 points training at them)."""
+    from unitspeech_tpu.cli import main_make_filelist
+    from unitspeech_tpu.data.dataset import parse_filelist
+
+    # LJSpeech layout: metadata.csv + wavs/
+    lj = tmp_path / "lj"
+    (lj / "wavs").mkdir(parents=True)
+    with open(lj / "metadata.csv", "w") as f:
+        for i in range(8):
+            f.write(f"LJ001-{i:04d}|raw {i}|normalized text {i}\n")
+            (lj / "wavs" / f"LJ001-{i:04d}.wav").touch()
+    out = tmp_path / "fl_lj"
+    rc = main_make_filelist([
+        "--corpus", "ljspeech", "--root", str(lj), "--out-dir", str(out),
+        "--valid", "2", "--test", "2",
+    ])
+    assert rc == 0
+    rows = {n: parse_filelist(str(out / f"{n}.txt"))
+            for n in ("train", "valid", "test")}
+    assert len(rows["train"]) == 4 and len(rows["valid"]) == 2
+    assert len(rows["test"]) == 2
+    path, text, spk = rows["train"][0]
+    assert path.endswith(".wav") and text.startswith("normalized") and spk == "0"
+    # deterministic given the seed
+    rc = main_make_filelist([
+        "--corpus", "ljspeech", "--root", str(lj),
+        "--out-dir", str(tmp_path / "fl_lj2"), "--valid", "2", "--test", "2",
+    ])
+    assert (out / "train.txt").read_text() == (
+        tmp_path / "fl_lj2" / "train.txt").read_text()
+
+    # LibriTTS layout: ROOT/<speaker>/<chapter>/<utt>.wav + .normalized.txt
+    lt = tmp_path / "libritts"
+    for spk_name in ("19", "26"):
+        d = lt / spk_name / "ch0"
+        d.mkdir(parents=True)
+        for i in range(3):
+            (d / f"{spk_name}_ch0_{i}.wav").touch()
+            (d / f"{spk_name}_ch0_{i}.normalized.txt").write_text(f"utt {i}")
+    out2 = tmp_path / "fl_lt"
+    rc = main_make_filelist([
+        "--corpus", "libritts", "--root", str(lt), "--out-dir", str(out2),
+        "--valid", "1", "--test", "1", "--speaker-ids",
+    ])
+    assert rc == 0
+    all_rows = sum((parse_filelist(str(out2 / f"{n}.txt"))
+                    for n in ("train", "valid", "test")), [])
+    assert len(all_rows) == 6
+    assert {r[2] for r in all_rows} == {"0", "1"}

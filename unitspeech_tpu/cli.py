@@ -661,6 +661,104 @@ def main_train_step2(argv=None):
 # ---------------------------------------------------------------------------
 
 
+def main_make_filelist(argv=None):
+    """Build `path|text|speaker` train/valid/test filelists from a corpus
+    tree. The reference ships pre-built filelists as data artifacts
+    (resources/filelists/{ljspeech,libri-tts,swara}, referenced from
+    conf/hydra_config.py:49-74); those are fixed published utterance-ID
+    splits, so the portable equivalent is this deterministic seeded split
+    generator over the user's local corpus copy.
+
+    Layouts:
+      ljspeech: ROOT/metadata.csv (`id|raw|normalized`), wavs at
+                ROOT/wavs/<id>.wav, single speaker 0.
+      libritts: ROOT/**/<utt>.wav + sidecar <utt>.normalized.txt (or .txt);
+                speaker = first path component under ROOT (LibriTTS layout
+                ROOT/<speaker>/<chapter>/...).
+      generic:  ROOT/**/<utt>.wav + sidecar <utt>.txt|.lab; speaker =
+                parent directory name.
+    """
+    import os
+    import random
+
+    ap = argparse.ArgumentParser("unitspeech-tpu make-filelist")
+    ap.add_argument("--corpus", choices=("ljspeech", "libritts", "generic"),
+                    required=True)
+    ap.add_argument("--root", required=True, help="corpus root directory")
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--valid", type=int, default=100,
+                    help="held-out validation utterances (reference ljspeech "
+                         "valid.txt has 94)")
+    ap.add_argument("--test", type=int, default=500,
+                    help="held-out test utterances (reference test.txt: 487)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--speaker-ids", action="store_true",
+                    help="map speaker names to dense integer ids (multi-"
+                         "speaker training wants int ids; default keeps "
+                         "names for generic corpora)")
+    args = ap.parse_args(argv)
+
+    entries = []  # (path, text, speaker)
+    if args.corpus == "ljspeech":
+        meta = os.path.join(args.root, "metadata.csv")
+        with open(meta, encoding="utf-8") as fh:
+            for line in fh:
+                parts = line.rstrip("\n").split("|")
+                if len(parts) < 2:
+                    continue
+                utt_id, text = parts[0], parts[-1]
+                entries.append(
+                    (os.path.join(args.root, "wavs", utt_id + ".wav"),
+                     text, "0")
+                )
+    else:
+        for dirpath, _dirnames, filenames in sorted(os.walk(args.root)):
+            for fn in sorted(filenames):
+                if not fn.endswith(".wav"):
+                    continue
+                stem = os.path.join(dirpath, fn[:-4])
+                text = None
+                for ext in (".normalized.txt", ".txt", ".lab"):
+                    if os.path.exists(stem + ext):
+                        with open(stem + ext, encoding="utf-8") as fh:
+                            text = fh.read().strip().replace("|", " ")
+                        break
+                if text is None:
+                    continue
+                if args.corpus == "libritts":
+                    rel = os.path.relpath(dirpath, args.root)
+                    spk = rel.split(os.sep)[0]
+                else:
+                    spk = os.path.basename(dirpath)
+                entries.append((stem + ".wav", text, spk))
+
+    if not entries:
+        print("no utterances found", file=sys.stderr)
+        return 1
+    if args.speaker_ids:
+        ids = {s: i for i, s in enumerate(sorted({e[2] for e in entries}))}
+        entries = [(p, t, str(ids[s])) for p, t, s in entries]
+
+    rng = random.Random(args.seed)
+    order = list(range(len(entries)))
+    rng.shuffle(order)
+    n_valid = min(args.valid, max(0, len(entries) - 1))
+    n_test = min(args.test, max(0, len(entries) - n_valid - 1))
+    splits = {
+        "valid": [entries[i] for i in order[:n_valid]],
+        "test": [entries[i] for i in order[n_valid:n_valid + n_test]],
+        "train": [entries[i] for i in order[n_valid + n_test:]],
+    }
+    os.makedirs(args.out_dir, exist_ok=True)
+    for name, rows in splits.items():
+        out = os.path.join(args.out_dir, f"{name}.txt")
+        with open(out, "w", encoding="utf-8") as fh:
+            for p, t, s in sorted(rows):
+                fh.write(f"{p}|{t}|{s}\n")
+        print(f"{out}: {len(rows)} utterances")
+    return 0
+
+
 def main_preprocess_mel_stats(argv=None):
     """Global per-channel mel min/max over filelists
     (reference preprocessing/process_mel_normalization.py:15-58)."""
@@ -777,6 +875,7 @@ COMMANDS = {
     "voice-conversion": main_voice_conversion,
     "train-step1": main_train_step1,
     "train-step2": main_train_step2,
+    "make-filelist": main_make_filelist,
     "preprocess-mel-stats": main_preprocess_mel_stats,
     "preprocess-spk-embs": main_preprocess_spk_embs,
     "preprocess-uncond": main_preprocess_uncond,
