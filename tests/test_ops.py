@@ -142,3 +142,44 @@ def test_conv3x3_int8_error_bound():
     got = np.asarray(conv3x3_int8(xf, w, f))
     rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 0.02, rel
+
+
+def test_conv_transpose4x4_matmul_vs_flax():
+    """Phase-decomposed ConvTranspose == flax/lax conv_transpose to f32
+    roundoff (the model's Upsample runs this form; unet.py:Upsample)."""
+    import flax.linen as nn
+    import jax
+
+    from unitspeech_tpu.ops.conv_matmul import conv_transpose4x4_matmul
+
+    b, t, f, c, co = 2, 8, 6, 5, 7
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, t, f, c))
+    up = nn.ConvTranspose(co, (4, 4), strides=(2, 2), padding=[(2, 2), (2, 2)])
+    p = up.init(jax.random.PRNGKey(1), x)
+    ref = np.asarray(up.apply(p, x))
+    got = np.asarray(
+        conv_transpose4x4_matmul(x, p["params"]["kernel"], p["params"]["bias"])
+    )
+    assert got.shape == (b, 2 * t, 2 * f, co)
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_conv3x3_stride2_matmul_vs_flax():
+    """Subsampled-matmul strided conv == flax nn.Conv stride 2 (the model's
+    Downsample; also exercises odd T/F ceil semantics)."""
+    import flax.linen as nn
+    import jax
+
+    from unitspeech_tpu.ops.conv_matmul import conv3x3_stride2_matmul
+
+    for t, f in ((8, 6), (7, 5)):
+        b, c, co = 2, 5, 7
+        x = jax.random.normal(jax.random.PRNGKey(0), (b, t, f, c))
+        dn = nn.Conv(co, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        p = dn.init(jax.random.PRNGKey(1), x)
+        ref = np.asarray(dn.apply(p, x))
+        got = np.asarray(
+            conv3x3_stride2_matmul(x, p["params"]["kernel"], p["params"]["bias"])
+        )
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-6)

@@ -153,3 +153,40 @@ def test_flat_matmul_resnet_res_conv_parity(monkeypatch):
     monkeypatch.setattr(cm, "choose_conv_impl", lambda ci, co: "xla")
     ref = np.asarray(block.apply(params, x, mask, t_emb))
     np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("lens", [[16, 16], [16, 9]])
+def test_fused_final_block_parity(lens):
+    """Fused final conv+GN+mish+final_conv pair vs the XLA Block + 1x1 conv
+    (models/unet.py GradLogPEstimator2d tail, reference unitspeech.py:198-201)."""
+    import flax.linen as nn
+
+    from unitspeech_tpu.models.unet import Block
+    from unitspeech_tpu.ops.pallas_resnet import fused_final_block
+
+    b, t, f, c = 2, 16, 8, 8
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (b, t, f, c))
+    mask = (jnp.arange(t)[None, :] < jnp.asarray(lens)[:, None]).astype(
+        jnp.float32
+    )[:, :, None, None]
+
+    block = Block(c, groups=4)
+    bp = block.init(key, x, mask)
+    conv1 = nn.Conv(1, (1, 1))
+    cp = conv1.init(jax.random.fold_in(key, 2), x[..., :c])
+
+    h = block.apply(bp, x, mask)
+    ref = (conv1.apply(cp, h * mask) * mask)[..., 0]
+
+    p, q = bp["params"], cp["params"]
+    fused = fused_final_block(
+        x, mask,
+        p["conv"]["kernel"], p["conv"]["bias"],
+        p["norm"]["scale"], p["norm"]["bias"],
+        q["kernel"], q["bias"],
+        groups=4, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )

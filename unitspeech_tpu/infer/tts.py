@@ -118,8 +118,13 @@ class TTSModels:
 
 @partial(jax.jit, static_argnames=("text_encoder", "duration_predictor"))
 def _encode_and_duration(
-    text_encoder, te_params, duration_predictor, dp_params, tokens, lengths, spk_emb
+    text_encoder, te_params, duration_predictor, dp_params, packed, spk_emb
 ):
+    """packed: ONE (B, TB + 1) int32 host array [token ids | length] — each
+    host->device transfer costs ~25 ms of tunnel latency regardless of size
+    and transfers do not pipeline, so the request ships as a single buffer."""
+    tokens = packed[:, :-1]
+    lengths = packed[:, -1]
     mu_x, hidden, x_mask = text_encoder.apply(te_params, tokens, lengths)
     logw = duration_predictor.apply(
         dp_params, hidden, x_mask, g=spk_emb, reverse=True
@@ -202,7 +207,7 @@ def _vocode_jit(vocoder, vocoder_params, mel):
 def _synthesize_single_dispatch(
     text_encoder, te_params, duration_predictor, dp_params,
     decoder_apply, dec_params, vocoder, vocoder_params,
-    tokens, lengths, w_override, spk_emb, key, mel_min, mel_max,
+    packed, spk_emb, key, mel_min, mel_max,
     frame_bucket: int, n_timesteps: int, length_scale: float,
     text_gradient_scale: float, spk_gradient_scale: float,
     beta_min: float, beta_max: float, override_durations: bool = False,
@@ -217,11 +222,22 @@ def _synthesize_single_dispatch(
     (bucket guessed from token count; `fits` reports whether the predicted
     durations overflowed it and the caller must re-run the exact path).
 
+    `packed` is the request's entire host input as ONE (B, 2*TB + 1) f32
+    array: [token ids | duration override | length]. Every host->device
+    transfer costs ~25 ms of tunnel latency REGARDLESS of size and transfers
+    do not pipeline (measured: 3 small arrays = 76 ms, 1 packed = 25 ms), so
+    the inputs ship as a single buffer and unpack on device. Token IDs and
+    lengths are exact in f32 (< 2^24).
+
     Returns (wav, mel, y_lengths, y_pred_lengths, fits): y_lengths are the
     lengths actually synthesized (clamped to the bucket); y_pred_lengths are
     the duration predictor's (kept as an output so duration compute is never
     dead-code-eliminated under override_durations).
     """
+    tb = (packed.shape[1] - 1) // 2
+    tokens = packed[:, :tb].astype(jnp.int32)
+    w_override = packed[:, tb : 2 * tb]
+    lengths = packed[:, 2 * tb].astype(jnp.int32)
     mu_x, hidden, x_mask = text_encoder.apply(te_params, tokens, lengths)
     logw = duration_predictor.apply(
         dp_params, hidden, x_mask, g=spk_emb, reverse=True
@@ -312,17 +328,16 @@ class Synthesizer:
 
         n_tok = len(token_ids)
         tok_bucket = choose_bucket(n_tok, self.token_buckets)
-        tokens = np.zeros((1, tok_bucket), dtype=np.int32)
-        tokens[0, :n_tok] = token_ids
-        lengths = jnp.array([n_tok])
+        packed = np.zeros((1, tok_bucket + 1), dtype=np.int32)
+        packed[0, :n_tok] = token_ids
+        packed[0, -1] = n_tok
 
         mu_x, x_mask, w_ceil = _encode_and_duration(
             m.text_encoder,
             m.text_encoder_params,
             m.duration_predictor,
             m.duration_predictor_params,
-            jnp.asarray(tokens),
-            lengths,
+            jnp.asarray(packed),
             m.spk_emb,
         )
         w_ceil = w_ceil * lscale
@@ -377,17 +392,16 @@ class Synthesizer:
         tok_bucket = choose_bucket(
             max(len(s) for s in token_sequences), self.token_buckets
         )
-        tokens = np.zeros((b, tok_bucket), dtype=np.int32)
-        lengths = np.zeros((b,), dtype=np.int32)
+        packed = np.zeros((b, tok_bucket + 1), dtype=np.int32)
         for i, seq in enumerate(token_sequences):
-            tokens[i, : len(seq)] = seq
-            lengths[i] = len(seq)
+            packed[i, : len(seq)] = seq
+            packed[i, -1] = len(seq)
         spk = jnp.broadcast_to(m.spk_emb, (b, m.spk_emb.shape[-1]))
 
         mu_x, x_mask, w_ceil = _encode_and_duration(
             m.text_encoder, m.text_encoder_params,
             m.duration_predictor, m.duration_predictor_params,
-            jnp.asarray(tokens), jnp.asarray(lengths), spk,
+            jnp.asarray(packed), spk,
         )
         w_ceil = w_ceil * lscale
         y_lengths = np.maximum(
@@ -450,16 +464,22 @@ class Synthesizer:
         """Run _synthesize_single_dispatch over a (B, tok_bucket) batch."""
         m = self.models
         override = w_override is not None
+        tokens_np = np.asarray(tokens, np.float32)
         if not override:
-            w_override = jnp.zeros_like(tokens, jnp.float32)
-        b = tokens.shape[0]
+            w_np = np.zeros_like(tokens_np)
+        else:
+            w_np = np.asarray(w_override, np.float32)
+        lengths_np = np.asarray(lengths, np.float32).reshape(-1, 1)
+        # ONE host->device transfer for the whole request (see
+        # _synthesize_single_dispatch's packing rationale)
+        packed = np.concatenate([tokens_np, w_np, lengths_np], axis=1)
+        b = tokens_np.shape[0]
         spk = jnp.broadcast_to(m.spk_emb, (b, m.spk_emb.shape[-1]))
         return _synthesize_single_dispatch(
             m.text_encoder, m.text_encoder_params,
             m.duration_predictor, m.duration_predictor_params,
             m.decoder.apply, m.decoder_params, m.vocoder, m.vocoder_params,
-            jnp.asarray(tokens), jnp.asarray(lengths), jnp.asarray(w_override),
-            spk, key, m.mel_min, m.mel_max,
+            jnp.asarray(packed), spk, key, m.mel_min, m.mel_max,
             frame_bucket=int(frame_bucket), n_timesteps=int(steps),
             length_scale=float(lscale), text_gradient_scale=float(tg),
             spk_gradient_scale=float(sg),
@@ -533,10 +553,14 @@ class Synthesizer:
                 return np.asarray(wav)[0, : int(y_len[0]) * hop], sr
             # predicted durations overflowed the guessed bucket: exact re-run
 
+        packed = np.concatenate(
+            [np.asarray(tokens, np.int32),
+             np.full((tokens.shape[0], 1), n_tok, np.int32)], axis=1
+        )
         mu_x, x_mask, w_ceil = _encode_and_duration(
             m.text_encoder, m.text_encoder_params,
             m.duration_predictor, m.duration_predictor_params,
-            jnp.asarray(tokens), jnp.array([n_tok]), m.spk_emb,
+            jnp.asarray(packed), m.spk_emb,
         )
         w_ceil = w_ceil * lscale
         if w_forced is not None:  # exact-path warmup at a target frame count

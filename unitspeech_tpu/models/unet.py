@@ -410,7 +410,14 @@ class RezeroAttention(nn.Module):
 
 
 class Downsample(nn.Module):
-    """conv3x3 stride 2 (reference unitspeech.py:27-33)."""
+    """conv3x3 stride 2 (reference unitspeech.py:27-33).
+
+    Stays on XLA's conv lowering: the 9-subsampled-matmul reformulation
+    (ops/conv_matmul.conv3x3_stride2_matmul, exact and tested) measured
+    12x SLOWER in the estimator on v5e — the shifted copies materialize at
+    full resolution before the stride-2 subsample. Measured down+up pair at
+    stage0: 0.135 ms XLA vs 1.7 ms matmul (tools/bench_conv_variants.py
+    --extras)."""
 
     dim: int
     dtype: Any = jnp.float32
@@ -422,7 +429,13 @@ class Downsample(nn.Module):
 
 
 class Upsample(nn.Module):
-    """transposed conv 4x4 stride 2 (reference unitspeech.py:18-24)."""
+    """transposed conv 4x4 stride 2 (reference unitspeech.py:18-24).
+
+    Stays on XLA's conv_transpose lowering: the 16-phase-matmul form
+    (ops/conv_matmul.conv_transpose4x4_matmul, exact and tested) hits the
+    flop floor on paper but loses on v5e — the phase-interleave relayout of
+    the doubled-resolution output dominates (see Downsample's measured
+    pair)."""
 
     dim: int
     dtype: Any = jnp.float32
@@ -519,6 +532,23 @@ class GradLogPEstimator2d(nn.Module):
             h = RezeroAttention(dtype=self.dtype, use_pallas=self.use_pallas_attention, name=f"up_{ind}_attn")(h)
             h = Upsample(dim_in, dtype=self.dtype, name=f"up_{ind}_up")(h * mk)
 
+        from unitspeech_tpu.ops.pallas_resnet import supports_shape
+
+        if self.use_pallas_resnet and supports_shape(h.shape[1], h.shape[2]):
+            # fused conv+GN+mish+mask+final_conv pair (identical param tree;
+            # the XLA lowering relayouts this full-resolution region through
+            # f32 several times — profiled ~0.58 ms/step, tools/
+            # profile_pipeline.py)
+            from unitspeech_tpu.ops.pallas_resnet import fused_final_block
+
+            k1, b1, s1, be1 = _BlockParams(self.dim, name="final_block")(
+                h.shape[-1]
+            )
+            wo, bo = _Conv2dParams(1, ksize=(1, 1), name="final_conv")(self.dim)
+            return fused_final_block(
+                h.astype(self.dtype), m, k1, b1, s1, be1, wo, bo,
+                groups=self.groups,
+            )
         h = Block(self.dim, self.groups, dtype=self.dtype, name="final_block")(h, m)
         out = nn.Conv(1, (1, 1), dtype=self.dtype, name="final_conv")(h * m)
         return (out * m)[..., 0].astype(jnp.float32)

@@ -185,11 +185,15 @@ class AntiAliasedActivation(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def _conv1d_torchpad(features: int, kernel_size: int, dilation: int = 1, name=None):
+def _conv1d_torchpad(features: int, kernel_size: int, dilation: int = 1,
+                     name=None, dtype=None):
+    # dtype MUST be threaded: flax's default promotes bf16 activations back
+    # to f32 (f32 params), which silently doubled the whole vocoder's HBM
+    # traffic (profiled: 16/19 aa_snake kernels ran f32 under the bf16 knob)
     pad = (kernel_size * dilation - dilation) // 2
     return nn.Conv(
         features, (kernel_size,), kernel_dilation=(dilation,),
-        padding=[(pad, pad)], name=name,
+        padding=[(pad, pad)], name=name, dtype=dtype,
     )
 
 
@@ -203,6 +207,7 @@ class AMPBlock1(nn.Module):
     activation: str = "snakebeta"
     alpha_logscale: bool = True
     use_pallas: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -211,12 +216,14 @@ class AMPBlock1(nn.Module):
                 self.channels, self.activation, self.alpha_logscale,
                 use_pallas=self.use_pallas, name=f"act1_{i}",
             )(x)
-            xt = _conv1d_torchpad(self.channels, self.kernel_size, d, name=f"conv1_{i}")(xt)
+            xt = _conv1d_torchpad(self.channels, self.kernel_size, d,
+                                  name=f"conv1_{i}", dtype=self.dtype)(xt)
             xt = AntiAliasedActivation(
                 self.channels, self.activation, self.alpha_logscale,
                 use_pallas=self.use_pallas, name=f"act2_{i}",
             )(xt)
-            xt = _conv1d_torchpad(self.channels, self.kernel_size, 1, name=f"conv2_{i}")(xt)
+            xt = _conv1d_torchpad(self.channels, self.kernel_size, 1,
+                                  name=f"conv2_{i}", dtype=self.dtype)(xt)
             x = xt + x
         return x
 
@@ -230,6 +237,7 @@ class AMPBlock2(nn.Module):
     activation: str = "snakebeta"
     alpha_logscale: bool = True
     use_pallas: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -238,7 +246,8 @@ class AMPBlock2(nn.Module):
                 self.channels, self.activation, self.alpha_logscale,
                 use_pallas=self.use_pallas, name=f"act_{i}",
             )(x)
-            xt = _conv1d_torchpad(self.channels, self.kernel_size, d, name=f"conv_{i}")(xt)
+            xt = _conv1d_torchpad(self.channels, self.kernel_size, d,
+                                  name=f"conv_{i}", dtype=self.dtype)(xt)
             x = xt + x
         return x
 
@@ -284,7 +293,8 @@ class BigVGAN(nn.Module):
             ):
                 block = block_cls(
                     ch, rk, tuple(rd), self.activation, self.snake_logscale,
-                    use_pallas=self.use_pallas, name=f"resblock_{i}_{j}",
+                    use_pallas=self.use_pallas, dtype=self.dtype,
+                    name=f"resblock_{i}_{j}",
                 )
                 xs = block(x) if xs is None else xs + block(x)
             x = xs / num_kernels

@@ -117,6 +117,95 @@ def conv3x3_int8(xf, w, f: int):
     return y.astype(jnp.float32) * (1.0 / (sx * sw))
 
 
+def _all_shifts(xf, f):
+    """{(dt, df): row-shifted copy} for dt, df in {-1, 0, 1}^2."""
+    b, n, cin = xf.shape
+    wrap_m, wrap_p = _wrap_masks(n, f, xf.dtype)
+    z1 = jnp.zeros((b, 1, cin), xf.dtype)
+    x_dt = _time_shifts(xf, f)
+    return {
+        (dt, df): _shifted(x_dt[dt], df, wrap_m, wrap_p, z1)
+        for dt in (-1, 0, 1)
+        for df in (-1, 0, 1)
+    }
+
+
+def conv_transpose4x4_matmul(x, kernel, bias):
+    """ConvTranspose 4x4 stride 2 (models/unet.py Upsample; reference
+    unitspeech.py:18-24) as 16 phase matmuls. MEASURED NEGATIVE on v5e:
+    exact and at the flop floor on paper (XLA's dilated-input lowering
+    wastes 3/4 of its MACs on zeros and profiled ~3x off floor), but the
+    phase-interleave relayout of the doubled-resolution output dominates in
+    practice — the estimator regressed 0.116 -> 0.152 RTF with this form
+    wired in. Kept as the documented reformulation + CPU-verified oracle;
+    the model uses nn.ConvTranspose.
+
+    lax.conv_transpose(x, K, strides=2, padding=(2,2)) == correlation of the
+    2x-dilated, 2-padded input with K, so output phase (a, b) of (2m+a, 2j+b)
+    reads exactly 4 taps:  a=0: time taps x[m-1] K[0], x[m] K[2];
+    a=1: x[m] K[1], x[m+1] K[3]; same pattern over freq columns. Each phase
+    is 4 (N, C) x (C, Cout) matmuls on the un-dilated rows — the exact
+    flop floor — then the 4 phases interleave to (B, 2T, 2F, Cout).
+
+    x: (B, T, F, C); kernel: (4, 4, C, Cout) flax ConvTranspose tree.
+    Returns (B, 2T, 2F, Cout) in x.dtype (f32 accumulators, one round)."""
+    b, t, f, cin = x.shape
+    cout = kernel.shape[-1]
+    xf = x.reshape(b, t * f, cin)
+    shifts = _all_shifts(xf, f)
+    k = kernel.astype(x.dtype)
+    # phase tap tables: phase 0 reads shift -1 via kernel row 0 and shift 0
+    # via kernel row 2; phase 1 reads shift 0 via row 1 and shift +1 via row 3
+    taps = {0: ((-1, 0), (0, 2)), 1: ((0, 1), (1, 3))}
+    phases = []
+    for a in (0, 1):
+        row = []
+        for bb in (0, 1):
+            acc = None
+            for dt, ut in taps[a]:
+                for df, uf in taps[bb]:
+                    part = jnp.einsum(
+                        "bnc,cd->bnd", shifts[(dt, df)], k[ut, uf],
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = part if acc is None else acc + part
+            out = (acc + bias).astype(x.dtype).reshape(b, t, f, cout)
+            row.append(out)
+        phases.append(jnp.stack(row, axis=3))  # (B, T, F, 2, Cout)
+    y = jnp.stack(phases, axis=2)  # (B, T, 2, F, 2, Cout)
+    return y.reshape(b, 2 * t, 2 * f, cout)
+
+
+def conv3x3_stride2_matmul(x, kernel, bias):
+    """conv3x3 stride 2 SAME (models/unet.py Downsample; reference
+    unitspeech.py:27-33) as 9 subsampled matmuls. MEASURED NEGATIVE on v5e:
+    the shifted copies materialize at FULL resolution before the stride-2
+    subsample (down+up pair at stage0: 1.7 ms vs 0.135 XLA,
+    tools/bench_conv_variants.py --extras), so the model keeps nn.Conv.
+    Output rows are the even (t, f) grid positions, so each of the 9 taps is
+    the even-subsampled shifted copy matmul'd with its (C, Cout) slice.
+
+    torch/flax SAME for stride 2, k=3, padding (1,1): out[m, j] reads
+    in[2m + dt, 2j + df] for dt, df in {-1, 0, 1}.
+
+    x: (B, T, F, C) with T, F even; returns (B, T/2, F/2, Cout)."""
+    b, t, f, cin = x.shape
+    cout = kernel.shape[-1]
+    xf = x.reshape(b, t * f, cin)
+    shifts = _all_shifts(xf, f)
+    k = kernel.astype(x.dtype)
+    acc = None
+    for dt in (-1, 0, 1):
+        for df in (-1, 0, 1):
+            s = shifts[(dt, df)].reshape(b, t, f, cin)[:, ::2, ::2, :]
+            part = jnp.einsum(
+                "btfc,cd->btfd", s, k[dt + 1, df + 1],
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+    return (acc + bias).astype(x.dtype)
+
+
 def choose_conv_impl(cin: int, cout: int) -> str:
     """Shape-keyed implementation choice, from v5e measurements at the
     reference estimator stages (tools/bench_conv_variants.py):

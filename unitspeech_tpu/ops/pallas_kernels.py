@@ -129,7 +129,7 @@ def _aa_snake_kernel(x_ref, alpha_ref, beta_ref, out_ref, *, t_tile: int,
             src, idx0 = y1, (s - 1) // 2 - pair_lo
         sl = src[idx0 : idx0 + t_tile, :] * g[k]
         acc = sl if acc is None else acc + sl
-    out_ref[0] = acc
+    out_ref[0, 0] = acc
 
 
 def fused_aa_snake(x, alpha, beta, logscale: bool = True, t_tile: int = 256,
@@ -165,7 +165,16 @@ def _fused_aa_snake(x, alpha, beta, logscale: bool, t_tile: int,
     f0, f1, g, up_off0, up_off1, down_off = filters
     b, t, c = x.shape
     t_tile = min(t_tile, max(8, -(-t // 8) * 8))
-    t_pad = -(-t // t_tile) * t_tile
+    # LANE PACKING: the vocoder's upper stages have C = 32/64 channels, so a
+    # plain (rows, C) layout leaves 3/4 of the 128 lanes (and of every
+    # native (8, 128) memory tile) idle — profiled ~26x off the roofline.
+    # Tile windows are mutually independent (each carries its own halo), so
+    # `pack` of them ride side-by-side on the lane axis: (win, pack*C).
+    # The FIR row shifts are per-window time offsets, identical across the
+    # packed windows, so the kernel body is unchanged.
+    pack = max(1, 128 // c) if c <= 128 else 1
+    pack = min(pack, max(1, -(-t // t_tile)))  # don't pad tiny inputs 4x
+    t_pad = -(-t // (t_tile * pack)) * (t_tile * pack)
     n_tiles = t_pad // t_tile
     # edge halo: replicate x, plus tail padding up to the tile grid
     xp = jnp.pad(x, ((0, 0), (HALO, HALO + (t_pad - t)), (0, 0)), mode="edge")
@@ -173,25 +182,41 @@ def _fused_aa_snake(x, alpha, beta, logscale: bool, t_tile: int,
     win = t_tile + 2 * HALO
     idx = np.arange(win)[None, :] + t_tile * np.arange(n_tiles)[:, None]
     xw = xp[:, idx, :]
+    n_groups = n_tiles // pack
+    if pack > 1:
+        # (B, G, pack, win, C) -> (B, G, win, pack*C)
+        xw = xw.reshape(b, n_groups, pack, win, c).swapaxes(2, 3)
+        xw = xw.reshape(b, n_groups, win, pack * c)
+        ab_tile = (pack,)
+    else:
+        ab_tile = (1,)
+    alpha_in = jnp.tile(alpha.reshape(1, -1), ab_tile).reshape(1, pack * c)
+    beta_in = jnp.tile(beta.reshape(1, -1), ab_tile).reshape(1, pack * c)
 
     kernel = partial(
         _aa_snake_kernel, t_tile=t_tile, f0=f0, f1=f1, g=g,
         up_off0=up_off0, up_off1=up_off1, down_off=down_off,
         logscale=logscale,
     )
+    cp = pack * c
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), x.dtype),
-        grid=(b, n_tiles),
+        out_shape=jax.ShapeDtypeStruct((b, n_groups, t_tile, cp), x.dtype),
+        grid=(b, n_groups),
         in_specs=[
-            pl.BlockSpec((1, 1, win, c), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, win, cp), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, t_tile, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (1, 1, t_tile, cp), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(xw, alpha.reshape(1, -1), beta.reshape(1, -1))
+    )(xw if pack > 1 else xw.reshape(b, n_groups, win, cp), alpha_in, beta_in)
+    if pack > 1:
+        # (B, G, t_tile, pack, C) -> (B, G, pack, t_tile, C) -> (B, t_pad, C)
+        out = out.reshape(b, n_groups, t_tile, pack, c).swapaxes(2, 3)
+    out = out.reshape(b, t_pad, c)
     return out[:, :t]

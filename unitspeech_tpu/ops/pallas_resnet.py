@@ -268,6 +268,112 @@ def _kernel_c(lens_ref, c2_ref, x_ref, stats_ref, scale_ref, bias_ref,
     out_ref[0] = (h + res).astype(out_dtype)
 
 
+def _kernel_d(lens_ref, c1_ref, stats_ref, scale_ref, bias_ref, wo_ref,
+              bo_ref, out_ref, *, tile: int, n_rows: int, groups: int):
+    """GN-apply + mish + mask + 1x1 conv to a single channel (the estimator's
+    final_block norm/activation fused with final_conv). Replaces an XLA
+    region that relayouted the full-resolution tensor through f32 four times
+    (profiled ~0.58 ms/step of the sampler; tools/profile_pipeline.py)."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    c1 = c1_ref[0]
+    mean, inv = _group_stats(
+        stats_ref[0, 0, :], stats_ref[0, 1, :], n_rows, groups
+    )
+    h = (c1.astype(jnp.float32) - mean) * inv
+    h = h * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+    h = _mish_f32(h)
+    n_global = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + j * tile
+    valid = (n_global < lens_ref[0, 0, 0]).astype(jnp.float32)
+    h = h * valid
+    y = jnp.dot(h.astype(c1.dtype), wo_ref[:],
+                preferred_element_type=jnp.float32)
+    out_ref[0] = (y + bo_ref[:].astype(jnp.float32)) * valid
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_frames", "f", "groups", "interpret",
+                     "frames_per_tile"),
+)
+def _fused_final(
+    x, lens_rows, w1, b1, s1, be1, wo, bo,
+    n_frames: int, f: int, groups: int, interpret: bool,
+    frames_per_tile: int = 0,
+):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, cin = x.shape
+    cout = w1.shape[-1]
+    fpt = frames_per_tile or _pick_frames_per_tile(n_frames, f, max(cin, cout))
+    tile = fpt * f
+    n_tiles = n // tile
+    grid = (b, n_tiles)
+
+    lens_spec = pl.BlockSpec((1, 1, 1), lambda bb, j: (bb, 0, 0),
+                             memory_space=pltpu.SMEM)
+    row_spec = lambda c: pl.BlockSpec((1, c), lambda bb, j: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    w_spec = lambda k, c: pl.BlockSpec((k, c), lambda bb, j: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    tile_spec = lambda c: pl.BlockSpec((1, tile, c), lambda bb, j: (bb, j, 0),
+                                       memory_space=pltpu.VMEM)
+    stats_spec = pl.BlockSpec((1, 2, cout), lambda bb, j: (bb, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    top, cur, bot = _halo_specs(n_frames, f, cin, n_tiles, fpt)
+    c1, stats1 = pl.pallas_call(
+        partial(_kernel_a, f=f, tile=tile, n_tiles=n_tiles,
+                out_dtype=x.dtype, im2col=False),
+        grid=grid,
+        in_specs=[lens_spec, top, cur, bot, w_spec(9 * cin, cout),
+                  row_spec(cout)],
+        out_specs=(tile_spec(cout), stats_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, cout), x.dtype),
+            jax.ShapeDtypeStruct((b, 2, cout), jnp.float32),
+        ),
+        interpret=interpret,
+    )(lens_rows, x, x, x, w1.reshape(9 * cin, cout), b1.reshape(1, cout))
+
+    out = pl.pallas_call(
+        partial(_kernel_d, tile=tile, n_rows=n, groups=groups),
+        grid=grid,
+        in_specs=[lens_spec, tile_spec(cout), stats_spec, row_spec(cout),
+                  row_spec(cout), w_spec(cout, 1), row_spec(1)],
+        out_specs=tile_spec(1),
+        out_shape=jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+        interpret=interpret,
+    )(lens_rows, c1, stats1, s1.reshape(1, cout), be1.reshape(1, cout),
+      wo.reshape(cout, 1), bo.reshape(1, 1))
+    return out
+
+
+def fused_final_block(x, mask, w1, b1, gn_scale, gn_bias, w_out, b_out,
+                      groups: int = 8, interpret: Optional[bool] = None,
+                      frames_per_tile: int = 0):
+    """conv3x3+GN+mish+mask (models/unet.py Block 'final_block') fused with
+    the 1-channel final_conv (reference unitspeech.py:198-201): x
+    (B, T, F, C) -> (B, T, F) f32 score. Same numerics contract as
+    fused_resnet_block (f32 conv accumulators rounded once, f32 GN stats
+    over all rows)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, t, f, cin = x.shape
+    lens_frames = jnp.sum(mask.reshape(bsz, t), axis=1).astype(jnp.int32)
+    lens_rows = (lens_frames * f).reshape(bsz, 1, 1)
+    out = _fused_final(
+        x.reshape(bsz, t * f, cin), lens_rows,
+        w1.astype(x.dtype), b1, gn_scale, gn_bias,
+        w_out.astype(x.dtype), b_out,
+        n_frames=t, f=f, groups=groups, interpret=bool(interpret),
+        frames_per_tile=frames_per_tile,
+    )
+    return out.reshape(bsz, t, f)
+
+
 def _halo_specs(n_frames: int, f: int, c: int, n_tiles: int, fpt: int):
     """(top, cur, bot) BlockSpecs over a (B, N, C) array: an fpt-frame center
     block plus one-frame halo blocks clamped at the edges (clamped blocks are
