@@ -169,20 +169,61 @@ class AntiAliasedActivation(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, conv_kernel=None, conv_bias=None, dilation: int = 1,
+                 residual=None):
+        """Optionally fuses the FOLLOWING k=3 dilated conv (+ residual add)
+        into the activation kernel when conv_kernel/conv_bias are passed
+        (AMPBlock fast path) — the conv params live with the caller so the
+        parameter tree matches the unfused layout exactly."""
         act_cls = SnakeBeta if self.activation == "snakebeta" else Snake
         act = act_cls(self.channels, self.alpha_logscale, name="act")
         if self.use_pallas:
-            from unitspeech_tpu.ops.pallas_kernels import fused_aa_snake
+            from unitspeech_tpu.ops.pallas_kernels import (
+                fused_aa_snake, fused_aa_snake_conv,
+            )
 
             alpha, beta = act.params_ab()
+            if conv_kernel is not None:
+                return fused_aa_snake_conv(
+                    x, alpha, beta, conv_kernel, conv_bias,
+                    dilation=dilation, residual=residual,
+                    logscale=self.alpha_logscale,
+                )
             return fused_aa_snake(x, alpha, beta, logscale=self.alpha_logscale)
-        return downsample1d(act(upsample1d(x)))
+        y = downsample1d(act(upsample1d(x)))
+        if conv_kernel is not None:
+            pad = dilation
+            y = lax.conv_general_dilated(
+                y, conv_kernel.astype(y.dtype), (1,), [(pad, pad)],
+                rhs_dilation=(dilation,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            ) + conv_bias.astype(y.dtype)
+            if residual is not None:
+                y = y + residual
+        return y
 
 
 # ---------------------------------------------------------------------------
 # generator
 # ---------------------------------------------------------------------------
+
+
+class _Conv1dParams(nn.Module):
+    """Parameter holder with nn.Conv's 1D tree (kernel (k, in, out) + bias)
+    and identical init, so the fused AA+conv kernel shares checkpoints with
+    the XLA path."""
+
+    features: int
+    ksize: int = 3
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.ksize, in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 def _conv1d_torchpad(features: int, kernel_size: int, dilation: int = 1,
@@ -211,7 +252,29 @@ class AMPBlock1(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # fused path: AA-activation + k=3 conv (+ residual) as single Pallas
+        # kernels (ops/pallas_kernels.fused_aa_snake_conv) — the XLA convs/
+        # adds at the top stages run C=32 on 128 lanes (4x waste) with an
+        # HBM round trip per op. Requires k=3 and dilation reach <= CONV_EXT.
+        fuse = self.use_pallas and self.kernel_size % 2 == 1
         for i, d in enumerate(self.dilation):
+            if fuse:
+                k1, b1 = _Conv1dParams(
+                    self.channels, ksize=self.kernel_size, name=f"conv1_{i}"
+                )(self.channels)
+                xt = AntiAliasedActivation(
+                    self.channels, self.activation, self.alpha_logscale,
+                    use_pallas=True, name=f"act1_{i}",
+                )(x.astype(self.dtype), conv_kernel=k1, conv_bias=b1,
+                  dilation=d)
+                k2, b2 = _Conv1dParams(
+                    self.channels, ksize=self.kernel_size, name=f"conv2_{i}"
+                )(self.channels)
+                x = AntiAliasedActivation(
+                    self.channels, self.activation, self.alpha_logscale,
+                    use_pallas=True, name=f"act2_{i}",
+                )(xt, conv_kernel=k2, conv_bias=b2, dilation=1, residual=x)
+                continue
             xt = AntiAliasedActivation(
                 self.channels, self.activation, self.alpha_logscale,
                 use_pallas=self.use_pallas, name=f"act1_{i}",
@@ -241,7 +304,18 @@ class AMPBlock2(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        fuse = self.use_pallas and self.kernel_size % 2 == 1
         for i, d in enumerate(self.dilation):
+            if fuse:
+                k1, b1 = _Conv1dParams(
+                    self.channels, ksize=self.kernel_size, name=f"conv_{i}"
+                )(self.channels)
+                x = AntiAliasedActivation(
+                    self.channels, self.activation, self.alpha_logscale,
+                    use_pallas=True, name=f"act_{i}",
+                )(x.astype(self.dtype), conv_kernel=k1, conv_bias=b1,
+                  dilation=d, residual=x)
+                continue
             xt = AntiAliasedActivation(
                 self.channels, self.activation, self.alpha_logscale,
                 use_pallas=self.use_pallas, name=f"act_{i}",

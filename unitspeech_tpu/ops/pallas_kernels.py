@@ -74,9 +74,12 @@ def _phase_filters(ratio: int = 2, kernel_size: int = 12):
     return f0, f1, g, int(up_off0), int(up_off1), int(down_off)
 
 
-def _aa_snake_kernel(x_ref, alpha_ref, beta_ref, out_ref, *, t_tile: int,
-                     f0, f1, g, up_off0, up_off1, down_off, logscale: bool):
-    x = x_ref[0, 0]  # (t_tile + 2*HALO, C)
+def _aa_core(x, alpha_ref, beta_ref, t_out: int, *, f0, f1, g,
+             up_off0, up_off1, down_off, logscale: bool):
+    """upsample2x -> snake -> downsample2x over `t_out` output rows, reading
+    from window `x` whose row (HALO + u) is output row u's center. Called
+    with t_out = t_tile for the plain activation, or an extended range when
+    a fused conv consumes samples past the tile edges."""
     dt = x.dtype
     alpha = alpha_ref[:]  # (1, C) float32 params
     beta = beta_ref[:]
@@ -89,17 +92,17 @@ def _aa_snake_kernel(x_ref, alpha_ref, beta_ref, out_ref, *, t_tile: int,
     f1 = tuple(jnp.asarray(v, dt) for v in f1)
     g = tuple(jnp.asarray(v, dt) for v in g)
 
-    # y2 indices needed: [down_off, 2*(t_tile-1) + down_off + len(g) - 1];
+    # y2 indices needed: [down_off, 2*(t_out-1) + down_off + len(g) - 1];
     # compute whole output pairs covering that range
     pair_lo = down_off // 2
-    pair_hi = (2 * (t_tile - 1) + down_off + len(g) - 1) // 2
+    pair_hi = (2 * (t_out - 1) + down_off + len(g) - 1) // 2
     up_len = pair_hi - pair_lo + 1
 
     def phase(f, off):
         acc = None
         for k in range(len(f)):
-            # y2[2(u+pair_lo)+p] needs x[(u+pair_lo) + off + k]; x_ref is
-            # shifted by +HALO
+            # y2[2(u+pair_lo)+p] needs x[(u+pair_lo) + off + k]; x window is
+            # shifted by +HALO relative to output row 0
             start = HALO + pair_lo + off + k
             sl = x[start : start + up_len, :] * f[k]
             acc = sl if acc is None else acc + sl
@@ -127,9 +130,194 @@ def _aa_snake_kernel(x_ref, alpha_ref, beta_ref, out_ref, *, t_tile: int,
             src, idx0 = y0, s // 2 - pair_lo
         else:
             src, idx0 = y1, (s - 1) // 2 - pair_lo
-        sl = src[idx0 : idx0 + t_tile, :] * g[k]
+        sl = src[idx0 : idx0 + t_out, :] * g[k]
         acc = sl if acc is None else acc + sl
-    out_ref[0, 0] = acc
+    return acc
+
+
+def _aa_snake_kernel(x_ref, alpha_ref, beta_ref, out_ref, *, t_tile: int,
+                     f0, f1, g, up_off0, up_off1, down_off, logscale: bool):
+    x = x_ref[0, 0]  # (t_tile + 2*HALO, C)
+    out_ref[0, 0] = _aa_core(
+        x, alpha_ref, beta_ref, t_tile, f0=f0, f1=f1, g=g,
+        up_off0=up_off0, up_off1=up_off1, down_off=down_off,
+        logscale=logscale,
+    )
+
+
+def _conv_ext(ksize: int, dilation: int) -> int:
+    """Output-row extension covering the fused conv's reach, 8-aligned."""
+    reach = (ksize - 1) // 2 * dilation
+    return -(-reach // 8) * 8
+
+
+def _aa_snake_conv_kernel(x_ref, alpha_ref, beta_ref, w_ref, b_ref, res_ref,
+                          out_ref, *, t_tile: int, ksize: int, dilation: int,
+                          conv_ext: int, has_residual: bool, f0, f1, g,
+                          up_off0, up_off1, down_off, logscale: bool):
+    """AA-snake followed by a fused odd-k dilated conv1d (+ bias, + optional
+    residual add). The window carries HALO + conv_ext input halo per side;
+    the AA output is computed over t_tile + 2*conv_ext rows so the conv's
+    taps stay in VMEM. w_ref is the (k*CP, CP) block-diagonal per-tap
+    channel-mixing weight (CP = pack * C; the host pre-builds the block
+    diagonal so packed lane groups stay independent)."""
+    x = x_ref[0, 0]  # (t_tile + 2*(HALO + conv_ext), C)
+    ext = t_tile + 2 * conv_ext
+    y = _aa_core(
+        x, alpha_ref, beta_ref, ext, f0=f0, f1=f1, g=g,
+        up_off0=up_off0, up_off1=up_off1, down_off=down_off,
+        logscale=logscale,
+    )  # rows: output positions [-conv_ext, t_tile + conv_ext)
+    cp = y.shape[-1]
+    half = (ksize - 1) // 2
+    acc = None
+    for k in range(ksize):
+        base = conv_ext + (k - half) * dilation
+        tap = y[base : base + t_tile, :]
+        part = jnp.dot(tap, w_ref[k * cp : (k + 1) * cp, :],
+                       preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    acc = acc + b_ref[:].astype(jnp.float32)
+    if has_residual:
+        acc = acc + res_ref[0, 0].astype(jnp.float32)
+    out_ref[0, 0] = acc.astype(x.dtype)
+
+
+def _aa_snake_conv_kernel_nores(x_ref, alpha_ref, beta_ref, w_ref, b_ref,
+                                out_ref, **kw):
+    _aa_snake_conv_kernel(x_ref, alpha_ref, beta_ref, w_ref, b_ref, None,
+                          out_ref, **kw)
+
+
+def _pack_windows(x, t_tile: int, halo: int, pack: int):
+    """(B, T, C) -> packed overlapping windows (B, G, win, pack*C) plus the
+    non-overlapping center packing of the same grid (for residual inputs)."""
+    b, t, c = x.shape
+    t_pad = -(-t // (t_tile * pack)) * (t_tile * pack)
+    n_tiles = t_pad // t_tile
+    xp = jnp.pad(x, ((0, 0), (halo, halo + (t_pad - t)), (0, 0)), mode="edge")
+    win = t_tile + 2 * halo
+    idx = np.arange(win)[None, :] + t_tile * np.arange(n_tiles)[:, None]
+    xw = xp[:, idx, :]
+    g = n_tiles // pack
+    if pack > 1:
+        xw = xw.reshape(b, g, pack, win, c).swapaxes(2, 3)
+        xw = xw.reshape(b, g, win, pack * c)
+    else:
+        xw = xw.reshape(b, g, win, c)
+    return xw, t_pad, g
+
+
+def _pack_centers(x, t_tile: int, t_pad: int, pack: int):
+    b, t, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+    g = t_pad // (t_tile * pack)
+    if pack > 1:
+        xc = xp.reshape(b, g, pack, t_tile, c).swapaxes(2, 3)
+        return xc.reshape(b, g, t_tile, pack * c)
+    return xp.reshape(b, g, t_tile, c)
+
+
+def _unpack_centers(out, b, t_pad, t, c, t_tile: int, pack: int):
+    g = t_pad // (t_tile * pack)
+    if pack > 1:
+        out = out.reshape(b, g, t_tile, pack, c).swapaxes(2, 3)
+    return out.reshape(b, t_pad, c)[:, :t]
+
+
+def fused_aa_snake_conv(x, alpha, beta, conv_kernel, conv_bias,
+                        dilation: int = 1, residual=None,
+                        logscale: bool = True, t_tile: int = 256,
+                        interpret=None):
+    """AA-snake activation fused with the following k=3 dilated conv1d (+
+    optional residual add): the BigVGAN AMP block's inner step
+    (reference models.py:18-76 `xt = convs1[i](act1(x))`) as ONE kernel.
+    The XLA convs/adds at the top vocoder stages run with C=32 on 128 lanes
+    (4x waste) and round-trip HBM between every op; here the packed-lane
+    windows stay in VMEM through activation, conv, bias, and residual.
+
+    x: (B, T, C); conv_kernel: (k, C, C) flax nn.Conv tree, odd k;
+    conv_bias: (C,). Edge samples within filter+conv reach of the utterance
+    ends use extended-LTI padding like fused_aa_snake (interior-exact)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    f0, f1, g, up_off0, up_off1, down_off = _phase_filters()
+    filters = (
+        tuple(float(v) for v in f0), tuple(float(v) for v in f1),
+        tuple(float(v) for v in g), int(up_off0), int(up_off1), int(down_off),
+    )
+    if residual is None:
+        residual = jnp.zeros((0,), x.dtype)
+    ksize = int(conv_kernel.shape[0])
+    return _fused_aa_snake_conv(
+        x, alpha, beta, conv_kernel, conv_bias, residual, logscale,
+        int(t_tile), int(dilation), _conv_ext(ksize, int(dilation)),
+        bool(interpret), filters
+    )
+
+
+@partial(jax.jit, static_argnames=("logscale", "t_tile", "dilation",
+                                   "conv_ext", "interpret", "filters"))
+def _fused_aa_snake_conv(x, alpha, beta, wk, bconv, residual, logscale: bool,
+                         t_tile: int, dilation: int, conv_ext: int,
+                         interpret: bool, filters):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f0, f1, g, up_off0, up_off1, down_off = filters
+    b, t, c = x.shape
+    has_res = residual.size > 0
+    t_tile = min(t_tile, max(8, -(-t // 8) * 8))
+    pack = max(1, 128 // c) if c <= 128 else 1
+    pack = min(pack, max(1, -(-t // t_tile)))
+    halo = HALO + conv_ext
+    xw, t_pad, n_groups = _pack_windows(x, t_tile, halo, pack)
+    cp = pack * c
+    win = t_tile + 2 * halo
+    alpha_in = jnp.tile(alpha.reshape(1, -1), (pack,)).reshape(1, cp)
+    beta_in = jnp.tile(beta.reshape(1, -1), (pack,)).reshape(1, cp)
+    # per-tap block-diagonal channel mixing: packed lane groups independent
+    ksize = wk.shape[0]
+    eye = jnp.eye(pack, dtype=x.dtype)
+    wbd = jnp.stack(
+        [jnp.kron(eye, wk[k].astype(x.dtype)) for k in range(ksize)]
+    )
+    wbd = wbd.reshape(ksize * cp, cp)
+    b_in = jnp.tile(bconv.reshape(1, -1), (pack,)).reshape(1, cp)
+
+    kw = dict(t_tile=t_tile, ksize=int(ksize), dilation=dilation,
+              conv_ext=conv_ext, f0=f0, f1=f1, g=g,
+              up_off0=up_off0, up_off1=up_off1, down_off=down_off,
+              logscale=logscale)
+    in_specs = [
+        pl.BlockSpec((1, 1, win, cp), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ksize * cp, cp), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [xw, alpha_in, beta_in, wbd, b_in]
+    if has_res:
+        kernel = partial(_aa_snake_conv_kernel, has_residual=True, **kw)
+        args.append(_pack_centers(residual, t_tile, t_pad, pack))
+        in_specs.append(
+            pl.BlockSpec((1, 1, t_tile, cp), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    else:
+        kernel = partial(_aa_snake_conv_kernel_nores, has_residual=False, **kw)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n_groups, t_tile, cp), x.dtype),
+        grid=(b, n_groups),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, t_tile, cp), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+    return _unpack_centers(out, b, t_pad, t, c, t_tile, pack)
 
 
 def fused_aa_snake(x, alpha, beta, logscale: bool = True, t_tile: int = 256,
