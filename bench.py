@@ -85,8 +85,9 @@ def main():
     ap.add_argument("--no-cfg", action="store_true",
                     help="guidance scales 0 (BASELINE config 1)")
     ap.add_argument("--int8", action="store_true",
-                    help="int8 convs at the deep U-Net stages (opt-in, "
-                         "~1%% per-conv quantization error)")
+                    help="int8 estimator convs — deep flat matmuls AND the "
+                         "early-stage fused Pallas kernels (opt-in, ~1%% "
+                         "per-conv quantization error)")
     args = ap.parse_args()
 
     synth = build(args.smoke, use_int8=args.int8)

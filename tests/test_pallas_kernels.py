@@ -59,3 +59,39 @@ def test_fused_kernel_dc_preservation():
     # snake(0.3) with alpha=beta=1 (logscale zeros): 0.3 + sin(0.3)^2
     want = 0.3 + np.sin(0.3) ** 2
     np.testing.assert_allclose(out[0, 20:-20], want, rtol=1e-3)
+
+
+def test_fused_aa_snake_conv_pack1_path():
+    """C >= 128 runs the unpacked (pack=1) layout of the fused AA+conv
+    kernel — parity vs the unfused chain on interior samples."""
+    import flax.linen as nn
+
+    from unitspeech_tpu.models.vocoder import downsample1d, upsample1d, SnakeBeta
+    from unitspeech_tpu.ops.pallas_kernels import fused_aa_snake_conv
+
+    b, t, c, k, d = 1, 512, 128, 3, 3
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((b, t, c)) * 0.3, jnp.float32
+    )
+    act = SnakeBeta(c, alpha_logscale=True)
+    pa = act.init(jax.random.PRNGKey(0), x)
+    wk = jnp.asarray(
+        np.random.default_rng(1).standard_normal((k, c, c)) * 0.05, jnp.float32
+    )
+    bb = jnp.asarray(np.random.default_rng(2).standard_normal((c,)), jnp.float32)
+
+    y = downsample1d(act.apply(pa, upsample1d(x)))
+    import jax.lax as lax
+    ref = lax.conv_general_dilated(
+        y, wk, (1,), [(d, d)], rhs_dilation=(d,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    ) + bb + x  # residual
+
+    got = fused_aa_snake_conv(
+        x, pa["params"]["alpha"], pa["params"]["beta"], wk, bb,
+        dilation=d, residual=x, logscale=True,
+    )
+    sl = slice(32, -32)
+    np.testing.assert_allclose(
+        np.asarray(got)[:, sl], np.asarray(ref)[:, sl], rtol=2e-2, atol=2e-3
+    )

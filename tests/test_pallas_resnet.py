@@ -237,3 +237,29 @@ def test_fused_resnet_deep_cout_split():
 
     assert pr._cout_split(1024, 1024) < 1024  # real mid-stage case splits
     assert pr._cout_split(8, 256) == 256      # small weights stay whole
+
+
+def test_fused_resnet_int8_error_bound():
+    """Opt-in int8 inside the fused kernels: per-tile dynamic activation +
+    per-channel weight scales keep the block output within a few percent of
+    the float path (the flat-path int8 test bounds the same scheme per
+    conv)."""
+    ref, _ = _run_pair(2, 16, 8, 8, 8, groups=4, lens=[16, 16])
+    key = jax.random.PRNGKey(0)
+    block = ResnetBlock(8, 4)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (2, 16, 8, 8))
+    t_emb = jax.random.normal(jax.random.fold_in(key, 2), (2, 12))
+    mask = jnp.ones((2, 16, 1, 1))
+    params = block.init(key, x, mask, t_emb)
+    p = params["params"]
+    t_bias = mish(t_emb) @ p["mlp"]["kernel"] + p["mlp"]["bias"]
+    got = fused_resnet_block(
+        x, mask, t_bias,
+        p["block1"]["conv"]["kernel"], p["block1"]["conv"]["bias"],
+        p["block1"]["norm"]["scale"], p["block1"]["norm"]["bias"],
+        p["block2"]["conv"]["kernel"], p["block2"]["conv"]["bias"],
+        p["block2"]["norm"]["scale"], p["block2"]["norm"]["bias"],
+        groups=4, interpret=True, int8=True,
+    )
+    rel = np.abs(np.asarray(got) - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel

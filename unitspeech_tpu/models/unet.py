@@ -311,6 +311,13 @@ class ResnetBlock(nn.Module):
                 x.astype(self.dtype), mask, bias_t,
                 k1, b1, s1, be1, k2, b2, s2, be2,
                 wres=wres, bres=bres, groups=self.groups,
+                # int8 in the early-stage kernels is a MEASURED NEGATIVE:
+                # full-pipeline 0.102 vs 0.0994 RTF with deep-only int8 —
+                # the in-kernel quantize (round/clip over three f32 windows
+                # per tile) costs more than the int8 MXU saves at C=128/256.
+                # The kernel capability stays (fused_resnet_block int8=True)
+                # for larger-C configs; this model keeps bf16 here.
+                int8=False,
             )
         h = Block(self.dim_out, self.groups, dtype=self.dtype,
                   input_pre_masked=self.input_pre_masked, name="block1")(x, mask)

@@ -183,15 +183,52 @@ def _conv3x3_taps(win, w_ref, f: int, tile: int, im2col: bool = False):
     return acc  # (TILE, Cout) f32
 
 
-def _kernel_a(lens_ref, top_ref, cur_ref, bot_ref, w_ref, b_ref,
+def _conv3x3_taps_int8(win, w_ref, sw_ref, f: int, tile: int):
+    """int8 variant of the 9-tap conv: the window quantizes IN KERNEL with a
+    dynamic per-tile scale (finer than the flat path's per-tensor scale),
+    weights arrive pre-quantized per output channel (int8 w_ref + f32
+    reciprocal-scale sw_ref). int8 x int8 -> int32 on the MXU = 2x
+    throughput at the compute-bound early stages. ~1% relative error; used
+    only under the opt-in use_int8 flag (excluded from parity claims)."""
+    cin = win.shape[-1]
+    mask_m, mask_p = _freq_wrap_masks(f, tile, win.dtype)
+    zero_row = jnp.zeros((1, cin), win.dtype)
+    win_m = jnp.concatenate([zero_row, win[:-1]], 0) * mask_m
+    win_p = jnp.concatenate([win[1:], zero_row], 0) * mask_p
+    s_x = 127.0 / (jnp.max(jnp.abs(win.astype(jnp.float32))) + 1e-8)
+
+    def q(v):
+        return jnp.clip(
+            jnp.round(v.astype(jnp.float32) * s_x), -127, 127
+        ).astype(jnp.int8)
+
+    srcs = {-1: q(win_m), 0: q(win), 1: q(win_p)}
+    acc = None
+    for dt in (-1, 0, 1):
+        base = f + dt * f
+        for df in (-1, 0, 1):
+            tap = srcs[df][base : base + tile, :]
+            k = ((dt + 1) * 3 + (df + 1)) * cin
+            part = jnp.dot(tap, w_ref[k : k + cin, :],
+                           preferred_element_type=jnp.int32)
+            acc = part if acc is None else acc + part
+    # dequant: x-scale is scalar, weight scales are per output channel
+    return acc.astype(jnp.float32) * ((1.0 / s_x) * sw_ref[:])
+
+
+def _kernel_a(lens_ref, top_ref, cur_ref, bot_ref, w_ref, sw_ref, b_ref,
               out_ref, stats_ref, *, f: int, tile: int, n_tiles: int,
-              out_dtype, im2col: bool):
+              out_dtype, im2col: bool, int8: bool):
     import jax.experimental.pallas as pl
 
     j = pl.program_id(1)
     win = _assemble_window(top_ref, cur_ref, bot_ref, f, tile, n_tiles,
                            lens_ref)
-    acc = _conv3x3_taps(win, w_ref, f, tile, im2col) + b_ref[:].astype(jnp.float32)
+    if int8:
+        acc = _conv3x3_taps_int8(win, w_ref, sw_ref, f, tile)
+    else:
+        acc = _conv3x3_taps(win, w_ref, f, tile, im2col)
+    acc = acc + b_ref[:].astype(jnp.float32)
     out_ref[0] = acc.astype(out_dtype)
 
     @pl.when(j == 0)
@@ -203,9 +240,9 @@ def _kernel_a(lens_ref, top_ref, cur_ref, bot_ref, w_ref, b_ref,
 
 
 def _kernel_b(lens_ref, top_ref, cur_ref, bot_ref, stats_ref, scale_ref,
-              bias_ref, film_ref, w_ref, b_ref, out_ref, stats2_ref, *,
-              f: int, tile: int, n_tiles: int, n_rows: int, groups: int,
-              out_dtype, im2col: bool):
+              bias_ref, film_ref, w_ref, sw_ref, b_ref, out_ref, stats2_ref,
+              *, f: int, tile: int, n_tiles: int, n_rows: int, groups: int,
+              out_dtype, im2col: bool, int8: bool):
     import jax.experimental.pallas as pl
 
     j = pl.program_id(1)
@@ -230,7 +267,11 @@ def _kernel_b(lens_ref, top_ref, cur_ref, bot_ref, stats_ref, scale_ref,
     valid = (n_global >= 0) & (n_global < lens_ref[0, 0, 0])
     h = (h * valid.astype(jnp.float32)).astype(win.dtype)
 
-    acc = _conv3x3_taps(h, w_ref, f, tile, im2col) + b_ref[:].astype(jnp.float32)
+    if int8:
+        acc = _conv3x3_taps_int8(h, w_ref, sw_ref, f, tile)
+    else:
+        acc = _conv3x3_taps(h, w_ref, f, tile, im2col)
+    acc = acc + b_ref[:].astype(jnp.float32)
     out_ref[0] = acc.astype(out_dtype)
 
     @pl.when(j == 0)
@@ -543,17 +584,18 @@ def _fused_final(
     top, cur, bot = _halo_specs(n_frames, f, cin, n_tiles, fpt)
     c1, stats1 = pl.pallas_call(
         partial(_kernel_a, f=f, tile=tile, n_tiles=n_tiles,
-                out_dtype=x.dtype, im2col=False),
+                out_dtype=x.dtype, im2col=False, int8=False),
         grid=grid,
         in_specs=[lens_spec, top, cur, bot, w_spec(9 * cin, cout),
-                  row_spec(cout)],
+                  row_spec(cout), row_spec(cout)],
         out_specs=(tile_spec(cout), stats_spec),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, cout), x.dtype),
             jax.ShapeDtypeStruct((b, 2, cout), jnp.float32),
         ),
         interpret=interpret,
-    )(lens_rows, x, x, x, w1.reshape(9 * cin, cout), b1.reshape(1, cout))
+    )(lens_rows, x, x, x, w1.reshape(9 * cin, cout),
+      jnp.ones((1, cout), jnp.float32), b1.reshape(1, cout))
 
     out = pl.pallas_call(
         partial(_kernel_d, tile=tile, n_rows=n, groups=groups),
@@ -614,15 +656,23 @@ def _halo_specs(n_frames: int, f: int, c: int, n_tiles: int, fpt: int):
     return top, cur, bot
 
 
+def _quant_w(w2d):
+    """Per-output-channel symmetric int8 weight quantization: returns
+    (int8 weights, f32 reciprocal scales (1, Cout))."""
+    sw = 127.0 / jnp.maximum(jnp.max(jnp.abs(w2d), axis=0), 1e-8)
+    w8 = jnp.clip(jnp.round(w2d.astype(jnp.float32) * sw), -127, 127)
+    return w8.astype(jnp.int8), (1.0 / sw).reshape(1, -1).astype(jnp.float32)
+
+
 @partial(
     jax.jit,
     static_argnames=("n_frames", "f", "groups", "interpret", "out_dtype_name",
-                     "frames_per_tile", "im2col"),
+                     "frames_per_tile", "im2col", "int8"),
 )
 def _fused_resnet(
     x, lens_rows, t_bias, w1, b1, s1, be1, w2, b2, s2, be2, wres, bres,
     n_frames: int, f: int, groups: int, interpret: bool, out_dtype_name: str,
-    frames_per_tile: int = 0, im2col: bool = False,
+    frames_per_tile: int = 0, im2col: bool = False, int8: bool = False,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -652,29 +702,37 @@ def _fused_resnet(
     stats_spec = pl.BlockSpec((1, 2, cout), lambda bb, j: (bb, 0, 0),
                               memory_space=pltpu.VMEM)
 
+    w1_in = w1.reshape(9 * cin, cout)
+    w2_in = w2.reshape(9 * cout, cout)
+    if int8:
+        w1_in, sw1 = _quant_w(w1_in)
+        w2_in, sw2 = _quant_w(w2_in)
+    else:
+        sw1 = sw2 = jnp.ones((1, cout), jnp.float32)
+
     top, cur, bot = _halo_specs(n_frames, f, cin, n_tiles, fpt)
     c1, stats1 = pl.pallas_call(
         partial(_kernel_a, f=f, tile=tile, n_tiles=n_tiles,
-                out_dtype=out_dtype, im2col=im2col),
+                out_dtype=out_dtype, im2col=im2col, int8=int8),
         grid=grid,
         in_specs=[lens_spec, top, cur, bot, w_spec(9 * cin, cout),
-                  row_spec(cout)],
+                  row_spec(cout), row_spec(cout)],
         out_specs=(tile_spec(cout), stats_spec),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, cout), out_dtype),
             jax.ShapeDtypeStruct((b, 2, cout), jnp.float32),
         ),
         interpret=interpret,
-    )(lens_rows, x, x, x, w1.reshape(9 * cin, cout), b1.reshape(1, cout))
+    )(lens_rows, x, x, x, w1_in, sw1, b1.reshape(1, cout))
 
     topc, curc, botc = _halo_specs(n_frames, f, cout, n_tiles, fpt)
     c2, stats2 = pl.pallas_call(
         partial(_kernel_b, f=f, tile=tile, n_tiles=n_tiles, n_rows=n,
-                groups=groups, out_dtype=out_dtype, im2col=im2col),
+                groups=groups, out_dtype=out_dtype, im2col=im2col, int8=int8),
         grid=grid,
         in_specs=[lens_spec, topc, curc, botc, stats_spec, row_spec(cout),
                   row_spec(cout), brow_spec(cout), w_spec(9 * cout, cout),
-                  row_spec(cout)],
+                  row_spec(cout), row_spec(cout)],
         out_specs=(tile_spec(cout), stats_spec),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, cout), out_dtype),
@@ -682,8 +740,7 @@ def _fused_resnet(
         ),
         interpret=interpret,
     )(lens_rows, c1, c1, c1, stats1, s1.reshape(1, cout), be1.reshape(1, cout),
-      t_bias.reshape(b, 1, cout), w2.reshape(9 * cout, cout),
-      b2.reshape(1, cout))
+      t_bias.reshape(b, 1, cout), w2_in, sw2, b2.reshape(1, cout))
 
     identity_res = wres is None
     if identity_res:
@@ -720,6 +777,7 @@ def fused_resnet_block(
     interpret: Optional[bool] = None,
     frames_per_tile: int = 0,
     im2col: bool = False,
+    int8: bool = False,
 ):
     """One ResnetBlock, fused (XLA twin: models/unet.py:ResnetBlock).
 
@@ -744,6 +802,6 @@ def fused_resnet_block(
         None if wres is None else wres.astype(x.dtype), bres,
         n_frames=t, f=f, groups=groups, interpret=bool(interpret),
         out_dtype_name=jnp.dtype(x.dtype).name,
-        frames_per_tile=frames_per_tile, im2col=im2col,
+        frames_per_tile=frames_per_tile, im2col=im2col, int8=int8,
     )
     return out.reshape(bsz, t, f, -1)
