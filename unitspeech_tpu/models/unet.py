@@ -434,8 +434,16 @@ class RezeroAttention(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
 
+    def uses_fused_masked(self, t: int, f: int, mask) -> bool:
+        """True when this call will run the fused kernel with OUTPUT masking
+        — the caller may then skip its own post-attention mask multiply
+        (identical downstream values; reference masks before every
+        resample)."""
+        return (self.use_pallas and mask is not None
+                and t * f >= self.PALLAS_MIN_TOKENS)
+
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         g = self.param("g", nn.initializers.zeros, (1,))
         if self.use_pallas and x.shape[1] * x.shape[2] >= self.PALLAS_MIN_TOKENS:
             from unitspeech_tpu.ops.pallas_attention import fused_rezero_attention
@@ -444,9 +452,15 @@ class RezeroAttention(nn.Module):
             w_qkv, w_out, b_out = _AttnParams(
                 self.heads * self.dim_head, name="fn"
             )(c)
+            lens_rows = None
+            if mask is not None:
+                lens = jnp.sum(
+                    mask.reshape(b, t), axis=1
+                ).astype(jnp.int32)
+                lens_rows = (lens * f).reshape(b, 1, 1)
             y = fused_rezero_attention(
                 x.reshape(b, t * f, c).astype(self.dtype),
-                w_qkv, w_out, b_out, g,
+                w_qkv, w_out, b_out, g, lens_rows=lens_rows,
                 heads=self.heads, dim_head=self.dim_head,
             )
             return y.reshape(b, t, f, c)
@@ -541,10 +555,16 @@ class GradLogPEstimator2d(nn.Module):
                             use_pallas=self.use_pallas_resnet,
                             use_int8=self.use_int8_deep,
                             name=f"down_{ind}_res2")(h, mk, t_emb)
-            h = RezeroAttention(dtype=self.dtype, use_pallas=self.use_pallas_attention, name=f"down_{ind}_attn")(h)
+            attn = RezeroAttention(dtype=self.dtype,
+                                   use_pallas=self.use_pallas_attention,
+                                   name=f"down_{ind}_attn")
+            h = attn(h, mask=mk)
             hiddens.append(h)
             if not is_last:
-                h = Downsample(dim_out, dtype=self.dtype, name=f"down_{ind}_down")(h * mk)
+                # the fused attention already masked its output rows
+                hin = (h if attn.uses_fused_masked(h.shape[1], h.shape[2], mk)
+                       else h * mk)
+                h = Downsample(dim_out, dtype=self.dtype, name=f"down_{ind}_down")(hin)
             masks.append(mk[:, ::2])
 
         masks = masks[:-1]
@@ -554,7 +574,7 @@ class GradLogPEstimator2d(nn.Module):
                         use_pallas=self.use_pallas_resnet,
                         use_int8=self.use_int8_deep,
                         name="mid_res1")(h, mk, t_emb)
-        h = RezeroAttention(dtype=self.dtype, use_pallas=self.use_pallas_attention, name="mid_attn")(h)
+        h = RezeroAttention(dtype=self.dtype, use_pallas=self.use_pallas_attention, name="mid_attn")(h, mask=mk)
         h = ResnetBlock(mid_dim, self.groups, dtype=self.dtype,
                         use_pallas=self.use_pallas_resnet,
                         use_int8=self.use_int8_deep,
@@ -574,8 +594,13 @@ class GradLogPEstimator2d(nn.Module):
                             use_pallas=self.use_pallas_resnet,
                             use_int8=self.use_int8_deep,
                             name=f"up_{ind}_res2")(h, mk, t_emb)
-            h = RezeroAttention(dtype=self.dtype, use_pallas=self.use_pallas_attention, name=f"up_{ind}_attn")(h)
-            h = Upsample(dim_in, dtype=self.dtype, name=f"up_{ind}_up")(h * mk)
+            attn = RezeroAttention(dtype=self.dtype,
+                                   use_pallas=self.use_pallas_attention,
+                                   name=f"up_{ind}_attn")
+            h = attn(h, mask=mk)
+            hin = (h if attn.uses_fused_masked(h.shape[1], h.shape[2], mk)
+                   else h * mk)
+            h = Upsample(dim_in, dtype=self.dtype, name=f"up_{ind}_up")(hin)
 
         from unitspeech_tpu.ops.pallas_resnet import supports_shape
 

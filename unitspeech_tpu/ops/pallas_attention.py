@@ -85,18 +85,29 @@ def _phase1_kernel(x_ref, wk_ref, wv_ref, ctx_ref, m_scr, den_scr, num_scr,
         ctx_ref[0] = (ctx * _head_block_mask(hd, dim_head)).astype(ctx_ref.dtype)
 
 
-def _phase2_kernel(x_ref, wq_ref, ctx_ref, wo_ref, bo_ref, g_ref, y_ref):
+def _phase2_kernel(lens_ref, x_ref, wq_ref, ctx_ref, wo_ref, bo_ref, g_ref,
+                   y_ref, *, t_tile: int):
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
     x = x_ref[0]  # (Tt, C)
     q = jnp.dot(x, wq_ref[:], preferred_element_type=jnp.float32)  # (Tt, HD)
     ctx = ctx_ref[0].astype(jnp.float32)  # (HD, HD) block-diagonal
     attn = jnp.dot(q, ctx, preferred_element_type=jnp.float32).astype(x.dtype)
     out = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32).astype(x.dtype)
     out = out + bo_ref[:].astype(x.dtype)
-    y_ref[0] = x + g_ref[0, 0].astype(x.dtype) * out
+    y = x + g_ref[0, 0].astype(x.dtype) * out
+    # fused output masking: rows at/after the sequence length zero out, so
+    # the caller's post-attention mask multiply (reference applies it before
+    # every down/up resample) becomes a no-op it can skip — identical
+    # downstream values, one fewer full-tensor pass
+    row = jax.lax.broadcasted_iota(jnp.int32, (t_tile, 1), 0)
+    valid = (j * t_tile + row) < lens_ref[0, 0, 0]
+    y_ref[0] = y * valid.astype(y.dtype)
 
 
 @partial(jax.jit, static_argnames=("heads", "dim_head", "t_tile", "interpret"))
-def _fused_rezero_attention(x, w_qkv, w_out, b_out, g, heads: int,
+def _fused_rezero_attention(x, w_qkv, w_out, b_out, g, lens_rows, heads: int,
                             dim_head: int, t_tile: int, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -132,10 +143,12 @@ def _fused_rezero_attention(x, w_qkv, w_out, b_out, g, heads: int,
     )(xp, wk.astype(x.dtype), wv.astype(x.dtype))
 
     y = pl.pallas_call(
-        _phase2_kernel,
+        partial(_phase2_kernel, t_tile=t_tile),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, c), x.dtype),
         grid=(b, n_tiles),
         in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, t_tile, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, hd), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -148,23 +161,31 @@ def _fused_rezero_attention(x, w_qkv, w_out, b_out, g, heads: int,
         out_specs=pl.BlockSpec((1, t_tile, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(xp, wq.astype(x.dtype), ctx, w_out.astype(x.dtype),
+    )(lens_rows, xp, wq.astype(x.dtype), ctx, w_out.astype(x.dtype),
       b_out.reshape(1, -1), g.reshape(1, 1))
     return y[:, :n]
 
 
-def fused_rezero_attention(x, w_qkv, w_out, b_out, g, heads: int = 4,
-                           dim_head: int = 32, t_tile: int = 512,
-                           interpret=None):
-    """x: (B, N, C) flattened tokens -> x + g * LinearAttention(x).
+def fused_rezero_attention(x, w_qkv, w_out, b_out, g, lens_rows=None,
+                           heads: int = 4, dim_head: int = 32,
+                           t_tile: int = 512, interpret=None):
+    """x: (B, N, C) flattened tokens -> mask * (x + g * LinearAttention(x)).
 
-    w_qkv: (C, 3*H*d) [q|k|v]; w_out: (H*d, C); b_out: (C,); g: scalar."""
+    w_qkv: (C, 3*H*d) [q|k|v]; w_out: (H*d, C); b_out: (C,); g: scalar.
+    lens_rows: optional (B, 1, 1) int32 valid-row counts — the OUTPUT is
+    zeroed at/after the length (keys keep the reference's no-mask semantics:
+    zero padding rows DO enter the softmax, matching unitspeech.py:78-96),
+    so the caller can skip its own post-attention mask multiply. None = no
+    output masking (identical to the XLA path)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n = x.shape[1]
+    b, n, _ = x.shape
+    if lens_rows is None:
+        lens_rows = jnp.full((b, 1, 1), n, jnp.int32)
     # tile must be a multiple of 8 (TPU sublane); padding rows are masked
     # exactly in-kernel
     t = min(t_tile, -(-n // 8) * 8)
     return _fused_rezero_attention(
-        x, w_qkv, w_out, b_out, g, heads, dim_head, int(t), interpret
+        x, w_qkv, w_out, b_out, g, lens_rows.astype(jnp.int32),
+        heads, dim_head, int(t), interpret
     )
