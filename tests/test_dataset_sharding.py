@@ -76,3 +76,17 @@ def test_same_seed_same_permutation_across_hosts():
     # different seed -> different permutation
     c = _epoch(n, bs, world, seed=4)
     assert a != c
+
+
+def test_maybe_initialize_distributed_single_process():
+    """Explicit single-process cluster init (the pattern SLURM/MPI users map
+    their rank env onto); idempotent on repeat calls."""
+    from unitspeech_tpu.parallel.launch import maybe_initialize_distributed
+
+    assert maybe_initialize_distributed(
+        coordinator_address="localhost:12655", num_processes=1, process_id=0
+    )
+    # second call: already initialized, still True, no error
+    assert maybe_initialize_distributed(
+        coordinator_address="localhost:12655", num_processes=1, process_id=0
+    )

@@ -23,6 +23,11 @@ def _common(ap: argparse.ArgumentParser):
     ap.add_argument("--config", default=None, help="JSON config overlay")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host launch: jax.distributed.initialize() "
+                         "(auto topology on TPU pods, or UNITSPEECH_"
+                         "COORDINATOR/NUM_PROCESSES/PROCESS_ID env); see "
+                         "tools/tpu_pod_run.sh")
 
 
 def _setup(args):
@@ -30,6 +35,10 @@ def _setup(args):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "distributed", False):
+        from unitspeech_tpu.parallel.launch import maybe_initialize_distributed
+
+        maybe_initialize_distributed()
     from unitspeech_tpu.config import MainConfig, load_json
 
     return load_json(args.config) if args.config else MainConfig()
