@@ -6,9 +6,9 @@ durations (bucket known up front = one dispatch), which is the VC/warmup
 best case; this tool measures the other serving modes.
 
 Measured (v5e, 140 random tokens -> 1.66 s speech, 50 steps, dual CFG):
-exact proc 0.242 s -> RTF 0.146 (the ~100 ms 2-dispatch+sync host overhead
+exact proc 0.235 s -> RTF 0.142 (the 2-dispatch+sync host overhead
 dominates short utterances); speculative with frames_per_token=2.6 against
-an actual 1.02 -> RTF 0.284 (a 2.5x bucket overshoot runs the sampler at
+an actual 1.02 -> RTF 0.278 (a 2.5x bucket overshoot runs the sampler at
 2.5x the frames — the guess must be tight to beat the exact path)."""
 import sys; sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import time, numpy as np, jax

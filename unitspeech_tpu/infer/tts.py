@@ -144,6 +144,7 @@ def _encode_and_duration(
         "spk_gradient_scale",
         "beta_min",
         "beta_max",
+        "y_pad",
         "mesh",
         "sample_spec",
     ),
@@ -164,9 +165,18 @@ def _align_and_sample(
     spk_gradient_scale: float,
     beta_min: float,
     beta_max: float,
+    y_pad: int = 0,
     mesh=None,
     sample_spec=None,
 ):
+    if y_mask is None:
+        # derive the frame mask ON DEVICE from the already-resident
+        # durations: the host sync is needed only to pick the static bucket,
+        # and sending the length back costs a full ~25 ms tunnel transfer
+        y_lengths = jnp.maximum(jnp.sum(w_ceil, axis=1), 1.0)
+        y_mask = sequence_mask(
+            jnp.minimum(y_lengths, y_pad).astype(jnp.int32), y_pad
+        )
     attn_mask = x_mask * y_mask[:, None, :]  # (B, Tx, Ty)
     attn = generate_path(w_ceil, attn_mask)
     cond_y = jnp.einsum("bxy,bxf->byf", attn, mu_x)
@@ -263,14 +273,16 @@ def _synthesize_single_dispatch(
     jax.jit,
     static_argnames=(
         "decoder_apply", "vocoder", "n_timesteps", "text_gradient_scale",
-        "spk_gradient_scale", "beta_min", "beta_max", "mesh", "sample_spec",
+        "spk_gradient_scale", "beta_min", "beta_max", "y_pad", "mesh",
+        "sample_spec",
     ),
 )
 def _align_sample_vocode(
     decoder_apply, dec_params, vocoder, vocoder_params,
     mu_x, x_mask, w_ceil, y_mask, spk_emb, key, mel_min, mel_max,
     n_timesteps: int, text_gradient_scale: float, spk_gradient_scale: float,
-    beta_min: float, beta_max: float, mesh=None, sample_spec=None,
+    beta_min: float, beta_max: float, y_pad: int = 0, mesh=None,
+    sample_spec=None,
 ):
     """Whole post-duration pipeline in ONE executable: alignment -> 50-step
     scan sampler -> BigVGAN. One device dispatch instead of two — dispatch
@@ -280,7 +292,8 @@ def _align_sample_vocode(
         mel_min, mel_max, n_timesteps=n_timesteps,
         text_gradient_scale=text_gradient_scale,
         spk_gradient_scale=spk_gradient_scale,
-        beta_min=beta_min, beta_max=beta_max, mesh=mesh, sample_spec=sample_spec,
+        beta_min=beta_min, beta_max=beta_max, y_pad=y_pad, mesh=mesh,
+        sample_spec=sample_spec,
     )
     wav = vocoder.apply(vocoder_params, mel)
     return wav, mel, attn
@@ -346,7 +359,6 @@ class Synthesizer:
         y_length = max(int(np.asarray(jnp.sum(w_ceil, axis=1))[0]), 1)
         num_down = m.cfg.decoder.num_downsamplings
         y_pad = choose_bucket(fix_len_compatibility(y_length, num_down), self.frame_buckets)
-        y_mask = sequence_mask(jnp.array([y_length]), y_pad)
 
         mel, attn = _align_and_sample(
             m.decoder.apply,
@@ -354,7 +366,7 @@ class Synthesizer:
             mu_x,
             x_mask,
             w_ceil,
-            y_mask,
+            None,
             m.spk_emb,
             key,
             m.mel_min,
@@ -364,6 +376,7 @@ class Synthesizer:
             spk_gradient_scale=float(sg),
             beta_min=m.cfg.decoder.beta_min,
             beta_max=m.cfg.decoder.beta_max,
+            y_pad=int(y_pad),
             mesh=self.mesh,
             sample_spec=self.sample_spec,
         )
@@ -411,13 +424,13 @@ class Synthesizer:
         y_pad = choose_bucket(
             fix_len_compatibility(int(y_lengths.max()), num_down), self.frame_buckets
         )
-        y_mask = sequence_mask(jnp.asarray(y_lengths), y_pad)
         mel, _ = _align_and_sample(
-            m.decoder.apply, m.decoder_params, mu_x, x_mask, w_ceil, y_mask,
+            m.decoder.apply, m.decoder_params, mu_x, x_mask, w_ceil, None,
             spk, key, m.mel_min, m.mel_max,
             n_timesteps=int(steps), text_gradient_scale=float(tg),
             spk_gradient_scale=float(sg),
             beta_min=m.cfg.decoder.beta_min, beta_max=m.cfg.decoder.beta_max,
+            y_pad=int(y_pad),
             mesh=self.mesh, sample_spec=self.sample_spec,
         )
         wavs = np.asarray(self.vocode(mel))
@@ -569,13 +582,12 @@ class Synthesizer:
         y_pad = choose_bucket(
             fix_len_compatibility(y_length, num_down), self.frame_buckets
         )
-        y_mask = sequence_mask(jnp.array([y_length]), y_pad)
         wav, _mel, _attn = _align_sample_vocode(
             m.decoder.apply, m.decoder_params, m.vocoder, m.vocoder_params,
-            mu_x, x_mask, w_ceil, y_mask, m.spk_emb, key, m.mel_min, m.mel_max,
+            mu_x, x_mask, w_ceil, None, m.spk_emb, key, m.mel_min, m.mel_max,
             n_timesteps=int(steps), text_gradient_scale=float(tg),
             spk_gradient_scale=float(sg),
             beta_min=m.cfg.decoder.beta_min, beta_max=m.cfg.decoder.beta_max,
-            mesh=self.mesh, sample_spec=self.sample_spec,
+            y_pad=int(y_pad), mesh=self.mesh, sample_spec=self.sample_spec,
         )
         return np.asarray(wav[0, : y_length * hop]), sr
