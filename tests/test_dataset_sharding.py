@@ -80,12 +80,22 @@ def test_same_seed_same_permutation_across_hosts():
 
 def test_maybe_initialize_distributed_single_process():
     """Explicit single-process cluster init (the pattern SLURM/MPI users map
-    their rank env onto); idempotent on repeat calls."""
+    their rank env onto); idempotent on repeat calls. jax.distributed must
+    run before any backend init (the CLI calls it first thing in _setup), so
+    under the full suite — where earlier tests already initialized XLA —
+    this skips."""
+    import pytest
+
     from unitspeech_tpu.parallel.launch import maybe_initialize_distributed
 
-    assert maybe_initialize_distributed(
-        coordinator_address="localhost:12655", num_processes=1, process_id=0
-    )
+    try:
+        assert maybe_initialize_distributed(
+            coordinator_address="localhost:12655", num_processes=1, process_id=0
+        )
+    except RuntimeError as e:
+        if "must be called before" in str(e):
+            pytest.skip("XLA backend already initialized by earlier tests")
+        raise
     # second call: already initialized, still True, no error
     assert maybe_initialize_distributed(
         coordinator_address="localhost:12655", num_processes=1, process_id=0
