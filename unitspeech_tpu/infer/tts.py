@@ -168,6 +168,8 @@ def _align_and_sample(
     y_pad: int = 0,
     mesh=None,
     sample_spec=None,
+    noise_z=None,
+    noises=None,
 ):
     if y_mask is None:
         # derive the frame mask ON DEVICE from the already-resident
@@ -180,7 +182,14 @@ def _align_and_sample(
     attn_mask = x_mask * y_mask[:, None, :]  # (B, Tx, Ty)
     attn = generate_path(w_ceil, attn_mask)
     cond_y = jnp.einsum("bxy,bxf->byf", attn, mu_x)
-    z = jax.random.normal(jax.random.fold_in(key, 0), cond_y.shape)
+    # noise_z / noises: optional pre-drawn noise for deterministic end-to-end
+    # parity against the reference torch flow (inference.py:34-160 injects
+    # torch.randn per step; tests/test_reference_parity.py drives both chains
+    # with the same pool)
+    if noise_z is None:
+        z = jax.random.normal(jax.random.fold_in(key, 0), cond_y.shape)
+    else:
+        z = noise_z
     mel = reverse_diffusion(
         decoder_apply,
         dec_params,
@@ -196,6 +205,7 @@ def _align_and_sample(
         beta_max=beta_max,
         mesh=mesh,
         sample_spec=sample_spec,
+        noises=noises,
     )
     return denormalize_mel(mel, mel_min, mel_max), attn
 
@@ -282,7 +292,7 @@ def _align_sample_vocode(
     mu_x, x_mask, w_ceil, y_mask, spk_emb, key, mel_min, mel_max,
     n_timesteps: int, text_gradient_scale: float, spk_gradient_scale: float,
     beta_min: float, beta_max: float, y_pad: int = 0, mesh=None,
-    sample_spec=None,
+    sample_spec=None, noise_z=None, noises=None,
 ):
     """Whole post-duration pipeline in ONE executable: alignment -> 50-step
     scan sampler -> BigVGAN. One device dispatch instead of two — dispatch
@@ -293,7 +303,7 @@ def _align_sample_vocode(
         text_gradient_scale=text_gradient_scale,
         spk_gradient_scale=spk_gradient_scale,
         beta_min=beta_min, beta_max=beta_max, y_pad=y_pad, mesh=mesh,
-        sample_spec=sample_spec,
+        sample_spec=sample_spec, noise_z=noise_z, noises=noises,
     )
     wav = vocoder.apply(vocoder_params, mel)
     return wav, mel, attn
@@ -330,8 +340,17 @@ class Synthesizer:
         length_scale: Optional[float] = None,
         text_gradient_scale: Optional[float] = None,
         spk_gradient_scale: Optional[float] = None,
+        noise_z=None,
+        noises=None,
     ):
-        """Token IDs -> (denormalized log-mel (1, Ty, F), y_length, attn)."""
+        """Token IDs -> (denormalized log-mel (1, Ty, F), y_length, attn).
+
+        noise_z (1, Ty_pad, F) / noises (steps, 1, Ty_pad, F): optional
+        pre-drawn noise pools for deterministic end-to-end parity runs against
+        the reference torch flow (inference.py:98-126 draws torch.randn for the
+        prior sample and per reverse step). Shapes must match the padded frame
+        bucket the call resolves — pass `noise_for(y_length)` callables sized
+        from a probe run, or use tests/test_reference_parity.py's helper."""
         m = self.models
         icfg = m.cfg.inference
         steps = diffusion_steps if diffusion_steps is not None else icfg.diffusion_steps
@@ -379,6 +398,8 @@ class Synthesizer:
             y_pad=int(y_pad),
             mesh=self.mesh,
             sample_spec=self.sample_spec,
+            noise_z=noise_z,
+            noises=noises,
         )
         return mel, y_length, attn
 
@@ -512,6 +533,11 @@ class Synthesizer:
           * otherwise: exact — encode+duration dispatch, host sync for the
             data-dependent length (reference unitspeech.py:427-429), then the
             fused align->sample->vocode dispatch.
+
+        `_noise_z` / `_noises` kwargs inject pre-drawn prior/per-step noise on
+        the exact path (shapes at the resolved frame bucket) — used by
+        tests/test_reference_parity.py to drive this entry point and the
+        reference inference.py flow with identical randomness.
         """
         m = self.models
         if m.vocoder is None:
@@ -589,5 +615,6 @@ class Synthesizer:
             spk_gradient_scale=float(sg),
             beta_min=m.cfg.decoder.beta_min, beta_max=m.cfg.decoder.beta_max,
             y_pad=int(y_pad), mesh=self.mesh, sample_spec=self.sample_spec,
+            noise_z=kwargs.get("_noise_z"), noises=kwargs.get("_noises"),
         )
         return np.asarray(wav[0, : y_length * hop]), sr
