@@ -73,3 +73,26 @@ def load_reference():
         AttrDict=AttrDict,
     )
     return ns
+
+
+def load_reference_ecapa():
+    """Import the REAL reference ECAPA_TDNN (ecapa_tdnn.py:164-287) for
+    output-level parity. Its module-scope deps (torchaudio.transforms, the
+    s3prl UpstreamExpert) are stubbed — the parity test replaces the SSL
+    upstream with synthetic hidden states anyway. Returns the module or None."""
+    if load_reference() is None:
+        return None
+
+    ta = _stub("torchaudio")
+    ta.transforms = _stub("torchaudio.transforms", MelSpectrogram=object, MFCC=object)
+    _stub("unitspeech.speaker_encoder.utils", UpstreamExpert=object)
+
+    # load_reference() installed a placeholder for this module; swap in the
+    # real file (the package itself is importable — empty __init__)
+    name = "unitspeech.speaker_encoder.ecapa_tdnn"
+    existing = sys.modules.get(name)
+    if existing is not None and existing.__spec__ is None:  # our placeholder
+        del sys.modules[name]
+    import importlib
+
+    return importlib.import_module(name)
