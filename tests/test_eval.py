@@ -48,3 +48,68 @@ def test_wer_cer():
     assert wer("a b", "a b c") == 0.5
     assert cer("abc", "abc") == 0.0
     assert cer("abc", "abd") > 0.0
+
+
+def test_evaluate_mos_and_summary():
+    from unitspeech_tpu.eval.harness import evaluate_mos, evaluation_summary
+
+    wavs = [(np.zeros(100, np.float32), 10), (np.zeros(200, np.float32), 10)]
+    out = evaluate_mos(wavs, lambda w, sr: 2.0 + len(w) / 100.0)
+    assert out == {"mos_mean": 3.5, "mos_min": 3.0, "mos_max": 4.0}
+
+    row = evaluation_summary(
+        timings=EvalTimings(np.array([1.0]), np.array([2.0])),
+        mos_wavs=wavs, predict_mos=lambda w, sr: 3.0,
+        embedding_pairs=[(np.array([1.0, 0.0]), np.array([1.0, 0.0]))],
+    )
+    assert abs(row["rtf"] - 0.5) < 1e-9
+    assert row["mos_mean"] == 3.0
+    assert abs(row["spk_cosine_mean"] - 1.0) < 1e-9
+    # absent hooks -> absent columns
+    assert "wer" not in row
+
+
+def test_evaluate_cli_with_stub_hooks(tmp_path, capsys):
+    """e2e: samples dir + timings + filelist -> `evaluate` subcommand with
+    stub ASR/MOS/speaker hooks -> notebook-style summary CSV (closes PARITY
+    component #29)."""
+    import csv
+    import json
+
+    from unitspeech_tpu.cli import main
+    from unitspeech_tpu.data.dataset import write_wav
+    from unitspeech_tpu.eval.harness import EvalTimings
+
+    sr = 8000
+    d = tmp_path / "samples"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i, n in enumerate((4000, 6001)):
+        write_wav(str(d / f"sample_{i:04d}.wav"),
+                  rng.normal(size=n).astype(np.float32) * 0.1, sr)
+    EvalTimings(np.array([0.5, 0.25]), np.array([0.5, 0.75])).save(
+        str(d / "timings.npz"))
+    ref = tmp_path / "ref.wav"
+    write_wav(str(ref), rng.normal(size=5000).astype(np.float32) * 0.1, sr)
+    fl = tmp_path / "eval.txt"
+    fl.write_text("a.wav|hello world|0\nb.wav|hello world|0\n")
+
+    rc = main([
+        "evaluate", "--samples-dir", str(d), "--filelist", str(fl),
+        "--reference-wav", str(ref),
+        "--asr-hook", "tests._eval_hooks:transcribe",
+        "--mos-hook", "tests._eval_hooks:predict_mos",
+        "--spk-hook", "tests._eval_hooks:embed",
+    ])
+    assert rc == 0
+    row = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert abs(row["rtf"] - 0.75 / 1.25) < 1e-9
+    assert row["n_samples"] == 2
+    assert row["wer"] == 0.25  # one perfect, one 1-of-2-words substitution
+    assert 3.0 < row["mos_mean"] < 4.0
+    assert -1.0 <= row["spk_cosine_min"] <= 1.0
+
+    with open(d / "summary.csv") as f:
+        rows = list(csv.reader(f))
+    assert rows[0][: len(rows[0])] == list(row.keys())
+    assert len(rows) == 2

@@ -878,8 +878,93 @@ def main_preprocess_units(argv=None):
     return 0
 
 
+def main_evaluate(argv=None):
+    """Metric summary over a generated-samples directory — the CLI form of
+    the reference's evaluation-metrics.ipynb (RTF stats from the recorded
+    timings, WER/CER through an ASR hook, predicted MOS through a MOS hook,
+    speaker cosine through an embedding hook), emitted as one CSV row.
+
+    External models (Whisper, s3prl mos_wav2vec2, a speaker embedder) are
+    separate installs for the reference too; they plug in as
+    'module:function' hooks:
+        --asr-hook  m:f   f(wav, sr) -> str
+        --mos-hook  m:f   f(wav, sr) -> float
+        --spk-hook  m:f   f(wav, sr) -> np.ndarray embedding
+    """
+    ap = argparse.ArgumentParser("unitspeech-tpu evaluate")
+    ap.add_argument("--samples-dir", required=True,
+                    help="directory from evaluation/generate_samples.py "
+                         "(sample_*.wav + timings.npz)")
+    ap.add_argument("--filelist", default=None,
+                    help="path|text|spk filelist giving the reference text "
+                         "for sample i on line i (enables WER/CER)")
+    ap.add_argument("--reference-wav", default=None,
+                    help="target-speaker reference wav (enables speaker "
+                         "cosine when --spk-hook is given)")
+    ap.add_argument("--asr-hook", default=None)
+    ap.add_argument("--mos-hook", default=None)
+    ap.add_argument("--spk-hook", default=None)
+    ap.add_argument("--out", default=None, help="summary CSV path "
+                    "(default <samples-dir>/summary.csv)")
+    args = ap.parse_args(argv)
+
+    import glob
+    import json
+    import os
+
+    from unitspeech_tpu.data.dataset import load_wav, parse_filelist
+    from unitspeech_tpu.eval import harness
+
+    wav_paths = sorted(glob.glob(os.path.join(args.samples_dir, "sample_*.wav")))
+    if not wav_paths:
+        print(f"no sample_*.wav under {args.samples_dir}", file=sys.stderr)
+        return 2
+    wavs = [load_wav(p) for p in wav_paths]
+
+    timings = None
+    tpath = os.path.join(args.samples_dir, "timings.npz")
+    if os.path.exists(tpath):
+        timings = harness.EvalTimings.load(tpath)
+
+    transcription_pairs = transcribe = None
+    if args.asr_hook and args.filelist:
+        texts = [e[1] for e in parse_filelist(args.filelist)]
+        n = min(len(texts), len(wavs))
+        transcription_pairs = [
+            (wavs[i][0], wavs[i][1], texts[i]) for i in range(n)
+        ]
+        transcribe = harness.load_hook(args.asr_hook)
+
+    predict_mos = harness.load_hook(args.mos_hook) if args.mos_hook else None
+
+    embedding_pairs = None
+    if args.spk_hook and args.reference_wav:
+        embed = harness.load_hook(args.spk_hook)
+        ref_wav, ref_sr = load_wav(args.reference_wav)
+        ref_emb = np.asarray(embed(ref_wav, ref_sr))
+        embedding_pairs = [
+            (ref_emb, np.asarray(embed(w, sr))) for w, sr in wavs
+        ]
+
+    row = harness.evaluation_summary(
+        timings=timings,
+        transcription_pairs=transcription_pairs,
+        transcribe=transcribe,
+        mos_wavs=wavs if predict_mos else None,
+        predict_mos=predict_mos,
+        embedding_pairs=embedding_pairs,
+    )
+    row["n_samples"] = len(wavs)
+    out = args.out or os.path.join(args.samples_dir, "summary.csv")
+    harness.write_summary_csv(out, row)
+    print(json.dumps(row))
+    print(f"summary -> {out}")
+    return 0
+
+
 COMMANDS = {
     "inference": main_inference,
+    "evaluate": main_evaluate,
     "finetune": main_finetune,
     "voice-conversion": main_voice_conversion,
     "train-step1": main_train_step1,

@@ -163,3 +163,71 @@ def evaluate_transcriptions(
         wers.append(wer(ref_text.lower(), hyp.lower()))
         cers.append(cer(ref_text.lower(), hyp.lower()))
     return {"wer": float(np.mean(wers)), "cer": float(np.mean(cers))}
+
+
+# ---------------------------------------------------------------------------
+# predicted MOS + summary table (reference evaluation-metrics.ipynb cells
+# 12-18: s3prl mos_wav2vec2 scores per wav, then per-set mean/min/max)
+# ---------------------------------------------------------------------------
+
+
+def evaluate_mos(
+    wavs: Sequence, predict_mos: Callable[[np.ndarray, int], float]
+) -> Dict[str, float]:
+    """wavs: [(wav, sr)]; predict_mos: external hook `(wav, sr) -> float`
+    (the reference notebook uses s3prl's mos_wav2vec2 predictor — an external
+    install there too). Returns the notebook's per-set statistics."""
+    scores = np.asarray([float(predict_mos(w, sr)) for w, sr in wavs], np.float64)
+    return {
+        "mos_mean": float(scores.mean()),
+        "mos_min": float(scores.min()),
+        "mos_max": float(scores.max()),
+    }
+
+
+def load_hook(spec: str):
+    """Resolve an external-model hook given as 'module.path:function' — how
+    the CLI accepts ASR / MOS / speaker-embedding models that are separate
+    installs (Whisper, NeMo/s3prl), matching the reference's notebook-side
+    imports."""
+    mod_name, _, fn_name = spec.partition(":")
+    if not fn_name:
+        raise ValueError(f"hook spec {spec!r} must be 'module:function'")
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), fn_name)
+
+
+def evaluation_summary(
+    timings: Optional[EvalTimings] = None,
+    transcription_pairs: Optional[List] = None,
+    transcribe: Optional[Callable] = None,
+    mos_wavs: Optional[Sequence] = None,
+    predict_mos: Optional[Callable] = None,
+    embedding_pairs: Optional[List] = None,
+) -> Dict[str, float]:
+    """One summary row combining every metric the reference's notebook
+    reports (RTF stats, Whisper WER/CER, predicted MOS, speaker cosine).
+    Sections whose inputs/hooks are absent are skipped."""
+    row: Dict[str, float] = {}
+    if timings is not None:
+        row.update(rtf_summary(timings))
+    if transcription_pairs and transcribe is not None:
+        row.update(evaluate_transcriptions(transcription_pairs, transcribe))
+    if mos_wavs and predict_mos is not None:
+        row.update(evaluate_mos(mos_wavs, predict_mos))
+    if embedding_pairs:
+        sims = [speaker_cosine_similarity(a, b) for a, b in embedding_pairs]
+        row["spk_cosine_mean"] = float(np.mean(sims))
+        row["spk_cosine_min"] = float(np.min(sims))
+    return row
+
+
+def write_summary_csv(path: str, row: Dict[str, float]):
+    """The notebook's final table as one-header-one-row CSV."""
+    import csv
+
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(list(row.keys()))
+        w.writerow([f"{v:.6g}" if isinstance(v, float) else v for v in row.values()])
