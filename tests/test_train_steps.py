@@ -193,3 +193,67 @@ def test_prepare_finetune_inputs():
     assert cond_x.shape == (1, 4, N_FEATS)
     assert y.shape[1] % 2 == 0 and y.shape[1] >= 10
     np.testing.assert_allclose(np.asarray(attn.sum(axis=(1, 2))), [10.0])
+
+
+def test_finetune_batched_matches_sequential_on_mesh():
+    """finetune_decoder_batched: per-speaker adaptation sharded speaker-per-
+    chip over the data mesh must match running finetune_decoder per speaker
+    sequentially (same params, data, keys)."""
+    from unitspeech_tpu.train.finetune import finetune_decoder_batched
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()  # all 8 devices on `data`
+    _, _, dec = _tiny_modules()
+    k = jax.random.PRNGKey(0)
+    dec_params = dec.init(
+        k, jnp.zeros((1, 8, N_FEATS)), jnp.ones((1, 8)),
+        jnp.zeros((1, 8, N_FEATS)), jnp.zeros((1,)), jnp.zeros((1, SPK)),
+    )
+    rng = np.random.default_rng(9)
+    s, t_x, t_y, seg, iters = 8, 4, 16, 8, 3
+    cond_x = jnp.asarray(rng.standard_normal((s, 1, t_x, N_FEATS)) * 0.1, jnp.float32)
+    y = jnp.asarray(rng.uniform(-1, 1, (s, 1, t_y, N_FEATS)), jnp.float32)
+    attn = jnp.broadcast_to(
+        jnp.repeat(jnp.eye(t_x), t_y // t_x, axis=1)[None, None],
+        (s, 1, t_x, t_y),
+    ).astype(jnp.float32)
+    y_lengths = jnp.full((s, 1), t_y)
+    spk = jnp.asarray(rng.standard_normal((s, 1, SPK)) * 0.1, jnp.float32)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(s))
+    stacked = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (s,) + x.shape), dec_params
+    )
+
+    batched_params, batched_losses = finetune_decoder_batched(
+        dec.apply, stacked, cond_x, y, y_lengths, attn, spk, keys,
+        mesh=mesh, segment_size=seg, n_iters=iters, learning_rate=1e-3,
+    )
+    assert batched_losses.shape == (s, iters)
+
+    for i in (0, 3, 7):  # spot-check speakers against the sequential API
+        p_i, l_i = finetune_decoder(
+            # finetune_decoder DONATES its params buffer — pass a copy
+            dec.apply, jax.tree_util.tree_map(jnp.copy, dec_params),
+            cond_x[i], y[i], y_lengths[i], attn[i],
+            spk[i], keys[i], segment_size=seg, n_iters=iters,
+            learning_rate=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched_losses[i]), np.asarray(l_i), rtol=1e-5, atol=1e-6
+        )
+        a = jax.tree_util.tree_leaves(p_i)
+        b = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda x: x[i], batched_params)
+        )
+        for x, z in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(z), rtol=1e-5, atol=1e-6)
+
+    # speaker count must divide the mesh data axis
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        finetune_decoder_batched(
+            dec.apply,
+            jax.tree_util.tree_map(lambda x: x[:5], stacked),
+            cond_x[:5], y[:5], y_lengths[:5], attn[:5], spk[:5], keys[:5],
+            mesh=mesh, segment_size=seg, n_iters=iters,
+        )

@@ -27,6 +27,49 @@ from unitspeech_tpu.ops.masking import fix_len_compatibility, generate_path, seq
 from unitspeech_tpu.train.steps import clip_by_global_norm
 
 
+def _finetune_scan(
+    decoder_apply,
+    decoder_params,
+    cond_x,
+    y,
+    y_lengths,
+    attn,
+    spk_emb,
+    key,
+    segment_size: int,
+    n_iters: int,
+    learning_rate: float,
+    grad_clip: float,
+    beta_min: float,
+    beta_max: float,
+):
+    """Unjitted fine-tune scan core — wrapped by `finetune_decoder` (jit) and
+    vmapped by `finetune_decoder_batched` (speaker-per-chip)."""
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(decoder_params)
+
+    def body(carry, i):
+        params, opt_state = carry
+        k = jax.random.fold_in(key, i)
+
+        def loss_fn(p):
+            return fine_tune_loss(
+                decoder_apply, p, cond_x, y, y_lengths, attn, spk_emb,
+                segment_size, k, beta_min, beta_max,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads, _ = clip_by_global_norm(grads, grad_clip)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    (decoder_params, _), losses = lax.scan(
+        body, (decoder_params, opt_state), jnp.arange(n_iters)
+    )
+    return decoder_params, losses
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -56,29 +99,84 @@ def finetune_decoder(
     cond_x: (1, Tx, F) frozen unit-encoder output; y: (1, Ty, F) normalized
     mel; attn: (1, Tx, Ty); spk_emb: (1, S).
     Returns (adapted decoder params, per-iteration losses (n_iters,))."""
-    tx = optax.adam(learning_rate)
-    opt_state = tx.init(decoder_params)
-
-    def body(carry, i):
-        params, opt_state = carry
-        k = jax.random.fold_in(key, i)
-
-        def loss_fn(p):
-            return fine_tune_loss(
-                decoder_apply, p, cond_x, y, y_lengths, attn, spk_emb,
-                segment_size, k, beta_min, beta_max,
-            )
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        grads, _ = clip_by_global_norm(grads, grad_clip)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
-
-    (decoder_params, _), losses = lax.scan(
-        body, (decoder_params, opt_state), jnp.arange(n_iters)
+    return _finetune_scan(
+        decoder_apply, decoder_params, cond_x, y, y_lengths, attn, spk_emb,
+        key, segment_size, n_iters, learning_rate, grad_clip, beta_min,
+        beta_max,
     )
-    return decoder_params, losses
+
+
+def finetune_decoder_batched(
+    decoder_apply,
+    stacked_params,
+    cond_x,
+    y,
+    y_lengths,
+    attn,
+    spk_emb,
+    keys,
+    mesh=None,
+    segment_size: int = 176,
+    n_iters: int = 500,
+    learning_rate: float = 2e-5,
+    grad_clip: float = 1.0,
+    beta_min: float = 0.05,
+    beta_max: float = 20.0,
+):
+    """Adapt S speakers CONCURRENTLY — the TPU-native replacement for the
+    reference eval driver's sequential per-speaker fine-tune loop
+    (evaluation_generate_samples.py:150-353 fine-tunes one speaker at a time
+    on one GPU; here each chip runs one adaptation in parallel).
+
+    Every array input carries a leading speaker axis: stacked_params is the
+    base decoder params tree with each leaf stacked to (S, ...) (one optimizer
+    trajectory per speaker), cond_x (S, 1, Tx, F), y (S, 1, Ty, F),
+    y_lengths (S, 1), attn (S, 1, Tx, Ty), spk_emb (S, 1, E), keys (S, 2).
+    With `mesh`, the speaker axis shards over its 'data' axis via shard_map —
+    the adaptations are embarrassingly parallel, so each chip runs its own
+    500-step loop with NO collectives (vmap is deliberately avoided: batching
+    the conv kernels over speakers lowers to grouped convs, which the final
+    1-channel score conv cannot express). S must divide by the mesh's data
+    axis; each device lax.map's over its local speakers (usually 1).
+    Returns (adapted stacked params, losses (S, n_iters))."""
+
+    def one(args):
+        p, c, yy, yl, a, s, k = args
+        return _finetune_scan(
+            decoder_apply, p, c, yy, yl, a, s, k, segment_size, n_iters,
+            learning_rate, grad_clip, beta_min, beta_max,
+        )
+
+    def local_fn(*args):
+        return lax.map(one, args)
+
+    args = (stacked_params, cond_x, y, y_lengths, attn, spk_emb, keys)
+    if mesh is None:
+        return jax.jit(local_fn)(*args)
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    n_data = mesh.shape["data"]
+    n_speakers = keys.shape[0]
+    if n_speakers % n_data != 0:
+        raise ValueError(
+            f"speaker count {n_speakers} must divide by the mesh data axis "
+            f"({n_data}) for speaker-per-chip fine-tuning"
+        )
+    spec = P("data")
+    fn = jax.jit(
+        shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(spec,) * len(args), out_specs=spec,
+        )
+    )
+    args = jax.device_put(args, NamedSharding(mesh, spec))
+    return fn(*args)
 
 
 def prepare_finetune_inputs(
