@@ -116,7 +116,7 @@ def main():
             )
             return np.asarray(wav)
         w = np.full((b, n_tok), frames / n_tok, np.float32)
-        wav, _mel, ylens, _yp, _fits = synth._single_dispatch(
+        wav, _mel, ylens, *_rest = synth._single_dispatch(
             tokens_np, np.full((b,), n_tok), w, frames, key,
             args.steps, 1.0, tg, sg,
         )

@@ -153,3 +153,80 @@ def test_speculative_serving_fits_and_fallback(tiny_synth):
     tight = dc.replace(tiny_synth, speculative_frames_per_token=1e-6)
     wav_fb, _ = tight(tokens, jax.random.PRNGKey(5), **kw)
     np.testing.assert_allclose(wav_fb, wav_ref, atol=0, rtol=0)
+
+
+def test_calibrated_speculative_serving(tiny_synth, monkeypatch):
+    """Calibrated speculative serving (infer/calibration.py): exact-path
+    requests feed the calibrator for free; once ready, a request runs as ONE
+    speculative dispatch with NO encode call, and a bucket miss falls back to
+    one align+sample+vocode dispatch REUSING the device-resident encoder
+    outputs (still no re-encode)."""
+    import dataclasses as dc
+
+    from unitspeech_tpu.infer import tts as tts_mod
+    from unitspeech_tpu.infer.calibration import DurationCalibrator
+    from unitspeech_tpu.ops.masking import choose_bucket, fix_len_compatibility
+
+    cal = DurationCalibrator(n_vocab=40, min_samples=3)
+    synth = dc.replace(tiny_synth, calibrator=cal)
+    kw = dict(diffusion_steps=2, text_gradient_scale=0.0,
+              spk_gradient_scale=0.0)
+
+    reqs = [[1, 5, 9, 3], [2, 4, 6], [7, 8, 1, 2, 3]]
+    for i, toks in enumerate(reqs):  # calibration phase = exact path
+        wav, _ = synth(toks, jax.random.PRNGKey(i), **kw)
+        assert len(wav) > 0
+    assert cal.ready and cal.estimate(reqs[0]) is not None
+
+    # the repeated request's estimate is exact (per-token table has seen
+    # every token), so the speculative bucket must cover the actual length
+    tokens = reqs[0]
+    wav_exact, _ = synth(tokens, jax.random.PRNGKey(5), _exact=True, **kw)
+
+    def bomb(*a, **k):
+        raise AssertionError("speculative serve must not re-encode")
+
+    monkeypatch.setattr(tts_mod, "_encode_and_duration", bomb)
+    n_res = len(cal._residuals)
+    wav_spec, _ = synth(tokens, jax.random.PRNGKey(5), **kw)
+    assert len(cal._residuals) == n_res + 1  # hit observed its total
+    assert len(wav_spec) == len(wav_exact)
+    # same frame bucket -> identical noise draws -> same waveform
+    actual = cal.estimate(tokens)
+    guess_bucket = choose_bucket(
+        fix_len_compatibility(int(np.ceil(actual * cal.margin)), 1),
+        synth.frame_buckets,
+    )
+    exact_bucket = choose_bucket(
+        fix_len_compatibility(int(actual), 1), synth.frame_buckets
+    )
+    if guess_bucket == exact_bucket:
+        np.testing.assert_allclose(wav_spec, wav_exact, atol=1e-5, rtol=1e-5)
+
+
+def test_calibrated_speculative_miss_reuses_encode(tiny_synth, monkeypatch):
+    """A poisoned calibrator under-guesses -> the speculative dispatch
+    overflows -> the fallback reruns align+sample+vocode at the right bucket
+    WITHOUT re-encoding, and matches the exact path."""
+    import dataclasses as dc
+
+    from unitspeech_tpu.infer import tts as tts_mod
+    from unitspeech_tpu.infer.calibration import DurationCalibrator
+
+    tokens = [1, 5, 9, 3, 7, 2]
+    kw = dict(diffusion_steps=2, text_gradient_scale=0.0,
+              spk_gradient_scale=0.0)
+    wav_ref, _ = tiny_synth(tokens, jax.random.PRNGKey(5), **kw)
+
+    cal = DurationCalibrator(n_vocab=40, min_samples=1, max_margin=1.0)
+    cal.observe_durations(list(range(40)), [0.02] * 40)  # ~1 frame total
+    cal.observe_total([1], 0.02)
+    assert cal.ready
+    synth = dc.replace(tiny_synth, calibrator=cal)
+
+    def bomb(*a, **k):
+        raise AssertionError("miss fallback must reuse the encoder outputs")
+
+    monkeypatch.setattr(tts_mod, "_encode_and_duration", bomb)
+    wav_fb, _ = synth(tokens, jax.random.PRNGKey(5), **kw)
+    np.testing.assert_allclose(wav_fb, wav_ref, atol=1e-5, rtol=1e-5)

@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""int8 quality gate (VERDICT r2 next-round #1): end-to-end mel-L1 / MCD of
+the int8-deep estimator vs bf16 vs an f32 truth run, at FULL reference size
+with identical converted random weights and identical noise.
+
+No published checkpoints exist in this zero-egress environment, so the gate
+normalizes by the error band the repo's parity tests already accept: bf16 is
+the shipped default and its deviation from the f32 truth is the accepted
+numerics envelope for this architecture (50 chaotic reverse-diffusion steps
+amplify ANY rounding, so raw deltas overstate perceptual change — the ratio
+int8/bf16 is the meaningful number). Gate: int8's e2e mel-L1 and MCD vs f32
+must be within GATE_RATIO x the bf16-vs-f32 band, across weight seeds and
+noise keys.
+
+Quality bar mirrors the reference's metric suite
+(/root/reference/evaluation/evaluation-metrics.ipynb): mel-domain distances
+via eval/harness.py.
+
+Writes INT8_GATE.json. Run on the real TPU:
+  JAX_PLATFORMS=tpu python tools/int8_gate.py
+"""
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import json
+import time
+
+import numpy as np
+
+import jax
+
+# f32 truth must really be f32: this JAX build runs f32 matmuls as bf16
+# passes by default (tests/conftest.py pins the same)
+jax.config.update("jax_default_matmul_precision", "float32")
+
+import jax.numpy as jnp
+
+from unitspeech_tpu.config import MainConfig
+from unitspeech_tpu.eval.harness import mel_cepstral_distortion, mel_l1
+from unitspeech_tpu.infer.tts import Synthesizer, TTSModels
+
+GATE_RATIO = 2.0
+FRAMES = 344  # baseline mean speech duration (BASELINE.md)
+N_TOK = 140
+STEPS = 50
+WEIGHT_SEEDS = (0, 1)
+NOISE_KEYS = (42, 7, 1234)
+SMOKE = False
+
+
+def make_cfg() -> MainConfig:
+    if not SMOKE:
+        return MainConfig()
+    from unitspeech_tpu.config import (
+        DataConfig, DecoderConfig, DurationPredictorConfig, EncoderConfig,
+        VocoderConfig,
+    )
+
+    return MainConfig(
+        data=DataConfig(n_feats=16),
+        text_encoder=EncoderConfig(
+            n_vocab=180, n_feats=16, n_channels=16, filter_channels=32,
+            n_layers=1, n_heads=2,
+        ),
+        duration_predictor=DurationPredictorConfig(
+            in_channels=16, filter_channels=16, spk_emb_dim=8
+        ),
+        decoder=DecoderConfig(n_feats=16, dim=8, dim_mults=(1, 2), groups=4, spk_emb_dim=8),
+        vocoder=VocoderConfig(
+            num_mels=16, upsample_rates=(8, 8, 2, 2),
+            upsample_kernel_sizes=(16, 16, 4, 4), upsample_initial_channel=32,
+            resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+        ),
+    )
+
+
+def build(weight_seed: int, mode: str) -> Synthesizer:
+    cfg = make_cfg()
+    on_tpu = jax.default_backend() == "tpu"
+    kw = dict(
+        use_pallas_vocoder=on_tpu and mode != "f32",
+        use_pallas_resnet=on_tpu and mode != "f32",
+        use_pallas_attention=on_tpu and mode != "f32",
+        use_int8_deep=(mode == "int8"),
+    )
+    dtype = jnp.float32 if mode == "f32" else jnp.bfloat16
+    models = TTSModels.random_init(cfg, jax.random.PRNGKey(weight_seed), dtype=dtype, **kw)
+    return Synthesizer(models)
+
+
+def run_mels(synth: Synthesizer, tokens_np: np.ndarray):
+    """One forced-duration synthesis per noise key -> list of (T, F) f32 mels."""
+    # integer per-token durations summing exactly to FRAMES (same scheme as
+    # Synthesizer.__call__'s forced path)
+    w = np.full((1, tokens_np.shape[1]), FRAMES // N_TOK, np.float32)
+    w[0, 0] += FRAMES - (FRAMES // N_TOK) * N_TOK
+    out = []
+    for nk in NOISE_KEYS:
+        _wav, mel, *_rest = synth._single_dispatch(
+            tokens_np, [N_TOK], w, FRAMES, jax.random.PRNGKey(nk), STEPS,
+            1.0, 1.0, 1.0,
+        )
+        out.append(np.asarray(mel, np.float32)[0])
+    return out
+
+
+def main():
+    global SMOKE, FRAMES, N_TOK, STEPS, WEIGHT_SEEDS
+    if "--smoke" in sys.argv:
+        SMOKE, FRAMES, N_TOK, STEPS, WEIGHT_SEEDS = True, 48, 12, 4, (0,)
+        # the axon plugin ignores the JAX_PLATFORMS env var — force CPU here
+        jax.config.update("jax_platforms", "cpu")
+    rng = np.random.default_rng(0)
+    tokens_np = rng.integers(1, 179, (1, N_TOK)).astype(np.int32)
+    report = {"frames": FRAMES, "steps": STEPS, "gate_ratio": GATE_RATIO, "runs": []}
+
+    # build each mode ONCE (jit caches key on the module objects — rebuilding
+    # per weight seed would recompile the full pipeline); weight seeds swap
+    # param trees into the same Synthesizer
+    synths = {mode: build(WEIGHT_SEEDS[0], mode) for mode in ("f32", "bf16", "int8")}
+    # identical-weights sanity: params are f32 regardless of compute dtype
+    a = jax.tree_util.tree_leaves(synths["f32"].models.decoder_params)[0]
+    b = jax.tree_util.tree_leaves(synths["int8"].models.decoder_params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def load_seed(synth, ws):
+        fresh = TTSModels.random_init(make_cfg(), jax.random.PRNGKey(ws))
+        m = synth.models
+        m.text_encoder_params = fresh.text_encoder_params
+        m.duration_predictor_params = fresh.duration_predictor_params
+        m.decoder_params = fresh.decoder_params
+        m.vocoder_params = fresh.vocoder_params
+        m.spk_emb = fresh.spk_emb
+
+    ratios_l1, ratios_mcd = [], []
+    for ws in WEIGHT_SEEDS:
+        mels = {}
+        for mode in ("f32", "bf16", "int8"):
+            t0 = time.time()
+            if ws != WEIGHT_SEEDS[0]:
+                load_seed(synths[mode], ws)
+            mels[mode] = run_mels(synths[mode], tokens_np)
+            print(f"seed {ws} {mode}: {time.time()-t0:.1f}s "
+                  f"(incl. compile on first seed)", flush=True)
+        for i, nk in enumerate(NOISE_KEYS):
+            f32m, b16m, i8m = mels["f32"][i], mels["bf16"][i], mels["int8"][i]
+            row = {
+                "weight_seed": ws, "noise_key": nk,
+                "mel_l1_bf16_vs_f32": mel_l1(b16m, f32m),
+                "mel_l1_int8_vs_f32": mel_l1(i8m, f32m),
+                "mel_l1_int8_vs_bf16": mel_l1(i8m, b16m),
+                "mcd_bf16_vs_f32": mel_cepstral_distortion(b16m, f32m),
+                "mcd_int8_vs_f32": mel_cepstral_distortion(i8m, f32m),
+                "mcd_int8_vs_bf16": mel_cepstral_distortion(i8m, b16m),
+                "mel_dynamic_range": float(f32m.max() - f32m.min()),
+            }
+            ratios_l1.append(row["mel_l1_int8_vs_f32"] / max(row["mel_l1_bf16_vs_f32"], 1e-9))
+            ratios_mcd.append(row["mcd_int8_vs_f32"] / max(row["mcd_bf16_vs_f32"], 1e-9))
+            report["runs"].append(row)
+            print(json.dumps(row), flush=True)
+
+    report["ratio_l1_median"] = float(np.median(ratios_l1))
+    report["ratio_mcd_median"] = float(np.median(ratios_mcd))
+    report["ratio_l1_max"] = float(np.max(ratios_l1))
+    report["ratio_mcd_max"] = float(np.max(ratios_mcd))
+    report["pass"] = bool(
+        report["ratio_l1_median"] <= GATE_RATIO
+        and report["ratio_mcd_median"] <= GATE_RATIO
+    )
+    out = "/INT8_GATE_SMOKE.json" if SMOKE else "/INT8_GATE.json"
+    with open(sys.path[0] + out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({k: v for k, v in report.items() if k != "runs"}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -276,7 +276,11 @@ def _synthesize_single_dispatch(
         spk_gradient_scale=spk_gradient_scale,
         beta_min=beta_min, beta_max=beta_max, mesh=mesh, sample_spec=sample_spec,
     )
-    return wav, mel, y_lengths, y_pred_lengths, fits
+    # mu_x/x_mask/w_ceil ride along DEVICE-RESIDENT (no D2H unless the caller
+    # materializes them): a speculative miss reuses them for the corrected
+    # align+sample+vocode dispatch without re-encoding or re-sending the
+    # request (infer/calibration.py rationale)
+    return wav, mel, y_lengths, y_pred_lengths, fits, mu_x, x_mask, w_ceil
 
 
 @partial(
@@ -331,6 +335,15 @@ class Synthesizer:
     # padded length, which costs more than the saved dispatch if the ratio
     # over-shoots by more than ~10%.
     speculative_frames_per_token: Optional[float] = None
+    # CALIBRATED speculative serving (supersedes the constant ratio above):
+    # a DurationCalibrator (infer/calibration.py) learns per-token-id
+    # durations from served requests and guesses each request's frame bucket
+    # at ~P95 coverage. Requests before the calibrator is `ready` run the
+    # exact path (observing durations for free); once ready, requests run
+    # one speculative dispatch, and a miss (bucket overflow) falls back to
+    # one extra align+sample+vocode dispatch REUSING the device-resident
+    # encoder outputs (no re-encode, no extra host->device transfer).
+    calibrator: Any = None
 
     def synthesize_mel(
         self,
@@ -572,11 +585,49 @@ class Synthesizer:
                 fix_len_compatibility(int(forced_frames), num_down),
                 self.frame_buckets,
             )
-            wav, _mel, y_lengths, _yp, _fits = self._single_dispatch(
+            wav, _mel, y_lengths, *_rest = self._single_dispatch(
                 tokens, [n_tok], w_forced, bucket, key, steps, lscale, tg, sg
             )
             wav, y_len = jax.device_get((wav, y_lengths))
             return np.asarray(wav)[0, : int(y_len[0]) * hop], sr
+
+        if self.calibrator is not None and not exact and forced_frames is None:
+            guess = self.calibrator.guess_frames(token_ids)  # pre-lscale
+            if guess is not None:
+                bucket = choose_bucket(
+                    fix_len_compatibility(int(np.ceil(guess * lscale)), num_down),
+                    self.frame_buckets,
+                )
+                wav, _mel, y_lengths, _yp, fits, mu_x, x_mask, w_ceil = (
+                    self._single_dispatch(
+                        tokens, [n_tok], None, bucket, key, steps, lscale, tg, sg
+                    )
+                )
+                wav, y_len, fits = jax.device_get((wav, y_lengths, fits))
+                self.calibrator.observe_total(token_ids, float(y_len[0]) / lscale)
+                if bool(fits):
+                    return np.asarray(wav)[0, : int(y_len[0]) * hop], sr
+                # miss: the durations overflowed the guessed bucket. mu_x /
+                # x_mask / w_ceil are still device-resident from the
+                # speculative dispatch — rerun ONLY align+sample+vocode at
+                # the correct bucket (no re-encode, no new H2D transfer).
+                y_length = max(int(y_len[0]), 1)
+                y_pad = choose_bucket(
+                    fix_len_compatibility(y_length, num_down), self.frame_buckets
+                )
+                wav, _mel, _attn = _align_sample_vocode(
+                    m.decoder.apply, m.decoder_params, m.vocoder,
+                    m.vocoder_params, mu_x, x_mask, w_ceil, None, m.spk_emb,
+                    key, m.mel_min, m.mel_max,
+                    n_timesteps=int(steps), text_gradient_scale=float(tg),
+                    spk_gradient_scale=float(sg),
+                    beta_min=m.cfg.decoder.beta_min,
+                    beta_max=m.cfg.decoder.beta_max, y_pad=int(y_pad),
+                    mesh=self.mesh, sample_spec=self.sample_spec,
+                )
+                return np.asarray(wav[0, : y_length * hop]), sr
+            # calibrator not ready yet: fall through to the exact path, which
+            # observes this request's durations for free
 
         if self.speculative_frames_per_token is not None and not exact \
                 and forced_frames is None:
@@ -584,7 +635,7 @@ class Synthesizer:
             bucket = choose_bucket(
                 fix_len_compatibility(guess, num_down), self.frame_buckets
             )
-            wav, _mel, y_lengths, _yp, fits = self._single_dispatch(
+            wav, _mel, y_lengths, _yp, fits, *_rest = self._single_dispatch(
                 tokens, [n_tok], None, bucket, key, steps, lscale, tg, sg
             )
             wav, y_len, fits = jax.device_get((wav, y_lengths, fits))
@@ -604,7 +655,21 @@ class Synthesizer:
         w_ceil = w_ceil * lscale
         if w_forced is not None:  # exact-path warmup at a target frame count
             w_ceil = jnp.asarray(w_forced)
-        y_length = max(int(np.asarray(jnp.sum(w_ceil, axis=1))[0]), 1)
+            y_length = max(int(np.asarray(jnp.sum(w_ceil, axis=1))[0]), 1)
+        else:
+            # the host sync for the data-dependent length (reference
+            # unitspeech.py:427-429). Fetching the FULL duration row costs
+            # the same flat ~25 ms tunnel transfer as fetching its sum, and
+            # gives the calibrator per-token observations for free.
+            w_host = np.asarray(w_ceil)[0]
+            y_length = max(int(w_host.sum()), 1)
+            if self.calibrator is not None:
+                self.calibrator.observe_durations(
+                    token_ids, w_host[:n_tok] / lscale
+                )
+                self.calibrator.observe_total(
+                    token_ids, float(w_host.sum()) / lscale
+                )
         y_pad = choose_bucket(
             fix_len_compatibility(y_length, num_down), self.frame_buckets
         )
