@@ -5,13 +5,25 @@ number — BASELINE.md: 0.9224 RTF on one DGX GPU, CFG 1.0/1.0, mean speech
 Measures the full on-device pipeline at reference size: text encoder (6-layer
 transformer, 192ch) -> duration predictor -> alignment -> 50-step lax.scan
 reverse diffusion with dual CFG (3x-batched U-Net, dim 128, mults 1/2/4/8) ->
-BigVGAN 22 kHz vocoder. Durations are pinned so the synthesized length is a
-fixed 344 frames (~3.99 s at 86.13 fps), matching the baseline's mean speech
-duration; weights are randomly initialized (timing is weight-independent).
+BigVGAN 22 kHz vocoder; weights are randomly initialized (timing is
+weight-independent).
+
+THREE serving modes are measured side by side (VERDICT r2 weak #1/#10 — the
+perf ledger must show the path a real request runs, not just the best case):
+  * value / rtf_serving — OPEN-TEXT requests (real predicted durations, the
+    reference protocol) through bucket-switch serving: one dispatch, the
+    frame bucket chosen on device by lax.switch (infer/tts.py). length_scale
+    is tuned so the synthesized speech matches the baseline's 3.98 s mean.
+  * rtf_exact — the same requests through the exact two-dispatch path
+    (encode -> host length sync -> align+sample+vocode).
+  * rtf_forced — forced-duration single dispatch at exactly 344 frames (the
+    r1/r2 headline; VC/warmup best case, kept for continuity).
 
 Prints ONE JSON line:
-  {"metric": "rtf_50step_synthesis", "value": <rtf>, "unit": "rtf",
-   "vs_baseline": <0.9224 / rtf>}   (vs_baseline > 1 means faster than ref)
+  {"metric": "rtf_50step_synthesis", "value": <serving rtf>, "unit": "rtf",
+   "vs_baseline": <0.9224 / value>, "rtf_forced": ..., "rtf_exact": ...,
+   "rtf_serving": ..., "serving_frames_mean": ...}
+Flags: --skip-serving measures only rtf_forced (one compile instead of ~4).
 """
 
 from __future__ import annotations
@@ -22,6 +34,11 @@ import sys
 import time
 
 import jax
+
+from unitspeech_tpu.utils import compile_cache
+
+compile_cache.enable()  # persistent XLA cache (huge win: remote compiles)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -84,11 +101,21 @@ def main():
                     help="utterances per batched synthesis (throughput mode)")
     ap.add_argument("--no-cfg", action="store_true",
                     help="guidance scales 0 (BASELINE config 1)")
-    ap.add_argument("--int8", action="store_true",
-                    help="int8 estimator convs — deep flat matmuls AND the "
-                         "early-stage fused Pallas kernels (opt-in, ~1%% "
-                         "per-conv quantization error)")
+    ap.add_argument("--int8", dest="int8", action="store_true", default=True,
+                    help="int8 deep-stage estimator convs (DEFAULT since the "
+                         "r3 quality gate: INT8_GATE.json shows e2e mel-L1/"
+                         "MCD within 1.25x of the accepted bf16-vs-f32 band)")
+    ap.add_argument("--no-int8", dest="int8", action="store_false",
+                    help="disable int8 deep convs (pure bf16 estimator)")
+    ap.add_argument("--skip-serving", action="store_true",
+                    help="measure only the forced-duration headline "
+                         "(1 compile instead of ~4)")
     args = ap.parse_args()
+    if args.smoke:
+        # CPU-friendly by definition — and the axon plugin IGNORES the
+        # JAX_PLATFORMS env var, so force the platform here before any
+        # device use (a stray smoke run must never contend for the chip)
+        jax.config.update("jax_platforms", "cpu")
 
     synth = build(args.smoke, use_int8=args.int8)
     m = synth.models
@@ -146,19 +173,94 @@ def main():
     hop = m.cfg.data.hop_length
     speech_s = frames * hop / m.cfg.data.sampling_rate if not args.smoke else frames * hop / SR
     speech_s *= b  # throughput mode: RTF per chip across the batch
-    rtf = proc / speech_s
+    rtf_forced = proc / speech_s
     result = {
         "metric": "rtf_50step_synthesis",
-        "value": round(rtf, 5),
+        "value": round(rtf_forced, 5),
         "unit": "rtf",
-        "vs_baseline": round(BASELINE_RTF / rtf, 2),
+        "vs_baseline": round(BASELINE_RTF / rtf_forced, 2),
+        "rtf_forced": round(rtf_forced, 5),
     }
-    print(json.dumps(result))
     print(
-        f"# proc={proc:.3f}s speech={speech_s:.2f}s frames={frames} batch={args.batch} "
-        f"steps={args.steps} device={jax.devices()[0].platform}",
+        f"# forced: proc={proc:.3f}s speech={speech_s:.2f}s frames={frames} "
+        f"batch={args.batch} steps={args.steps} "
+        f"device={jax.devices()[0].platform}",
         file=sys.stderr,
     )
+
+    if not args.skip_serving and b == 1:
+        serving = bench_serving_modes(synth, args, frames, n_tok, hop,
+                                      m.cfg.data.sampling_rate if not args.smoke else SR)
+        result.update(serving)
+        # the headline is the REAL open-text serving number
+        result["value"] = result["rtf_serving"]
+        result["vs_baseline"] = round(BASELINE_RTF / result["value"], 2)
+    print(json.dumps(result))
+
+
+def bench_serving_modes(synth, args, frames, n_tok, hop, sr):
+    """Open-text serving: random token requests with REAL predicted
+    durations, length_scale tuned so speech matches the baseline's mean.
+    Measures the exact two-dispatch path and bucket-switch serving."""
+    import dataclasses as dc
+
+    from unitspeech_tpu.infer.calibration import DurationCalibrator
+
+    n_vocab = synth.models.cfg.text_encoder.n_vocab
+    rng = np.random.default_rng(1)
+    reqs = [list(rng.integers(1, n_vocab - 1, (n_tok,)).astype(np.int32))
+            for _ in range(24)]
+
+    # encode-only calibration (cheap: no sampler) + length_scale choice so
+    # the MEAN synthesized length matches the baseline's 3.98 s protocol
+    cal = DurationCalibrator(n_vocab=n_vocab, min_samples=4)
+    synth = dc.replace(synth, calibrator=cal)
+    synth.calibrate(reqs[:16])
+    mean_total = float(np.mean([cal.estimate(r) for r in reqs[:16]]))
+    # length_scale multiplies each ceil'd duration; keep it >= the smallest
+    # useful value and round frames sensibly
+    lscale = max(frames / mean_total, 1e-3)
+    kw = dict(diffusion_steps=args.steps, length_scale=lscale,
+              text_gradient_scale=0.0 if args.no_cfg else 1.0,
+              spk_gradient_scale=0.0 if args.no_cfg else 1.0)
+
+    def timed(fn, reqs):
+        # warm EVERY request once first: per-request predicted lengths can
+        # land in different frame buckets, and an uncompiled bucket inside
+        # the timed loop would bill a full XLA compile to one request
+        for i, r in enumerate(reqs):
+            np.asarray(fn(r, jax.random.PRNGKey(100 + i))[0])
+        procs, speech = [], []
+        for i, r in enumerate(reqs):
+            t0 = time.perf_counter()
+            wav, srr = fn(r, jax.random.PRNGKey(i))
+            wav = np.asarray(wav)
+            procs.append(time.perf_counter() - t0)
+            speech.append(wav.shape[0] / srr)
+        return float(np.sum(procs) / np.sum(speech)), float(np.mean(speech))
+
+    # exact two-dispatch path (reference-style host length sync)
+    rtf_exact, speech_exact = timed(
+        lambda r, k: synth(r, k, _exact=True, **kw), reqs[16:]
+    )
+    print(f"# exact: rtf={rtf_exact:.4f} speech_mean={speech_exact:.2f}s",
+          file=sys.stderr)
+
+    # bucket-switch serving: window from the calibrated length distribution
+    window = synth.make_switch_buckets(length_scale=lscale, max_branches=2)
+    sw = dc.replace(synth, calibrator=cal, switch_buckets=window)
+    rtf_switch, speech_sw = timed(
+        lambda r, k: sw(r, k, **kw), reqs[16:]
+    )
+    print(f"# switch{list(window)}: rtf={rtf_switch:.4f} "
+          f"speech_mean={speech_sw:.2f}s", file=sys.stderr)
+
+    return {
+        "rtf_serving": round(rtf_switch, 5),
+        "rtf_exact": round(rtf_exact, 5),
+        "serving_frames_mean": round(speech_sw * sr / hop, 1),
+        "switch_buckets": list(window),
+    }
 
 
 if __name__ == "__main__":

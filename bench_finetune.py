@@ -23,6 +23,11 @@ import sys
 import time
 
 import jax
+
+from unitspeech_tpu.utils import compile_cache
+
+compile_cache.enable()  # persistent XLA cache (huge win: remote compiles)
+
 import jax.numpy as jnp
 import numpy as np
 

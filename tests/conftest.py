@@ -22,3 +22,10 @@ jax.config.update("jax_num_cpu_devices", 8)
 # This JAX build computes float32 matmuls with bf16 passes by default (even on
 # CPU); parity tests need true float32 accumulation.
 jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compile cache: the suite's runtime is dominated by recompiling
+# the same tiny-config executables every run; cached, repeat runs are minutes
+# faster (utils/compile_cache.py — measured working on CPU and axon TPU).
+from unitspeech_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()

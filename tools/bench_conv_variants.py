@@ -21,6 +21,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+from unitspeech_tpu.utils import compile_cache
+
+compile_cache.enable()  # persistent XLA cache (huge win: remote compiles)
+
 import jax.numpy as jnp
 import numpy as np
 from jax import lax

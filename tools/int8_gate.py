@@ -30,9 +30,9 @@ import numpy as np
 
 import jax
 
-# f32 truth must really be f32: this JAX build runs f32 matmuls as bf16
-# passes by default (tests/conftest.py pins the same)
-jax.config.update("jax_default_matmul_precision", "float32")
+from unitspeech_tpu.utils import compile_cache
+
+compile_cache.enable()  # persistent XLA cache (huge win: remote compiles)
 
 import jax.numpy as jnp
 
@@ -140,7 +140,16 @@ def main():
             t0 = time.time()
             if ws != WEIGHT_SEEDS[0]:
                 load_seed(synths[mode], ws)
-            mels[mode] = run_mels(synths[mode], tokens_np)
+            if mode == "f32":
+                # the f32 truth must really be f32: this JAX build runs f32
+                # matmuls as bf16 passes by default. Scoped, NOT global —
+                # a global setting leaks fp32 contract precision into the
+                # Pallas kernels' bf16 dots and Mosaic rejects the lowering
+                # ("Bad lhs type").
+                with jax.default_matmul_precision("float32"):
+                    mels[mode] = run_mels(synths[mode], tokens_np)
+            else:
+                mels[mode] = run_mels(synths[mode], tokens_np)
             print(f"seed {ws} {mode}: {time.time()-t0:.1f}s "
                   f"(incl. compile on first seed)", flush=True)
         for i, nk in enumerate(NOISE_KEYS):

@@ -28,6 +28,15 @@ def _common(ap: argparse.ArgumentParser):
                          "(auto topology on TPU pods, or UNITSPEECH_"
                          "COORDINATOR/NUM_PROCESSES/PROCESS_ID env); see "
                          "tools/tpu_pod_run.sh")
+    ap.add_argument("--no-int8", dest="int8", action="store_false",
+                    default=True,
+                    help="disable the int8 deep-stage estimator convs "
+                         "(on-TPU serving default since the r3 quality "
+                         "gate; see INT8_GATE.json)")
+    ap.add_argument("--no-fast-kernels", dest="fast_kernels",
+                    action="store_false", default=True,
+                    help="disable the fused Pallas serving kernels "
+                         "(on-TPU default)")
 
 
 def _setup(args):
@@ -45,6 +54,7 @@ def _setup(args):
 
 
 def _load_tts_models(args, cfg, need_vocoder=True):
+    import jax
     import jax.numpy as jnp
 
     from unitspeech_tpu.infer.tts import TTSModels
@@ -55,12 +65,19 @@ def _load_tts_models(args, cfg, need_vocoder=True):
     from unitspeech_tpu.utils import artifacts
 
     dtype = jnp.bfloat16 if getattr(args, "bf16", True) else jnp.float32
+    # serving defaults on TPU: fused Pallas kernels + int8 deep-stage convs
+    # (int8 passed the r3 end-to-end quality gate — INT8_GATE.json: mel-L1/
+    # MCD within 1.25x of the accepted bf16-vs-f32 numerics band)
+    on_tpu = jax.default_backend() == "tpu"
+    fast = on_tpu and getattr(args, "fast_kernels", True) \
+        and dtype == jnp.bfloat16
+    use_int8 = fast and getattr(args, "int8", True)
     bundle = artifacts.load_decoder_bundle(args.decoder, cfg.decoder)
     te_params = artifacts.load_encoder_params(args.text_encoder, cfg.text_encoder)
     dp_params = artifacts.load_duration_predictor_params(args.duration_predictor)
     vocoder = voc_params = None
     if need_vocoder:
-        vocoder = BigVGAN.from_config(cfg.vocoder, dtype=dtype)
+        vocoder = BigVGAN.from_config(cfg.vocoder, dtype=dtype, use_pallas=fast)
         voc_params = artifacts.load_vocoder_params(args.vocoder, cfg.vocoder)
     spk_emb = bundle.spk_emb
     if getattr(args, "spk_emb", None):
@@ -79,7 +96,10 @@ def _load_tts_models(args, cfg, need_vocoder=True):
             spk_emb_dim=cfg.duration_predictor.spk_emb_dim,
         ),
         duration_predictor_params=dp_params,
-        decoder=UnitSpeech.from_config(cfg.decoder, dtype=dtype),
+        decoder=UnitSpeech.from_config(
+            cfg.decoder, dtype=dtype, use_pallas_resnet=fast,
+            use_pallas_attention=fast, use_int8_deep=use_int8,
+        ),
         decoder_params=bundle.params,
         vocoder=vocoder,
         vocoder_params=voc_params,

@@ -45,6 +45,7 @@ class DurationCalibrator:
     _dur_sum: np.ndarray = field(default=None, repr=False)
     _dur_cnt: np.ndarray = field(default=None, repr=False)
     _residuals: list = field(default_factory=list, repr=False)
+    _totals: list = field(default_factory=list, repr=False)
     _n_seen: int = 0
 
     def __post_init__(self):
@@ -70,7 +71,16 @@ class DurationCalibrator:
             self._residuals.append(r)
             if len(self._residuals) > self.max_residuals:
                 self._residuals = self._residuals[-self.max_residuals :]
+        self._totals.append(float(actual_frames))
+        if len(self._totals) > self.max_residuals:
+            self._totals = self._totals[-self.max_residuals :]
         self._n_seen += 1
+
+    def total_quantile(self, q: float) -> Optional[float]:
+        """Quantile of observed request lengths (frames, pre-length_scale)."""
+        if not self._totals:
+            return None
+        return float(np.quantile(self._totals, q))
 
     # -- estimation ----------------------------------------------------------
 
@@ -126,6 +136,7 @@ class DurationCalibrator:
                     "dur_sum": self._dur_sum.tolist(),
                     "dur_cnt": self._dur_cnt.tolist(),
                     "residuals": self._residuals,
+                    "totals": self._totals,
                     "n_seen": self._n_seen,
                 },
                 f,
@@ -142,5 +153,6 @@ class DurationCalibrator:
         cal._dur_sum = np.asarray(d["dur_sum"], np.float64)
         cal._dur_cnt = np.asarray(d["dur_cnt"], np.float64)
         cal._residuals = list(d["residuals"])
+        cal._totals = list(d.get("totals", []))
         cal._n_seen = int(d["n_seen"])
         return cal

@@ -286,6 +286,83 @@ def _synthesize_single_dispatch(
 @partial(
     jax.jit,
     static_argnames=(
+        "text_encoder", "duration_predictor", "decoder_apply", "vocoder",
+        "buckets", "upsample", "n_timesteps", "length_scale",
+        "text_gradient_scale", "spk_gradient_scale", "beta_min", "beta_max",
+    ),
+)
+def _synthesize_bucket_switch(
+    text_encoder, te_params, duration_predictor, dp_params,
+    decoder_apply, dec_params, vocoder, vocoder_params,
+    packed, spk_emb, key, mel_min, mel_max,
+    buckets, upsample: int, n_timesteps: int, length_scale: float,
+    text_gradient_scale: float, spk_gradient_scale: float,
+    beta_min: float, beta_max: float,
+):
+    """Open-text serving as ONE dispatch with NO host length sync: the frame
+    bucket is chosen ON DEVICE by a `lax.switch` whose branches each run
+    align -> scan sampler -> BigVGAN at one static bucket from `buckets`
+    (ascending), padding their outputs to the largest. XLA compiles every
+    branch but executes only the selected one, so the request pays
+    exact-bucket compute, one dispatch, and zero host round-trips — the
+    TPU-native replacement for the reference's y_lengths sync
+    (/root/reference/unitspeech/unitspeech.py:427-429). Compile cost scales
+    with len(buckets); serving picks a small window around the calibrated
+    length distribution (infer/calibration.py).
+
+    Each branch draws its noise at that bucket's static shape from the same
+    key, so a hit is bit-identical to the exact two-dispatch path resolving
+    to the same bucket.
+
+    Returns (wav, mel, y_lengths, fits, mu_x, x_mask, w_ceil); wav/mel are
+    padded to buckets[-1]; `fits` is False when the predicted length
+    overflows the largest bucket (output then clamps to it and the caller
+    falls back — the trailing mu_x/x_mask/w_ceil allow that fallback to skip
+    re-encoding, as in the speculative path)."""
+    tb = packed.shape[1] - 1
+    tokens = packed[:, :tb].astype(jnp.int32)
+    lengths = packed[:, tb].astype(jnp.int32)
+    mu_x, hidden, x_mask = text_encoder.apply(te_params, tokens, lengths)
+    logw = duration_predictor.apply(
+        dp_params, hidden, x_mask, g=spk_emb, reverse=True
+    )
+    # ceil BEFORE length_scale (reference unitspeech.py:424-425)
+    w_ceil = jnp.ceil(jnp.exp(logw) * x_mask[..., 0]) * length_scale
+    y_lengths = jnp.maximum(jnp.sum(w_ceil, axis=1).astype(jnp.int32), 1)
+    y_max = jnp.max(y_lengths)
+    idx = jnp.minimum(
+        jnp.sum(y_max > jnp.asarray(buckets)), len(buckets) - 1
+    )
+    fits = y_max <= buckets[-1]
+    max_b = buckets[-1]
+
+    def make_branch(bucket: int):
+        def branch(mu_x, x_mask, w_ceil, y_lengths, spk_emb, key):
+            y_mask = sequence_mask(jnp.minimum(y_lengths, bucket), bucket)
+            wav, mel, _attn = _align_sample_vocode(
+                decoder_apply, dec_params, vocoder, vocoder_params,
+                mu_x, x_mask, w_ceil, y_mask, spk_emb, key, mel_min, mel_max,
+                n_timesteps=n_timesteps,
+                text_gradient_scale=text_gradient_scale,
+                spk_gradient_scale=spk_gradient_scale,
+                beta_min=beta_min, beta_max=beta_max,
+            )
+            wav = jnp.pad(wav, ((0, 0), (0, (max_b - bucket) * upsample)))
+            mel = jnp.pad(mel, ((0, 0), (0, max_b - bucket), (0, 0)))
+            return wav, mel
+
+        return branch
+
+    wav, mel = jax.lax.switch(
+        idx, [make_branch(b) for b in buckets],
+        mu_x, x_mask, w_ceil, y_lengths, spk_emb, key,
+    )
+    return wav, mel, y_lengths, fits, mu_x, x_mask, w_ceil
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
         "decoder_apply", "vocoder", "n_timesteps", "text_gradient_scale",
         "spk_gradient_scale", "beta_min", "beta_max", "y_pad", "mesh",
         "sample_spec",
@@ -344,6 +421,14 @@ class Synthesizer:
     # one extra align+sample+vocode dispatch REUSING the device-resident
     # encoder outputs (no re-encode, no extra host->device transfer).
     calibrator: Any = None
+    # BUCKET-SWITCH serving (strongest mode; supersedes both speculative
+    # modes when set): an ascending tuple of frame buckets compiled as
+    # lax.switch branches of ONE executable — the device itself picks the
+    # bucket from the predicted durations, so open-text requests pay
+    # exact-bucket compute, one dispatch, and no host length sync. Compile
+    # cost scales with the branch count; make_switch_buckets() picks a small
+    # window from the calibrator's observed length distribution.
+    switch_buckets: Any = None
 
     def synthesize_mel(
         self,
@@ -506,6 +591,90 @@ class Synthesizer:
             raise ValueError("Synthesizer built without a vocoder.")
         return _vocode_jit(m.vocoder, m.vocoder_params, mel)
 
+    def calibrate(self, token_sequences, length_scale: float = 1.0):
+        """Feed the calibrator from a text corpus WITHOUT synthesizing:
+        each sequence runs only the (cheap) encode+duration executable and
+        observes the predicted per-token durations. A serving process calls
+        this at startup (alongside warmup) so speculative / bucket-switch
+        serving is ready from the first real request."""
+        if self.calibrator is None:
+            raise ValueError("Synthesizer has no calibrator attached.")
+        m = self.models
+        for token_ids in token_sequences:
+            n_tok = len(token_ids)
+            tok_bucket = choose_bucket(n_tok, self.token_buckets)
+            packed = np.zeros((1, tok_bucket + 1), dtype=np.int32)
+            packed[0, :n_tok] = token_ids
+            packed[0, -1] = n_tok
+            _mu, _xm, w_ceil = _encode_and_duration(
+                m.text_encoder, m.text_encoder_params,
+                m.duration_predictor, m.duration_predictor_params,
+                jnp.asarray(packed), m.spk_emb,
+            )
+            w_host = np.asarray(w_ceil)[0]
+            self.calibrator.observe_durations(token_ids, w_host[:n_tok])
+            self.calibrator.observe_total(token_ids, float(w_host.sum()))
+        _ = length_scale  # durations are observed pre-scale by convention
+
+    def make_switch_buckets(self, length_scale: float = 1.0, lo_q: float = 0.05,
+                            hi_q: float = 1.0, max_branches: int = 3):
+        """Pick the bucket-switch window from the calibrator's observed
+        length distribution: every ladder bucket between ~P(lo_q) and
+        ~P(hi_q) of request lengths plus one ladder step of headroom. If
+        that needs more than `max_branches` branches, keep the LARGEST:
+        requests shorter than the first kept bucket pad up to it (bounded —
+        one ladder step ~12.5% for the minority below P(lo_q)), while an
+        overflow past the top costs a full wasted sampler run plus a
+        fallback dispatch (~2x). Returns an ascending tuple for
+        `switch_buckets`."""
+        if self.calibrator is None:
+            raise ValueError("Synthesizer has no calibrator attached.")
+        lo = self.calibrator.total_quantile(lo_q)
+        hi = self.calibrator.total_quantile(hi_q)
+        if lo is None:
+            raise ValueError("calibrator has no observed lengths yet")
+        num_down = self.models.cfg.decoder.num_downsamplings
+        lo_b = choose_bucket(
+            fix_len_compatibility(int(lo * length_scale), num_down),
+            self.frame_buckets,
+        )
+        hi_b = choose_bucket(
+            fix_len_compatibility(int(np.ceil(hi * length_scale)), num_down),
+            self.frame_buckets,
+        )
+        # one ladder step of headroom above the observed hi_q: an overflow
+        # costs ~2x (wasted sampler + fallback dispatch) while the extra
+        # branch only costs compile time, so err on covering the tail
+        above = [b for b in self.frame_buckets if b > hi_b]
+        if above:
+            hi_b = above[0]
+        window = [b for b in self.frame_buckets if lo_b <= b <= hi_b]
+        if not window:
+            window = [hi_b]
+        return tuple(window[-max_branches:])
+
+    def _switch_dispatch(self, tokens, lengths, key, steps, lscale, tg, sg):
+        """Run _synthesize_bucket_switch over a (B, tok_bucket) batch."""
+        m = self.models
+        tokens_np = np.asarray(tokens, np.int32)
+        packed = np.concatenate(
+            [tokens_np, np.asarray(lengths, np.int32).reshape(-1, 1)], axis=1
+        )
+        b = tokens_np.shape[0]
+        spk = jnp.broadcast_to(m.spk_emb, (b, m.spk_emb.shape[-1]))
+        upsample = int(np.prod(m.cfg.vocoder.upsample_rates))
+        return _synthesize_bucket_switch(
+            m.text_encoder, m.text_encoder_params,
+            m.duration_predictor, m.duration_predictor_params,
+            m.decoder.apply, m.decoder_params, m.vocoder, m.vocoder_params,
+            jnp.asarray(packed), spk, key, m.mel_min, m.mel_max,
+            buckets=tuple(int(x) for x in self.switch_buckets),
+            upsample=upsample, n_timesteps=int(steps),
+            length_scale=float(lscale), text_gradient_scale=float(tg),
+            spk_gradient_scale=float(sg),
+            beta_min=m.cfg.decoder.beta_min, beta_max=m.cfg.decoder.beta_max,
+        )
+
     def _single_dispatch(self, tokens, lengths, w_override, frame_bucket,
                          key, steps, lscale, tg, sg):
         """Run _synthesize_single_dispatch over a (B, tok_bucket) batch."""
@@ -590,6 +759,34 @@ class Synthesizer:
             )
             wav, y_len = jax.device_get((wav, y_lengths))
             return np.asarray(wav)[0, : int(y_len[0]) * hop], sr
+
+        if self.switch_buckets is not None and not exact and forced_frames is None:
+            wav, _mel, y_lengths, fits, mu_x, x_mask, w_ceil = (
+                self._switch_dispatch(
+                    tokens, [n_tok], key, steps, lscale, tg, sg
+                )
+            )
+            wav, y_len, fits = jax.device_get((wav, y_lengths, fits))
+            if self.calibrator is not None:
+                self.calibrator.observe_total(token_ids, float(y_len[0]) / lscale)
+            y_length = max(int(y_len[0]), 1)
+            if bool(fits):
+                return np.asarray(wav)[0, : y_length * hop], sr
+            # overflow past the largest switch bucket: one fallback dispatch
+            # at the right bucket, reusing the device-resident encoder outputs
+            y_pad = choose_bucket(
+                fix_len_compatibility(y_length, num_down), self.frame_buckets
+            )
+            wav, _mel, _attn = _align_sample_vocode(
+                m.decoder.apply, m.decoder_params, m.vocoder, m.vocoder_params,
+                mu_x, x_mask, w_ceil, None, m.spk_emb, key, m.mel_min,
+                m.mel_max, n_timesteps=int(steps),
+                text_gradient_scale=float(tg), spk_gradient_scale=float(sg),
+                beta_min=m.cfg.decoder.beta_min,
+                beta_max=m.cfg.decoder.beta_max, y_pad=int(y_pad),
+                mesh=self.mesh, sample_spec=self.sample_spec,
+            )
+            return np.asarray(wav[0, : y_length * hop]), sr
 
         if self.calibrator is not None and not exact and forced_frames is None:
             guess = self.calibrator.guess_frames(token_ids)  # pre-lscale
