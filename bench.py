@@ -208,18 +208,24 @@ def bench_serving_modes(synth, args, frames, n_tok, hop, sr):
 
     n_vocab = synth.models.cfg.text_encoder.n_vocab
     rng = np.random.default_rng(1)
-    reqs = [list(rng.integers(1, n_vocab - 1, (n_tok,)).astype(np.int32))
-            for _ in range(24)]
+    cands = [list(rng.integers(1, n_vocab - 1, (n_tok,)).astype(np.int32))
+             for _ in range(48)]
 
-    # encode-only calibration (cheap: no sampler) + length_scale choice so
-    # the MEAN synthesized length matches the baseline's 3.98 s protocol
+    # encode-only calibration (cheap: no sampler); then pick the timed
+    # requests from a +-4% band around the median ACTUAL length — the
+    # baseline protocol is utterances of ~3.98 s mean speech, and an
+    # unbounded length spread would bill one full XLA bucket compile per
+    # outlier to the bench
     cal = DurationCalibrator(n_vocab=n_vocab, min_samples=4)
     synth = dc.replace(synth, calibrator=cal)
-    synth.calibrate(reqs[:16])
-    mean_total = float(np.mean([cal.estimate(r) for r in reqs[:16]]))
-    # length_scale multiplies each ceil'd duration; keep it >= the smallest
-    # useful value and round frames sensibly
-    lscale = max(frames / mean_total, 1e-3)
+    synth.calibrate(cands)
+    totals = np.asarray(cal._totals[: len(cands)])
+    med = float(np.median(totals))
+    band = [i for i in range(len(cands)) if abs(totals[i] / med - 1) <= 0.04]
+    if len(band) < 8:
+        band = list(np.argsort(np.abs(totals / med - 1))[:8])
+    reqs = [cands[i] for i in band[:8]]
+    lscale = max(frames / med, 1e-3)
     kw = dict(diffusion_steps=args.steps, length_scale=lscale,
               text_gradient_scale=0.0 if args.no_cfg else 1.0,
               spk_gradient_scale=0.0 if args.no_cfg else 1.0)
@@ -241,16 +247,32 @@ def bench_serving_modes(synth, args, frames, n_tok, hop, sr):
 
     # exact two-dispatch path (reference-style host length sync)
     rtf_exact, speech_exact = timed(
-        lambda r, k: synth(r, k, _exact=True, **kw), reqs[16:]
+        lambda r, k: synth(r, k, _exact=True, **kw), reqs
     )
     print(f"# exact: rtf={rtf_exact:.4f} speech_mean={speech_exact:.2f}s",
           file=sys.stderr)
 
-    # bucket-switch serving: window from the calibrated length distribution
-    window = synth.make_switch_buckets(length_scale=lscale, max_branches=2)
+    # bucket-switch serving: window covering the selected requests' actual
+    # lengths plus one ladder step of headroom (capped at 3 branches)
+    from unitspeech_tpu.ops.masking import choose_bucket, fix_len_compatibility
+
+    num_down = synth.models.cfg.decoder.num_downsamplings
+    sel = totals[band[:8]] * lscale
+    lo_b = choose_bucket(
+        fix_len_compatibility(int(sel.min()), num_down), synth.frame_buckets
+    )
+    hi_b = choose_bucket(
+        fix_len_compatibility(int(np.ceil(sel.max())), num_down),
+        synth.frame_buckets,
+    )
+    above = [bk for bk in synth.frame_buckets if bk > hi_b]
+    hi_b = above[0] if above else hi_b
+    window = tuple(
+        bk for bk in synth.frame_buckets if lo_b <= bk <= hi_b
+    )[-3:]
     sw = dc.replace(synth, calibrator=cal, switch_buckets=window)
     rtf_switch, speech_sw = timed(
-        lambda r, k: sw(r, k, **kw), reqs[16:]
+        lambda r, k: sw(r, k, **kw), reqs
     )
     print(f"# switch{list(window)}: rtf={rtf_switch:.4f} "
           f"speech_mean={speech_sw:.2f}s", file=sys.stderr)
