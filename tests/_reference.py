@@ -96,3 +96,23 @@ def load_reference_ecapa():
     import importlib
 
     return importlib.import_module(name)
+
+
+def load_reference_cpc():
+    """Import the REAL reference CPC stack (cpc_feature_reader.py:11-190)
+    for output-level parity. The module depends only on torch; textlesslib's
+    data package __init__ is empty, so no stubbing is needed."""
+    if load_reference() is None:
+        return None
+    # the textless package __init__ imports the full model registry (fairseq
+    # etc.); load the single self-contained file instead
+    import importlib.util
+
+    path = os.path.join(
+        REFERENCE_ROOT,
+        "unitspeech/textlesslib/textless/data/cpc_feature_reader.py",
+    )
+    spec = importlib.util.spec_from_file_location("_ref_cpc", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod

@@ -355,7 +355,24 @@ def build_unit_extractor(hubert_path: str, kmeans_path: str, cfg):
         convert_sklearn_kmeans,
     )
 
-    model = HubertModel(hubert_config_by_name(cfg.unit_extractor.dense_model_name))
+    name = cfg.unit_extractor.dense_model_name
+    if name.startswith("cpc"):
+        # CPC dense family (reference textless/__init__.py DENSE_MODELS:
+        # "cpc-big-ll6k" -> CpcFeatureReader)
+        from unitspeech_tpu.models.ssl.cpc import CpcFeatureReader
+
+        reader = CpcFeatureReader.from_torch(
+            hubert_path, layer=cfg.unit_extractor.hubert_layer
+        )
+        if kmeans_path.endswith(".npz"):
+            quant = KMeansQuantizer.load(kmeans_path)
+        else:
+            quant = KMeansQuantizer(convert_sklearn_kmeans(kmeans_path))
+        return SpeechEncoder(
+            reader, quant, deduplicate=cfg.unit_extractor.deduplicate
+        )
+
+    model = HubertModel(hubert_config_by_name(name))
     if hubert_path.endswith((".pt", ".pth", ".ckpt")):
         import torch
 

@@ -62,6 +62,22 @@ register(
     "https://dl.fbaipublicfiles.com/hubert/hubert_base_ls960.pt",
     sha256="1703cf8d2cdc76f8c046f5f6a9bcd224e0e6caf4744cad1a1f4199c32cac8c8d",
 )
+register(
+    "cpc-big-ll6k",
+    "https://dl.fbaipublicfiles.com/textless_nlp/gslm/cpc/cpc_big_ll6kh_top_ctc.pt",
+    sha256="73155dad5d7c986fe7b7f548050060a8e9cc9a0ffd111a22932f38c3e617c5b8",
+)
+for _k, _sha in (
+    (50, "c48be5717aebc08169aa5165d58267449b8c8568624a346bb9f4b26eac3b0240"),
+    (100, "077b96e010b1e87be627ef2bef0f5e5cdaa1c01722aa363b2dc0bb6a638e8b26"),
+    (200, "2d863d1c6f251d19e667998248c87642ecb5e3ffaa410e9ebfa64341db4f6de2"),
+    (500, "35398f665dff06801a7bf1e595bc176711ed751d554e64d999dc42f1dd106561"),
+):
+    register(
+        f"cpc-big-ll6k-kmeans-{_k}",
+        f"https://dl.fbaipublicfiles.com/textless_nlp/gslm/cpc/km{_k}/km.bin",
+        sha256=_sha,
+    )
 
 # UnitSpeech checkpoints: the reference distributes them via a Google Drive
 # folder (README.md:55) with NO published digests — URLs are the canonical
