@@ -46,10 +46,15 @@ def main():
     ap.add_argument("--k1", type=int, default=4)
     ap.add_argument("--k2", type=int, default=20)
     ap.add_argument("--stages", default="0,1,2,3")
+    ap.add_argument("--deep", action="store_true",
+                    help="bench fused_resnet_block_deep at the F%%8!=0 stages "
+                         "instead of skipping them (stage3 only fits VMEM)")
     args = ap.parse_args()
 
     from unitspeech_tpu.models.unet import ResnetBlock, mish
-    from unitspeech_tpu.ops.pallas_resnet import fused_resnet_block, supports_shape
+    from unitspeech_tpu.ops.pallas_resnet import (
+        fused_resnet_block, fused_resnet_block_deep, supports_shape,
+    )
 
     dtype = jnp.dtype(args.dtype)
     print(f"backend={jax.default_backend()} dtype={dtype.name}", flush=True)
@@ -114,9 +119,46 @@ def main():
                 return jnp.sum(out.astype(jnp.float32)) if reduce else out
             return run
 
+        def deep_chain(k, reduce=True):
+            @jax.jit
+            def run(xx):
+                def body(i, h):
+                    return fused_resnet_block_deep(
+                        h, mask, t_bias,
+                        params["block1"]["conv"]["kernel"],
+                        params["block1"]["conv"]["bias"],
+                        params["block1"]["norm"]["scale"],
+                        params["block1"]["norm"]["bias"],
+                        params["block2"]["conv"]["kernel"],
+                        params["block2"]["conv"]["bias"],
+                        params["block2"]["norm"]["scale"],
+                        params["block2"]["norm"]["bias"],
+                        groups=8, interpret=False,
+                    ).astype(h.dtype)
+                out = lax.fori_loop(0, k, body, xx)
+                return jnp.sum(out.astype(jnp.float32)) if reduce else out
+            return run
+
         dt_x = (_timed(xla_chain(args.k2), x) - _timed(xla_chain(args.k1), x)) \
             / (args.k2 - args.k1)
         if not supports_shape(t, f):
+            if args.deep:
+                try:
+                    dt_p = (_timed(deep_chain(args.k2), x)
+                            - _timed(deep_chain(args.k1), x)) / (args.k2 - args.k1)
+                    ref = np.asarray(xla_chain(1, reduce=False)(x), np.float32)
+                    got = np.asarray(deep_chain(1, reduce=False)(x), np.float32)
+                    err = np.abs(ref - got).max() / (np.abs(ref).max() + 1e-6)
+                    note = f"relerr={err:.2e}"
+                except Exception as e:  # noqa: BLE001
+                    dt_p, note = float("nan"), f"FAIL {type(e).__name__}: {e}"[:300]
+                print(f"stage{si} T={t} F={f} C={c}: flat {dt_x*1e3:.3f} "
+                      f"ms/block  deep-fused {dt_p*1e3:.3f} ms/block  "
+                      f"({dt_x/dt_p:.2f}x)  {note}", flush=True)
+                w = weights.get(si, 1)
+                total_x += w * dt_x
+                total_p += w * (dt_p if np.isfinite(dt_p) else dt_x)
+                continue
             print(f"stage{si} T={t} F={f} C={c}: xla {dt_x*1e3:.3f} ms/block  "
                   f"pallas SKIP (F%8!=0 -> XLA fallback in the estimator)",
                   flush=True)

@@ -111,5 +111,100 @@ def main():
         json.dump(results, fh, indent=2)
 
 
+def run_probe(which: str, t: int, f: int, cin: int, cout: int):
+    """Lower ONE of the deep kernels in isolation (which in a/b/c/c_none)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from unitspeech_tpu.utils import compile_cache
+
+    compile_cache.enable(f"/tmp/bisect_probe_{which}_{t}_{f}_{cin}_{cout}")
+    import time as _t
+
+    from functools import partial as _p
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from unitspeech_tpu.ops import pallas_resnet as pr
+
+    rng = np.random.default_rng(0)
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.05, jnp.bfloat16)
+    rf = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.05, jnp.float32)
+    n = t * f
+    b = 1
+    lens_rows = jnp.full((b, 1, 1), n, jnp.int32)
+    lens_spec = pl.BlockSpec((1, 1, 1), lambda bb, cb: (bb, 0, 0),
+                             memory_space=pltpu.SMEM)
+    full = lambda c: pl.BlockSpec((1, n, c), lambda bb, cb: (bb, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    row = lambda c: pl.BlockSpec((1, c), lambda bb, cb: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    stats = lambda c: pl.BlockSpec((1, 2, c), lambda bb, cb: (bb, 0, 0),
+                                   memory_space=pltpu.VMEM)
+
+    if which == "a":
+        cb1 = int(sys.argv[sys.argv.index("--cb") + 1]) if "--cb" in sys.argv \
+            else pr._cout_split(cin, cout)
+        def fn(x, w, bb_):
+            return pl.pallas_call(
+                _p(pr._kernel_a_deep, f=f, n=n, out_dtype=jnp.bfloat16),
+                grid=(b, cout // cb1),
+                in_specs=[lens_spec, full(cin),
+                          pl.BlockSpec((9 * cin, cb1), lambda bb, cb: (0, cb),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((1, cb1), lambda bb, cb: (0, cb),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=(pl.BlockSpec((1, n, cb1), lambda bb, cb: (bb, 0, cb),
+                                        memory_space=pltpu.VMEM),
+                           pl.BlockSpec((1, 2, cb1), lambda bb, cb: (bb, 0, cb),
+                                        memory_space=pltpu.VMEM)),
+                out_shape=(jax.ShapeDtypeStruct((b, n, cout), jnp.bfloat16),
+                           jax.ShapeDtypeStruct((b, 2, cout), jnp.float32)),
+            )(lens_rows, x, w, bb_)
+        args = (r(b, n, cin), r(9 * cin, cout), rf(1, cout))
+    elif which in ("c_identity", "c_none", "c_matmul"):
+        mode = which.split("_")[1]
+        kd = jnp.float32 if mode == "none" else jnp.bfloat16
+        wspec = (pl.BlockSpec((cin, cout), lambda bb, cb: (0, 0),
+                              memory_space=pltpu.VMEM) if mode == "matmul"
+                 else pl.BlockSpec((1, 1), lambda bb, cb: (0, 0),
+                                   memory_space=pltpu.VMEM))
+        bspec = (row(cout) if mode == "matmul"
+                 else pl.BlockSpec((1, 1), lambda bb, cb: (0, 0),
+                                   memory_space=pltpu.VMEM))
+        def fn(c2, x, st, s2, be2, wres, bres):
+            return pl.pallas_call(
+                _p(pr._kernel_c, tile=n, n_rows=n, groups=8, res_mode=mode,
+                   out_dtype=kd),
+                grid=(b, 1),
+                in_specs=[lens_spec, full(cout), full(cin), stats(cout),
+                          row(cout), row(cout), wspec, bspec],
+                out_specs=full(cout),
+                out_shape=jax.ShapeDtypeStruct((b, n, cout), kd),
+            )(lens_rows, c2, x, st, s2, be2, wres, bres)
+        wres_in = (r(cin, cout) if mode == "matmul" else r(1, 1))
+        bres_in = (rf(1, cout) if mode == "matmul" else rf(1, 1))
+        args = (r(b, n, cout), r(b, n, cin), rf(b, 2, cout), rf(1, cout),
+                rf(1, cout), wres_in, bres_in)
+    else:
+        raise SystemExit(f"unknown probe {which}")
+
+    t0 = _t.time()
+    lowered = jax.jit(fn).lower(*args)
+    t_lower = _t.time() - t0
+    t0 = _t.time()
+    lowered.compile()
+    print(json.dumps({"probe": which, "t": t, "f": f, "cin": cin,
+                      "cout": cout, "lower_s": round(t_lower, 1),
+                      "compile_s": round(_t.time() - t0, 1)}), flush=True)
+
+
 if __name__ == "__main__":
+    if "--probe" in sys.argv:
+        i = sys.argv.index("--probe")
+        run_probe(sys.argv[i + 1], *map(int, sys.argv[i + 2:i + 6]))
+        raise SystemExit(0)
     main()

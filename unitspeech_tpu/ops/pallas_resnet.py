@@ -284,7 +284,15 @@ def _kernel_b(lens_ref, top_ref, cur_ref, bot_ref, stats_ref, scale_ref,
 
 def _kernel_c(lens_ref, c2_ref, x_ref, stats_ref, scale_ref, bias_ref,
               wres_ref, bres_ref, out_ref, *, tile: int, n_rows: int,
-              groups: int, identity_res: bool, out_dtype):
+              groups: int, res_mode: str, out_dtype):
+    """res_mode: 'identity' adds x; 'matmul' adds the in-kernel 1x1-conv
+    residual (early tiled path — tile rows are 8-aligned); 'none' emits the
+    GN2+mish+mask term alone and the caller adds an XLA residual. The deep
+    whole-layer path must use 'none' when cin != cout: Mosaic's LOWERING of
+    a (n, cin) x (cin, cout) dot with n % 8 != 0 rows blows up
+    combinatorially (measured 379 s to lower ONE such dot at n=430,
+    cin=512, cout=1024 — tools/bisect_deep_compile.py; every aligned-row or
+    dot-free variant lowers in ~1 s)."""
     import jax.experimental.pallas as pl
 
     j = pl.program_id(1)
@@ -299,9 +307,12 @@ def _kernel_c(lens_ref, c2_ref, x_ref, stats_ref, scale_ref, bias_ref,
     valid = (n_global < lens_ref[0, 0, 0]).astype(jnp.float32)
     h = h * valid
 
+    if res_mode == "none":
+        out_ref[0] = h.astype(out_dtype)
+        return
     x = x_ref[0]
     xv = x * valid.astype(x.dtype)  # input rows may be unmasked
-    if identity_res:
+    if res_mode == "identity":
         res = xv.astype(jnp.float32)
     else:
         res = jnp.dot(xv, wres_ref[:], preferred_element_type=jnp.float32)
@@ -310,12 +321,20 @@ def _kernel_c(lens_ref, c2_ref, x_ref, stats_ref, scale_ref, bias_ref,
 
 
 def _kernel_a_deep(lens_ref, x_ref, w_ref, b_ref, out_ref, stats_ref, *,
-                   f: int, n: int, out_dtype):
+                   f: int, n: int, n_true: int, out_dtype):
     """Whole-layer conv3x3 + bias + GN stats for the deep U-Net stages: the
     full (n, Cin) activation fits VMEM, so there are no tiles and no halo
     blocks — edge frames see in-kernel zero padding, and the grid's second
     dim splits OUTPUT channels so the 9*C x C weight blocks stay under
-    VMEM (mid-stage w2 is 19 MB at C=1024)."""
+    VMEM (mid-stage w2 is 19 MB at C=1024).
+
+    n is the 8-ALIGNED padded row count and n_true = t*f the real one:
+    Mosaic's lowering of whole-layer kernels with a misaligned sublane row
+    count blows up combinatorially at some (Cin, Cout) combinations
+    (measured 178 s -> 0.6 s to lower kernel A at (430 vs 432 rows, 512 ->
+    1024); tools/bisect_deep_compile.py --probe). Rows >= n_true are zeroed
+    before the write and the stats sums, so GN statistics pool over exactly
+    the torch GroupNorm row set."""
     x = x_ref[0]  # (n, cin)
     valid = (
         jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) < lens_ref[0, 0, 0]
@@ -324,6 +343,10 @@ def _kernel_a_deep(lens_ref, x_ref, w_ref, b_ref, out_ref, stats_ref, *,
     zf = jnp.zeros((f, x.shape[-1]), x.dtype)
     win = jnp.concatenate([zf, xm, zf], axis=0)  # (n + 2f, cin)
     acc = _conv3x3_taps(win, w_ref, f, n) + b_ref[:].astype(jnp.float32)
+    if n != n_true:
+        rv = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+              < n_true).astype(jnp.float32)
+        acc = acc * rv
     out_ref[0] = acc.astype(out_dtype)
     stats_ref[0, 0, :] = jnp.sum(acc, axis=0)
     stats_ref[0, 1, :] = jnp.sum(acc * acc, axis=0)
@@ -331,13 +354,14 @@ def _kernel_a_deep(lens_ref, x_ref, w_ref, b_ref, out_ref, stats_ref, *,
 
 def _kernel_b_deep(lens_ref, c1_ref, stats_ref, scale_ref, bias_ref,
                    film_ref, w_ref, b_ref, out_ref, stats2_ref, *,
-                   f: int, n: int, groups: int, out_dtype):
+                   f: int, n: int, n_true: int, groups: int, out_dtype):
     """GN1-apply + mish + FiLM + mask + conv3x3 + bias + GN2 stats, whole
     layer at once. Reads the FULL-channel c1 (conv2 contracts over all of
-    it); only the output channels are split across the grid."""
+    it); only the output channels are split across the grid. n vs n_true:
+    see _kernel_a_deep."""
     c1 = c1_ref[0]  # (n, cout_full)
     mean, inv = _group_stats(
-        stats_ref[0, 0, :], stats_ref[0, 1, :], n, groups
+        stats_ref[0, 0, :], stats_ref[0, 1, :], n_true, groups
     )
     h = (c1.astype(jnp.float32) - mean) * inv
     h = h * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
@@ -350,6 +374,10 @@ def _kernel_b_deep(lens_ref, c1_ref, stats_ref, scale_ref, bias_ref,
     zf = jnp.zeros((f, h.shape[-1]), h.dtype)
     win = jnp.concatenate([zf, h, zf], axis=0)
     acc = _conv3x3_taps(win, w_ref, f, n) + b_ref[:].astype(jnp.float32)
+    if n != n_true:
+        rv = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+              < n_true).astype(jnp.float32)
+        acc = acc * rv
     out_ref[0] = acc.astype(out_dtype)
     stats2_ref[0, 0, :] = jnp.sum(acc, axis=0)
     stats2_ref[0, 1, :] = jnp.sum(acc * acc, axis=0)
@@ -376,8 +404,16 @@ def _fused_resnet_deep(
     from jax.experimental.pallas import tpu as pltpu
 
     out_dtype = jnp.dtype(out_dtype_name)
-    b, n, cin = x.shape
+    b, n_true, cin = x.shape
     cout = w1.shape[-1]
+    # pad the whole-layer row dim to the 8-row sublane: Mosaic's lowering of
+    # misaligned whole-layer kernels blows up at some (Cin, Cout) combos
+    # (178 s -> 0.6 s measured; see _kernel_a_deep docstring). Pad rows are
+    # zero on input and re-zeroed after each conv, so GN stats and outputs
+    # match the unpadded math exactly.
+    n = -(-n_true // 8) * 8
+    if n != n_true:
+        x = jnp.pad(x, ((0, 0), (0, n - n_true), (0, 0)))
 
     lens_spec2 = lambda: pl.BlockSpec((1, 1, 1), lambda bb, cb: (bb, 0, 0),
                                       memory_space=pltpu.SMEM)
@@ -390,7 +426,8 @@ def _fused_resnet_deep(
 
     cb1 = _cout_split(cin, cout)
     c1, stats1 = pl.pallas_call(
-        partial(_kernel_a_deep, f=f, n=n, out_dtype=out_dtype),
+        partial(_kernel_a_deep, f=f, n=n, n_true=n_true,
+                out_dtype=out_dtype),
         grid=(b, cout // cb1),
         in_specs=[
             lens_spec2(),
@@ -415,7 +452,8 @@ def _fused_resnet_deep(
 
     cb2 = _cout_split(cout, cout)
     c2, stats2 = pl.pallas_call(
-        partial(_kernel_b_deep, f=f, n=n, groups=groups, out_dtype=out_dtype),
+        partial(_kernel_b_deep, f=f, n=n, n_true=n_true, groups=groups,
+                out_dtype=out_dtype),
         grid=(b, cout // cb2),
         in_specs=[
             lens_spec2(),
@@ -446,24 +484,24 @@ def _fused_resnet_deep(
       b2.reshape(1, cout))
 
     identity_res = wres is None
-    if identity_res:
-        wres_in = jnp.zeros((1, 1), x.dtype)
-        bres_in = jnp.zeros((1, 1), jnp.float32)
-        wres_spec = pl.BlockSpec((1, 1), lambda bb, j: (0, 0),
-                                 memory_space=pltpu.VMEM)
-        bres_spec = pl.BlockSpec((1, 1), lambda bb, j: (0, 0),
-                                 memory_space=pltpu.VMEM)
-    else:
-        wres_in = wres.reshape(cin, cout)
-        bres_in = bres.reshape(1, cout)
-        wres_spec = pl.BlockSpec((cin, cout), lambda bb, j: (0, 0),
-                                 memory_space=pltpu.VMEM)
-        bres_spec = pl.BlockSpec((1, cout), lambda bb, j: (0, 0),
-                                 memory_space=pltpu.VMEM)
+    # cin != cout: the 1x1-conv residual moves OUT of the kernel — Mosaic's
+    # lowering of a misaligned-row (n % 8 != 0) whole-layer dot is the
+    # measured 6-minute compile pathology (see _kernel_c docstring). The
+    # kernel then emits the f32 GN2+mish+mask term and XLA adds the residual
+    # (one extra whole-layer f32 round-trip, < 2 MB at the deep stages);
+    # rounding to out_dtype still happens exactly once.
+    res_mode = "identity" if identity_res else "none"
+    wres_in = jnp.zeros((1, 1), x.dtype)
+    bres_in = jnp.zeros((1, 1), jnp.float32)
+    wres_spec = pl.BlockSpec((1, 1), lambda bb, j: (0, 0),
+                             memory_space=pltpu.VMEM)
+    bres_spec = pl.BlockSpec((1, 1), lambda bb, j: (0, 0),
+                             memory_space=pltpu.VMEM)
 
+    kern_dtype = out_dtype if identity_res else jnp.float32
     out = pl.pallas_call(
-        partial(_kernel_c, tile=n, n_rows=n, groups=groups,
-                identity_res=identity_res, out_dtype=out_dtype),
+        partial(_kernel_c, tile=n, n_rows=n_true, groups=groups,
+                res_mode=res_mode, out_dtype=kern_dtype),
         grid=(b, 1),
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda bb, j: (bb, 0, 0),
@@ -483,10 +521,22 @@ def _fused_resnet_deep(
         ],
         out_specs=pl.BlockSpec((1, n, cout), lambda bb, j: (bb, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, cout), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n, cout), kern_dtype),
         interpret=interpret,
     )(lens_rows, c2, x, stats2, s2.reshape(1, cout), be2.reshape(1, cout),
       wres_in, bres_in)
+    out = out[:, :n_true]
+    if not identity_res:
+        rowmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, n_true, 1), 1) < lens_rows
+        )
+        xm = jnp.where(rowmask, x[:, :n_true], 0)
+        res = jnp.einsum(
+            "bnc,cd->bnd", xm, wres.reshape(cin, cout).astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        res = jnp.where(rowmask, res + bres.reshape(1, 1, cout), 0.0)
+        out = (out + res).astype(out_dtype)
     return out
 
 
@@ -505,11 +555,15 @@ def fused_resnet_block_deep(
     no tiles, no halos — and splits only the output channels when the
     (9C, C) weight block would not fit.
 
-    STATUS: EXPERIMENTAL. On-chip parity verified (bf16 relerr 6e-3 at
-    stage3 shapes) but Mosaic compiled one such block in ~17 MINUTES at
-    (430 rows, C=1024) — suspected odd-row whole-layer windows defeating
-    the tiling planner — so the model routes deep stages to the flat matmul
-    path unless ResnetBlock.use_pallas_deep is set."""
+    Compile-time pathology SOLVED (round 3): Mosaic's lowering of
+    whole-layer kernels with a row count not divisible by the 8-row sublane
+    blew up combinatorially at some (Cin, Cout) combinations — 178 s to
+    lower ONE conv kernel at (430 rows, 512 -> 1024), ~17 min for a full
+    block, vs ~1 s with 432 rows (bisect: tools/bisect_deep_compile.py).
+    Rows now pad to a multiple of 8 with exact GN-stats masking, and the
+    cin != cout residual 1x1 conv runs as an XLA einsum outside the kernel
+    (its misaligned-row in-kernel dot was a second independent trigger).
+    Opt-in via ResnetBlock.use_pallas_deep."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bsz, t, f, cin = x.shape
@@ -756,7 +810,8 @@ def _fused_resnet(
 
     out = pl.pallas_call(
         partial(_kernel_c, tile=tile, n_rows=n, groups=groups,
-                identity_res=identity_res, out_dtype=out_dtype),
+                res_mode="identity" if identity_res else "matmul",
+                out_dtype=out_dtype),
         grid=grid,
         in_specs=[lens_spec, tile_spec(cout), tile_spec(cin), stats_spec,
                   row_spec(cout), row_spec(cout), wres_spec, bres_spec],
