@@ -116,3 +116,53 @@ def load_reference_cpc():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
+
+
+def load_reference_tacotron():
+    """Import the REAL reference Tacotron2/WaveGlow unit-vocoder stack
+    (textless/vocoders/tacotron2/{model,glow,stft,text,tts_data}.py) for
+    output-level parity.
+
+    The files are loaded as a synthetic package `_ref_taco` whose __path__
+    points at the reference directory — the real package __init__ pulls the
+    checkpoint manager (network) so it must not run. librosa/soundfile/
+    unidecode are stubbed with just enough behavior for the code paths the
+    models execute (window padding + sumsquare normalization in stft.py)."""
+    if load_reference() is None:
+        return None
+    import importlib
+
+    import numpy as np
+
+    def _pad_center(data, size=None, **kw):
+        size = kw.get("size", size)
+        n = len(data)
+        lpad = (size - n) // 2
+        return np.pad(data, (lpad, size - n - lpad))
+
+    lib = _stub("librosa")
+    util = _stub("librosa.util")
+    util.pad_center = _pad_center
+    util.tiny = lambda x: np.finfo(
+        x.dtype if hasattr(x, "dtype") else np.float32).tiny
+    util.normalize = lambda x, norm=None, **kw: (
+        x if norm is None else x / np.max(np.abs(x)))
+    lib.util = util
+    filters = _stub("librosa.filters")
+    filters.mel = lambda *a, **kw: np.zeros((1, 1), np.float32)
+    lib.filters = filters
+    _stub("soundfile")
+    _stub("unidecode", unidecode=lambda s: s)
+    _stub("inflect", engine=lambda: None)
+
+    name = "_ref_taco"
+    if name not in sys.modules:
+        pkg = types.ModuleType(name)
+        pkg.__path__ = [os.path.join(
+            REFERENCE_ROOT,
+            "unitspeech/textlesslib/textless/vocoders/tacotron2")]
+        sys.modules[name] = pkg
+    ns = types.SimpleNamespace()
+    for sub in ("model", "glow", "stft", "text", "tts_data"):
+        setattr(ns, sub, importlib.import_module(f"{name}.{sub}"))
+    return ns

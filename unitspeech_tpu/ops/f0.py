@@ -108,3 +108,96 @@ def trailing_silence_mask(f0: np.ndarray) -> np.ndarray:
             break
         mask[i] = True
     return mask
+
+
+def align_f0_to_durations(f0: np.ndarray, durations: np.ndarray,
+                          f0_code_ratio: float, tol: float = 1.0) -> np.ndarray:
+    """Pool the frame-rate F0 track into one value per unit: each unit's
+    segment of `dur * f0_code_ratio` F0 frames is averaged over its VOICED
+    frames (0 if none). Behavior-parity with the reference
+    (f0_preprocess.py:35-62), including truncate/extend to the target length
+    within `tol` frames."""
+    f0 = np.asarray(f0, np.float32)
+    durations = np.asarray(durations)
+    code_len = int(durations.sum())
+    targ_len = int(f0_code_ratio * code_len)
+    diff = len(f0) - targ_len
+    if abs(diff) > tol:
+        raise ValueError(
+            f"Cannot subsample F0: |{len(f0)} - {f0_code_ratio}*{code_len}| > {tol}"
+        )
+    if diff > 0:
+        f0 = f0[:targ_len]
+    elif diff < 0:
+        f0 = np.concatenate([f0, np.full(-diff, f0[-1] if len(f0) else 0.0,
+                                         np.float32)])
+    offset = 0.0
+    out = np.zeros(len(durations), np.float32)
+    for i, dur in enumerate(durations):
+        seg_len = float(dur) * f0_code_ratio
+        seg = f0[int(offset) : int(offset + seg_len)]
+        seg = seg[seg != 0]
+        out[i] = seg.mean() if len(seg) else 0.0
+        offset += seg_len
+    return out
+
+
+class SpeakerMeanNormalize:
+    """Per-speaker (log-)F0 centering/scaling from a stats table
+    {speaker: {"f0_mean", "f0_std", "logf0_mean", "logf0_std"}} — reference
+    f0_preprocess.py:65-93 (which torch.loads the table; any mapping works
+    here)."""
+
+    def __init__(self, stats, center: bool = True, scale: bool = False,
+                 log: bool = True):
+        self.stats = stats
+        self.center = center
+        self.scale = scale
+        self.log = log
+
+    def __call__(self, f0: np.ndarray, speaker) -> np.ndarray:
+        f0 = np.array(f0, np.float32)
+        mask = f0 != 0.0
+        if self.log:
+            f0[mask] = np.log(f0[mask])
+        key = "logf0" if self.log else "f0"
+        if self.center:
+            f0[mask] -= float(self.stats[speaker][f"{key}_mean"])
+        if self.scale:
+            f0[mask] /= float(self.stats[speaker][f"{key}_std"])
+        return f0
+
+
+class PromptNormalize:
+    """Per-utterance (log-)F0 centering/scaling over voiced frames
+    (reference f0_preprocess.py:96-113)."""
+
+    def __init__(self, center: bool = True, scale: bool = False,
+                 log: bool = True):
+        self.center = center
+        self.scale = scale
+        self.log = log
+
+    def __call__(self, f0: np.ndarray, _speaker=None) -> np.ndarray:
+        f0 = np.array(f0, np.float32)
+        mask = f0 != 0.0
+        if self.log:
+            f0[mask] = np.log(f0[mask])
+        if mask.any():
+            if self.center:
+                f0[mask] -= f0[mask].mean()
+            if self.scale:
+                f0[mask] /= max(f0[mask].std(), 1e-8)
+        return f0
+
+
+class F0BinQuantizer:
+    """Bin index per F0 value from precomputed bin edges (reference
+    f0_preprocess.py:116-122)."""
+
+    def __init__(self, bins: np.ndarray):
+        self.bins = np.asarray(bins, np.float32).reshape(-1)
+
+    def __call__(self, f0: np.ndarray) -> np.ndarray:
+        return (np.asarray(f0, np.float32).reshape(-1, 1)
+                > self.bins.reshape(1, -1)).sum(axis=1).astype(np.int64)
