@@ -48,7 +48,8 @@ HOP = 256
 
 
 def build(smoke: bool, use_pallas: bool = True, use_pallas_resnet: bool = True,
-          use_int8: bool = False):
+          use_int8: bool = False, use_deep: bool = False,
+          use_resample: bool = False):
     from unitspeech_tpu.config import (
         DataConfig,
         DecoderConfig,
@@ -87,6 +88,8 @@ def build(smoke: bool, use_pallas: bool = True, use_pallas_resnet: bool = True,
         # counts where it beats XLA (N >= 16384, i.e. the full-res stage)
         use_pallas_attention=use_pallas and on_tpu,
         use_int8_deep=use_int8,
+        use_pallas_deep=use_deep and on_tpu,
+        use_pallas_resample=use_resample and on_tpu,
     )
     return Synthesizer(models)
 
@@ -107,6 +110,14 @@ def main():
                          "MCD within 1.25x of the accepted bf16-vs-f32 band)")
     ap.add_argument("--no-int8", dest="int8", action="store_false",
                     help="disable int8 deep convs (pure bf16 estimator)")
+    ap.add_argument("--deep", dest="deep", action="store_true", default=False,
+                    help="whole-layer fused Pallas deep-stage ResnetBlocks "
+                         "(bf16; measured 2.4-3.6x the flat matmul blocks "
+                         "per block, tools/bench_resnet_kernel.py --deep)")
+    ap.add_argument("--resample", dest="resample", action="store_true",
+                    default=False,
+                    help="fused Pallas stride-2 down/upsample convs at "
+                         "supported stages (ops/pallas_resample.py)")
     ap.add_argument("--skip-serving", action="store_true",
                     help="measure only the forced-duration headline "
                          "(1 compile instead of ~4)")
@@ -117,7 +128,8 @@ def main():
         # device use (a stray smoke run must never contend for the chip)
         jax.config.update("jax_platforms", "cpu")
 
-    synth = build(args.smoke, use_int8=args.int8)
+    synth = build(args.smoke, use_int8=args.int8, use_deep=args.deep,
+                  use_resample=args.resample)
     m = synth.models
     frames = args.frames if not args.smoke else 48
 
@@ -158,7 +170,8 @@ def main():
         run_once()
     except Exception as e:  # pragma: no cover - environment-specific
         print(f"# pallas path failed ({type(e).__name__}); XLA fallback", file=sys.stderr)
-        synth = build(args.smoke, use_pallas=False, use_pallas_resnet=False, use_int8=args.int8)
+        synth = build(args.smoke, use_pallas=False, use_pallas_resnet=False,
+                      use_int8=args.int8)
         m = synth.models
         run_once()
     run_once()

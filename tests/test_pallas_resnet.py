@@ -263,3 +263,59 @@ def test_fused_resnet_int8_error_bound():
     )
     rel = np.abs(np.asarray(got) - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 0.05, rel
+
+
+@pytest.mark.parametrize("cin,cout", [(8, 16), (16, 16)])
+def test_fused_resnet_deep_int8_error_bound(cin, cout):
+    """int8 inside the whole-layer deep kernels (per-batch-element dynamic
+    activation scale + per-channel weight scales) stays within a few percent
+    of the float block — the same bound as the early-stage in-kernel int8."""
+    from unitspeech_tpu.ops.pallas_resnet import fused_resnet_block_deep
+
+    b, t, f = 2, 15, 6
+    key = jax.random.PRNGKey(11)
+    block = ResnetBlock(cout, groups=4)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (b, t, f, cin))
+    t_emb = jax.random.normal(jax.random.fold_in(key, 2), (b, 12))
+    mask = (jnp.arange(t)[None, :] < jnp.asarray([15, 9])[:, None]).astype(
+        jnp.float32
+    )[:, :, None, None]
+    params = block.init(key, x, mask, t_emb)
+    ref = np.asarray(block.apply(params, x, mask, t_emb))
+
+    p = params["params"]
+    t_bias = mish(t_emb) @ p["mlp"]["kernel"] + p["mlp"]["bias"]
+    got = fused_resnet_block_deep(
+        x, mask, t_bias,
+        p["block1"]["conv"]["kernel"], p["block1"]["conv"]["bias"],
+        p["block1"]["norm"]["scale"], p["block1"]["norm"]["bias"],
+        p["block2"]["conv"]["kernel"], p["block2"]["conv"]["bias"],
+        p["block2"]["norm"]["scale"], p["block2"]["norm"]["bias"],
+        wres=p["res_conv"]["kernel"] if cin != cout else None,
+        bres=p["res_conv"]["bias"] if cin != cout else None,
+        groups=4, interpret=True, int8=True,
+    )
+    rel = np.abs(np.asarray(got) - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel
+    # padding rows stay exactly zero through the quantized path
+    assert np.abs(np.asarray(got)[1, 9:]).max() == 0.0
+
+
+def test_estimator_routes_int8_through_deep_kernel():
+    """use_pallas_deep + use_int8 routes deep-stage blocks through the fused
+    whole-layer kernel (not the flat XLA int8 path) and matches it within
+    the int8 tolerance band — quantization granularity differs (per batch
+    element in kernel vs per tensor in the flat path)."""
+    b, t, f, cin, cout = 1, 9, 6, 512, 512
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (b, t, f, cin)) * 0.1
+    t_emb = jax.random.normal(jax.random.fold_in(key, 2), (b, 12))
+    mask = jnp.ones((b, t, 1, 1))
+
+    flat = ResnetBlock(cout, groups=4, use_int8=True)
+    deep = ResnetBlock(cout, groups=4, use_int8=True, use_pallas_deep=True)
+    params = flat.init(key, x, mask, t_emb)
+    a = np.asarray(flat.apply(params, x, mask, t_emb))
+    bout = np.asarray(deep.apply(params, x, mask, t_emb))
+    rel = np.abs(a - bout).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 0.05, rel

@@ -49,6 +49,11 @@ def main():
     ap.add_argument("--deep", action="store_true",
                     help="bench fused_resnet_block_deep at the F%%8!=0 stages "
                          "instead of skipping them (stage3 only fits VMEM)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 convs on BOTH sides: the XLA baseline becomes "
+                         "the flat conv3x3_int8 path (the serving default at "
+                         "the deep stages) and the deep fused kernel "
+                         "quantizes in kernel")
     args = ap.parse_args()
 
     from unitspeech_tpu.models.unet import ResnetBlock, mish
@@ -73,7 +78,7 @@ def main():
     weights = {0: 3, 1: 5, 2: 5, 3: 6}
     for si in [int(s) for s in args.stages.split(",")]:
         t, f, c = stages[si]
-        block = ResnetBlock(c, 8, dtype=dtype)
+        block = ResnetBlock(c, 8, dtype=dtype, use_int8=args.int8)
         x = (jax.random.normal(jax.random.fold_in(key, si), (b, t, f, c),
                                dtype) * 0.3)
         t_emb = jax.random.normal(jax.random.fold_in(key, 100 + si), (b, 384),
@@ -133,7 +138,7 @@ def main():
                         params["block2"]["conv"]["bias"],
                         params["block2"]["norm"]["scale"],
                         params["block2"]["norm"]["bias"],
-                        groups=8, interpret=False,
+                        groups=8, interpret=False, int8=args.int8,
                     ).astype(h.dtype)
                 out = lax.fori_loop(0, k, body, xx)
                 return jnp.sum(out.astype(jnp.float32)) if reduce else out

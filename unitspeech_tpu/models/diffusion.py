@@ -55,6 +55,8 @@ class UnitSpeech(nn.Module):
     use_pallas_attention: bool = False
     use_pallas_resnet: bool = False
     use_int8_deep: bool = False
+    use_pallas_deep: bool = False
+    use_pallas_resample: bool = False
 
     def setup(self):
         self.text_uncon = self.param(
@@ -73,6 +75,8 @@ class UnitSpeech(nn.Module):
             use_pallas_attention=self.use_pallas_attention,
             use_pallas_resnet=self.use_pallas_resnet,
             use_int8_deep=self.use_int8_deep,
+            use_pallas_deep=self.use_pallas_deep,
+            use_pallas_resample=self.use_pallas_resample,
         )
 
     def __call__(self, xt, mask, cond, t, spk_emb):
@@ -82,7 +86,8 @@ class UnitSpeech(nn.Module):
 
     @classmethod
     def from_config(cls, cfg, dtype=jnp.float32, use_pallas_attention=False,
-                    use_pallas_resnet=False, use_int8_deep=False):
+                    use_pallas_resnet=False, use_int8_deep=False,
+                    use_pallas_deep=False, use_pallas_resample=False):
         return cls(
             n_feats=cfg.n_feats,
             dim=cfg.dim,
@@ -96,6 +101,8 @@ class UnitSpeech(nn.Module):
             use_pallas_attention=use_pallas_attention,
             use_pallas_resnet=use_pallas_resnet,
             use_int8_deep=use_int8_deep,
+            use_pallas_deep=use_pallas_deep,
+            use_pallas_resample=use_pallas_resample,
         )
 
 

@@ -278,15 +278,13 @@ class ResnetBlock(nn.Module):
         if (not (self.use_pallas and supports_shape(t, f))
                 and choose_conv_impl(cin, self.dim_out) != "xla"):
             # deep stages (F % 8 != 0): whole-layer fused kernels when the
-            # full activation fits VMEM; flat matmul path otherwise / for
-            # int8. EXPERIMENTAL opt-in (use_pallas_deep): on-chip parity
-            # verified (relerr 6e-3 bf16 at stage3) but Mosaic compiles ONE
-            # such block in ~17 min at (430 rows, C=1024) — unusable in the
-            # serving pipeline until the compile blow-up is understood
-            # (suspected: odd-row whole-layer windows defeat the tiling
-            # planner).
+            # full activation fits VMEM (rows padded to the 8-sublane; the
+            # r2 ~17-min Mosaic compile pathology is fixed — see
+            # fused_resnet_block_deep); flat matmul path otherwise. int8
+            # composes: the deep kernels quantize in kernel, so the serving
+            # default keeps the GN/mish/FiLM fusion.
             deep_ok = (
-                self.use_pallas_deep and not self.use_int8
+                self.use_pallas_deep
                 and t * f * max(cin, self.dim_out) * 2 <= 4 * 1024 * 1024
             )
             if deep_ok:
@@ -300,6 +298,7 @@ class ResnetBlock(nn.Module):
                     x.astype(self.dtype), mask, bias_t,
                     k1, b1, s1, be1, k2, b2, s2, be2,
                     wres=wres, bres=bres, groups=self.groups,
+                    int8=self.use_int8,
                 )
             return self._flat_matmul_block(x, mask, t_emb)
         if self.use_pallas and supports_shape(t, f):
@@ -468,15 +467,33 @@ class RezeroAttention(nn.Module):
         return x + y * g.astype(self.dtype)
 
 
+class _ResampleParams(nn.Module):
+    """Downsample/Upsample parameter tree (conv/{kernel,bias}) without the
+    XLA op — the fused Pallas resample kernels share checkpoints with the
+    nn.Conv/nn.ConvTranspose modules."""
+
+    features: int
+    ksize: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return _Conv2dParams(self.features, ksize=self.ksize, name="conv")(
+            in_features
+        )
+
+
 class Downsample(nn.Module):
     """conv3x3 stride 2 (reference unitspeech.py:27-33).
 
-    Stays on XLA's conv lowering: the 9-subsampled-matmul reformulation
+    XLA's conv lowering profiled ~3x off the MXU floor, but the
+    XLA-level 9-subsampled-matmul reformulation
     (ops/conv_matmul.conv3x3_stride2_matmul, exact and tested) measured
     12x SLOWER in the estimator on v5e — the shifted copies materialize at
-    full resolution before the stride-2 subsample. Measured down+up pair at
-    stage0: 0.135 ms XLA vs 1.7 ms matmul (tools/bench_conv_variants.py
-    --extras)."""
+    full resolution before the stride-2 subsample (measured down+up pair at
+    stage0: 0.135 ms XLA vs 1.7 ms matmul, tools/bench_conv_variants.py
+    --extras). The Pallas kernel (ops/pallas_resample.fused_downsample_conv)
+    keeps the stride in VMEM instead; the estimator routes to it under
+    use_pallas_resample at supported shapes."""
 
     dim: int
     dtype: Any = jnp.float32
@@ -525,6 +542,8 @@ class GradLogPEstimator2d(nn.Module):
     use_pallas_attention: bool = False
     use_pallas_resnet: bool = False
     use_int8_deep: bool = False
+    use_pallas_deep: bool = False
+    use_pallas_resample: bool = False
 
     @nn.compact
     def __call__(self, x, mask, mu, t, spk_emb):
@@ -548,12 +567,14 @@ class GradLogPEstimator2d(nn.Module):
             h = ResnetBlock(dim_out, self.groups, dtype=self.dtype,
                             use_pallas=self.use_pallas_resnet,
                             use_int8=self.use_int8_deep,
+                        use_pallas_deep=self.use_pallas_deep,
                             name=f"down_{ind}_res1")(h, mk, t_emb)
             # res1's output is masked by construction -> skip res2's input mask
             h = ResnetBlock(dim_out, self.groups, dtype=self.dtype,
                             input_pre_masked=True,
                             use_pallas=self.use_pallas_resnet,
                             use_int8=self.use_int8_deep,
+                        use_pallas_deep=self.use_pallas_deep,
                             name=f"down_{ind}_res2")(h, mk, t_emb)
             attn = RezeroAttention(dtype=self.dtype,
                                    use_pallas=self.use_pallas_attention,
@@ -561,10 +582,30 @@ class GradLogPEstimator2d(nn.Module):
             h = attn(h, mask=mk)
             hiddens.append(h)
             if not is_last:
-                # the fused attention already masked its output rows
-                hin = (h if attn.uses_fused_masked(h.shape[1], h.shape[2], mk)
-                       else h * mk)
-                h = Downsample(dim_out, dtype=self.dtype, name=f"down_{ind}_down")(hin)
+                from unitspeech_tpu.ops.pallas_resample import (
+                    supports_downsample,
+                )
+
+                if (self.use_pallas_resample
+                        and supports_downsample(h.shape[1], h.shape[2],
+                                                dim_out)):
+                    # fused stride-2 conv: masks the input rows in VMEM, so
+                    # the h * mk pass is skipped entirely
+                    from unitspeech_tpu.ops.pallas_resample import (
+                        fused_downsample_conv,
+                    )
+
+                    kd, bd = _ResampleParams(
+                        dim_out, (3, 3), name=f"down_{ind}_down"
+                    )(h.shape[-1])
+                    h = fused_downsample_conv(h.astype(self.dtype), mk, kd, bd)
+                else:
+                    # the fused attention already masked its output rows
+                    hin = (h if attn.uses_fused_masked(
+                               h.shape[1], h.shape[2], mk)
+                           else h * mk)
+                    h = Downsample(dim_out, dtype=self.dtype,
+                                   name=f"down_{ind}_down")(hin)
             masks.append(mk[:, ::2])
 
         masks = masks[:-1]
@@ -573,11 +614,13 @@ class GradLogPEstimator2d(nn.Module):
         h = ResnetBlock(mid_dim, self.groups, dtype=self.dtype,
                         use_pallas=self.use_pallas_resnet,
                         use_int8=self.use_int8_deep,
+                        use_pallas_deep=self.use_pallas_deep,
                         name="mid_res1")(h, mk, t_emb)
         h = RezeroAttention(dtype=self.dtype, use_pallas=self.use_pallas_attention, name="mid_attn")(h, mask=mk)
         h = ResnetBlock(mid_dim, self.groups, dtype=self.dtype,
                         use_pallas=self.use_pallas_resnet,
                         use_int8=self.use_int8_deep,
+                        use_pallas_deep=self.use_pallas_deep,
                         name="mid_res2")(h, mk, t_emb)
 
         # up stages mirror down stages 1..num_res-1, reversed
@@ -588,19 +631,35 @@ class GradLogPEstimator2d(nn.Module):
             h = ResnetBlock(dim_in, self.groups, dtype=self.dtype,
                             use_pallas=self.use_pallas_resnet,
                             use_int8=self.use_int8_deep,
+                        use_pallas_deep=self.use_pallas_deep,
                             name=f"up_{ind}_res1")(h, mk, t_emb)
             h = ResnetBlock(dim_in, self.groups, dtype=self.dtype,
                             input_pre_masked=True,
                             use_pallas=self.use_pallas_resnet,
                             use_int8=self.use_int8_deep,
+                        use_pallas_deep=self.use_pallas_deep,
                             name=f"up_{ind}_res2")(h, mk, t_emb)
             attn = RezeroAttention(dtype=self.dtype,
                                    use_pallas=self.use_pallas_attention,
                                    name=f"up_{ind}_attn")
             h = attn(h, mask=mk)
-            hin = (h if attn.uses_fused_masked(h.shape[1], h.shape[2], mk)
-                   else h * mk)
-            h = Upsample(dim_in, dtype=self.dtype, name=f"up_{ind}_up")(hin)
+            from unitspeech_tpu.ops.pallas_resample import supports_upsample
+
+            if (self.use_pallas_resample
+                    and supports_upsample(h.shape[1], h.shape[2], dim_in)):
+                from unitspeech_tpu.ops.pallas_resample import (
+                    fused_upsample_conv,
+                )
+
+                ku, bu = _ResampleParams(
+                    dim_in, (4, 4), name=f"up_{ind}_up"
+                )(h.shape[-1])
+                h = fused_upsample_conv(h.astype(self.dtype), mk, ku, bu)
+            else:
+                hin = (h if attn.uses_fused_masked(h.shape[1], h.shape[2], mk)
+                       else h * mk)
+                h = Upsample(dim_in, dtype=self.dtype,
+                             name=f"up_{ind}_up")(hin)
 
         from unitspeech_tpu.ops.pallas_resnet import supports_shape
 
@@ -625,7 +684,8 @@ class GradLogPEstimator2d(nn.Module):
 
     @classmethod
     def from_config(cls, cfg, dtype=jnp.float32, use_pallas_attention=False,
-                    use_pallas_resnet=False, use_int8_deep=False):
+                    use_pallas_resnet=False, use_int8_deep=False,
+                    use_pallas_deep=False, use_pallas_resample=False):
         return cls(
             dim=cfg.dim,
             dim_mults=tuple(cfg.dim_mults),
@@ -636,4 +696,6 @@ class GradLogPEstimator2d(nn.Module):
             use_pallas_attention=use_pallas_attention,
             use_pallas_resnet=use_pallas_resnet,
             use_int8_deep=use_int8_deep,
+            use_pallas_deep=use_pallas_deep,
+            use_pallas_resample=use_pallas_resample,
         )

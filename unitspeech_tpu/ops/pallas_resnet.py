@@ -320,8 +320,8 @@ def _kernel_c(lens_ref, c2_ref, x_ref, stats_ref, scale_ref, bias_ref,
     out_ref[0] = (h + res).astype(out_dtype)
 
 
-def _kernel_a_deep(lens_ref, x_ref, w_ref, b_ref, out_ref, stats_ref, *,
-                   f: int, n: int, n_true: int, out_dtype):
+def _kernel_a_deep(lens_ref, x_ref, w_ref, sw_ref, b_ref, out_ref, stats_ref,
+                   *, f: int, n: int, n_true: int, out_dtype, int8: bool):
     """Whole-layer conv3x3 + bias + GN stats for the deep U-Net stages: the
     full (n, Cin) activation fits VMEM, so there are no tiles and no halo
     blocks — edge frames see in-kernel zero padding, and the grid's second
@@ -342,7 +342,11 @@ def _kernel_a_deep(lens_ref, x_ref, w_ref, b_ref, out_ref, stats_ref, *,
     xm = x * valid.astype(x.dtype)
     zf = jnp.zeros((f, x.shape[-1]), x.dtype)
     win = jnp.concatenate([zf, xm, zf], axis=0)  # (n + 2f, cin)
-    acc = _conv3x3_taps(win, w_ref, f, n) + b_ref[:].astype(jnp.float32)
+    if int8:
+        acc = _conv3x3_taps_int8(win, w_ref, sw_ref, f, n)
+    else:
+        acc = _conv3x3_taps(win, w_ref, f, n)
+    acc = acc + b_ref[:].astype(jnp.float32)
     if n != n_true:
         rv = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
               < n_true).astype(jnp.float32)
@@ -353,8 +357,9 @@ def _kernel_a_deep(lens_ref, x_ref, w_ref, b_ref, out_ref, stats_ref, *,
 
 
 def _kernel_b_deep(lens_ref, c1_ref, stats_ref, scale_ref, bias_ref,
-                   film_ref, w_ref, b_ref, out_ref, stats2_ref, *,
-                   f: int, n: int, n_true: int, groups: int, out_dtype):
+                   film_ref, w_ref, sw_ref, b_ref, out_ref, stats2_ref, *,
+                   f: int, n: int, n_true: int, groups: int, out_dtype,
+                   int8: bool):
     """GN1-apply + mish + FiLM + mask + conv3x3 + bias + GN2 stats, whole
     layer at once. Reads the FULL-channel c1 (conv2 contracts over all of
     it); only the output channels are split across the grid. n vs n_true:
@@ -373,7 +378,11 @@ def _kernel_b_deep(lens_ref, c1_ref, stats_ref, scale_ref, bias_ref,
     h = (h * valid.astype(jnp.float32)).astype(c1.dtype)
     zf = jnp.zeros((f, h.shape[-1]), h.dtype)
     win = jnp.concatenate([zf, h, zf], axis=0)
-    acc = _conv3x3_taps(win, w_ref, f, n) + b_ref[:].astype(jnp.float32)
+    if int8:
+        acc = _conv3x3_taps_int8(win, w_ref, sw_ref, f, n)
+    else:
+        acc = _conv3x3_taps(win, w_ref, f, n)
+    acc = acc + b_ref[:].astype(jnp.float32)
     if n != n_true:
         rv = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
               < n_true).astype(jnp.float32)
@@ -383,22 +392,24 @@ def _kernel_b_deep(lens_ref, c1_ref, stats_ref, scale_ref, bias_ref,
     stats2_ref[0, 1, :] = jnp.sum(acc * acc, axis=0)
 
 
-def _cout_split(cin_conv: int, cout: int, budget: int = 5 * 1024 * 1024) -> int:
-    """Output-channel block so the (9*Cin, Cb) bf16 weight block fits the
+def _cout_split(cin_conv: int, cout: int, budget: int = 5 * 1024 * 1024,
+                itemsize: int = 2) -> int:
+    """Output-channel block so the (9*Cin, Cb) weight block fits the
     VMEM budget; multiples of 128 lanes, divisor of cout."""
     cb = cout
-    while cb > 128 and 9 * cin_conv * cb * 2 > budget:
+    while cb > 128 and 9 * cin_conv * cb * itemsize > budget:
         cb //= 2
     return cb
 
 
 @partial(
     jax.jit,
-    static_argnames=("f", "groups", "interpret", "out_dtype_name"),
+    static_argnames=("f", "groups", "interpret", "out_dtype_name", "int8"),
 )
 def _fused_resnet_deep(
     x, lens_rows, t_bias, w1, b1, s1, be1, w2, b2, s2, be2, wres, bres,
     f: int, groups: int, interpret: bool, out_dtype_name: str,
+    int8: bool = False,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -410,8 +421,10 @@ def _fused_resnet_deep(
     # misaligned whole-layer kernels blows up at some (Cin, Cout) combos
     # (178 s -> 0.6 s measured; see _kernel_a_deep docstring). Pad rows are
     # zero on input and re-zeroed after each conv, so GN stats and outputs
-    # match the unpadded math exactly.
-    n = -(-n_true // 8) * 8
+    # match the unpadded math exactly. int8 operands tile natively as
+    # (32, 128) on TPU, so the int8 path pads to the 32-row boundary.
+    align = 32 if int8 else 8
+    n = -(-n_true // align) * align
     if n != n_true:
         x = jnp.pad(x, ((0, 0), (0, n - n_true), (0, 0)))
 
@@ -424,15 +437,26 @@ def _fused_resnet_deep(
     stats_full = lambda c: pl.BlockSpec((1, 2, c), lambda bb, cb: (bb, 0, 0),
                                         memory_space=pltpu.VMEM)
 
-    cb1 = _cout_split(cin, cout)
+    w1_in = w1.reshape(9 * cin, cout)
+    w2_in = w2.reshape(9 * cout, cout)
+    if int8:
+        w1_in, sw1 = _quant_w(w1_in)
+        w2_in, sw2 = _quant_w(w2_in)
+    else:
+        sw1 = sw2 = jnp.ones((1, cout), jnp.float32)
+    wsize = 1 if int8 else 2
+
+    cb1 = _cout_split(cin, cout, itemsize=wsize)
     c1, stats1 = pl.pallas_call(
         partial(_kernel_a_deep, f=f, n=n, n_true=n_true,
-                out_dtype=out_dtype),
+                out_dtype=out_dtype, int8=int8),
         grid=(b, cout // cb1),
         in_specs=[
             lens_spec2(),
             full_spec(cin),
             pl.BlockSpec((9 * cin, cb1), lambda bb, cb: (0, cb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb1), lambda bb, cb: (0, cb),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cb1), lambda bb, cb: (0, cb),
                          memory_space=pltpu.VMEM),
@@ -448,12 +472,12 @@ def _fused_resnet_deep(
             jax.ShapeDtypeStruct((b, 2, cout), jnp.float32),
         ),
         interpret=interpret,
-    )(lens_rows, x, w1.reshape(9 * cin, cout), b1.reshape(1, cout))
+    )(lens_rows, x, w1_in, sw1, b1.reshape(1, cout))
 
-    cb2 = _cout_split(cout, cout)
+    cb2 = _cout_split(cout, cout, itemsize=wsize)
     c2, stats2 = pl.pallas_call(
         partial(_kernel_b_deep, f=f, n=n, n_true=n_true, groups=groups,
-                out_dtype=out_dtype),
+                out_dtype=out_dtype, int8=int8),
         grid=(b, cout // cb2),
         in_specs=[
             lens_spec2(),
@@ -464,6 +488,8 @@ def _fused_resnet_deep(
             pl.BlockSpec((1, 1, cout), lambda bb, cb: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9 * cout, cb2), lambda bb, cb: (0, cb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb2), lambda bb, cb: (0, cb),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cb2), lambda bb, cb: (0, cb),
                          memory_space=pltpu.VMEM),
@@ -480,8 +506,7 @@ def _fused_resnet_deep(
         ),
         interpret=interpret,
     )(lens_rows, c1, stats1, s1.reshape(1, cout), be1.reshape(1, cout),
-      t_bias.reshape(b, 1, cout), w2.reshape(9 * cout, cout),
-      b2.reshape(1, cout))
+      t_bias.reshape(b, 1, cout), w2_in, sw2, b2.reshape(1, cout))
 
     identity_res = wres is None
     # cin != cout: the 1x1-conv residual moves OUT of the kernel — Mosaic's
@@ -547,6 +572,7 @@ def fused_resnet_block_deep(
     wres=None, bres=None,
     groups: int = 8,
     interpret: Optional[bool] = None,
+    int8: bool = False,
 ):
     """One ResnetBlock at the deep U-Net stages (F = 20/10, C >= 512), fused
     as three whole-layer kernels (same numerics contract and parameter tree
@@ -563,7 +589,14 @@ def fused_resnet_block_deep(
     Rows now pad to a multiple of 8 with exact GN-stats masking, and the
     cin != cout residual 1x1 conv runs as an XLA einsum outside the kernel
     (its misaligned-row in-kernel dot was a second independent trigger).
-    Opt-in via ResnetBlock.use_pallas_deep."""
+    Opt-in via ResnetBlock.use_pallas_deep.
+
+    int8=True quantizes both convs in kernel (per-batch-element dynamic
+    activation scale over the whole layer + per-output-channel weight
+    scales, int8 x int8 -> int32 MXU dots — the same scheme as
+    _conv3x3_taps_int8), making the serving default (use_int8) eligible for
+    the whole-layer fusion: GN/mish/FiLM glue rides inside the kernels
+    instead of XLA passes around conv3x3_int8."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bsz, t, f, cin = x.shape
@@ -575,7 +608,7 @@ def fused_resnet_block_deep(
         w2.astype(x.dtype), b2, gn2_scale, gn2_bias,
         None if wres is None else wres.astype(x.dtype), bres,
         f=f, groups=groups, interpret=bool(interpret),
-        out_dtype_name=jnp.dtype(x.dtype).name,
+        out_dtype_name=jnp.dtype(x.dtype).name, int8=int8,
     )
     return out.reshape(bsz, t, f, -1)
 
