@@ -301,11 +301,12 @@ def test_fused_resnet_deep_int8_error_bound(cin, cout):
     assert np.abs(np.asarray(got)[1, 9:]).max() == 0.0
 
 
-def test_estimator_routes_int8_through_deep_kernel():
-    """use_pallas_deep + use_int8 routes deep-stage blocks through the fused
-    whole-layer kernel (not the flat XLA int8 path) and matches it within
-    the int8 tolerance band — quantization granularity differs (per batch
-    element in kernel vs per tensor in the flat path)."""
+def test_estimator_routes_deep_kernel_over_flat_int8():
+    """use_pallas_deep + use_int8 routes cout >= cin deep blocks through the
+    BF16 fused whole-layer kernel (the in-kernel int8 variant crashes the
+    TPU compiler — tools/probe_deep_shapes.py --int8; bf16 deep measures
+    faster than flat int8 anyway) and matches the flat int8 path within the
+    int8 tolerance band."""
     b, t, f, cin, cout = 1, 9, 6, 512, 512
     key = jax.random.PRNGKey(3)
     x = jax.random.normal(jax.random.fold_in(key, 1), (b, t, f, cin)) * 0.1

@@ -13,6 +13,7 @@ config system.
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 
@@ -999,6 +1000,53 @@ def main_evaluate(argv=None):
     return 0
 
 
+
+
+def main_train_vocoder(argv=None):
+    """BigVGAN adversarial training (capability beyond the reference, which
+    ships its discriminators untrained — SURVEY.md §2.1 #9): alternating
+    MPD/MRD + generator updates with feature-matching and 45x mel losses."""
+    ap = argparse.ArgumentParser("unitspeech-tpu train-vocoder")
+    _common(ap)
+    ap.add_argument("--filelist", required=True,
+                    help="wav filelist (path or path|text|spk lines)")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--segment-size", type=int, default=8192)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--log-dir", default=None)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--save-every", type=int, default=500)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args(argv)
+    cfg = _setup(args)
+
+    from unitspeech_tpu.data.dataset import load_wav, parse_filelist
+    from unitspeech_tpu.train.vocoder_loop import (
+        VocoderTrainConfig,
+        train_vocoder,
+    )
+
+    wavs = []
+    for row in parse_filelist(args.filelist):
+        wav, sr = load_wav(row[0])
+        if sr != cfg.data.sampling_rate:
+            raise SystemExit(
+                f"{row[0]}: {sr} != {cfg.data.sampling_rate}")
+        wavs.append(wav)
+    tcfg = VocoderTrainConfig(
+        segment_size=args.segment_size, batch_size=args.batch_size,
+        learning_rate=args.lr, steps=args.steps, seed=args.seed,
+        save_every=args.save_every,
+    )
+    _, _, metrics = train_vocoder(
+        cfg, wavs, tcfg, log_dir=args.log_dir,
+        checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+    )
+    print(json.dumps({"final_metrics": metrics}))
+    return 0
+
+
 COMMANDS = {
     "inference": main_inference,
     "evaluate": main_evaluate,
@@ -1006,6 +1054,7 @@ COMMANDS = {
     "voice-conversion": main_voice_conversion,
     "train-step1": main_train_step1,
     "train-step2": main_train_step2,
+    "train-vocoder": main_train_vocoder,
     "make-filelist": main_make_filelist,
     "preprocess-mel-stats": main_preprocess_mel_stats,
     "preprocess-spk-embs": main_preprocess_spk_embs,

@@ -280,9 +280,17 @@ class ResnetBlock(nn.Module):
             # deep stages (F % 8 != 0): whole-layer fused kernels when the
             # full activation fits VMEM (rows padded to the 8-sublane; the
             # r2 ~17-min Mosaic compile pathology is fixed — see
-            # fused_resnet_block_deep); flat matmul path otherwise. int8
-            # composes: the deep kernels quantize in kernel, so the serving
-            # default keeps the GN/mish/FiLM fusion.
+            # fused_resnet_block_deep); flat matmul path otherwise.
+            #
+            # A whole-layer kernel at cin > cout (the up-stage skip-concat
+            # projections 2048->512 and 1024->256) CRASHES the TPU compiler
+            # subprocess (tools/probe_deep_shapes.py; suspected VMEM blow-up
+            # from the 3x window copies at large cin) — those blocks run
+            # conv1 as the XLA matmul and fuse kernels B+C only (hybrid
+            # inside _fused_resnet_deep). The in-kernel int8 variant crashes
+            # the same way even at identity shapes, so the deep call is
+            # always bf16 (measured faster than flat int8 anyway: 0.182 vs
+            # 0.289 ms/block at stage2, tools/bench_resnet_kernel.py).
             deep_ok = (
                 self.use_pallas_deep
                 and t * f * max(cin, self.dim_out) * 2 <= 4 * 1024 * 1024
@@ -298,7 +306,6 @@ class ResnetBlock(nn.Module):
                     x.astype(self.dtype), mask, bias_t,
                     k1, b1, s1, be1, k2, b2, s2, be2,
                     wres=wres, bres=bres, groups=self.groups,
-                    int8=self.use_int8,
                 )
             return self._flat_matmul_block(x, mask, t_emb)
         if self.use_pallas and supports_shape(t, f):

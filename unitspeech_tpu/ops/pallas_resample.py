@@ -138,16 +138,20 @@ def _pick_fpt_down(t_out: int, f: int, c_max: int,
 
 def supports_downsample(t: int, f: int, c_max: int) -> bool:
     """True when fused_downsample_conv has an aligned tiling for this
-    input shape (in the estimator: the F=80 and F=40 stages; the F=20
-    stage's T_out=43 is prime with F_out=10, no 8-aligned tile exists)."""
-    return (t % 2 == 0 and f % 2 == 0
+    input shape. Mosaic requires every block's sublane dim be 8-divisible
+    (or match the array), and the one-frame halo blocks are f rows — so
+    f % 8 == 0 on top of an aligned output tile. In the estimator that
+    admits the F=80 and F=40 downsamples; F=20 (T_out=43 prime, F_out=10)
+    stays on XLA."""
+    return (t % 2 == 0 and f % 8 == 0
             and _pick_fpt_down(t // 2, f, c_max) is not None)
 
 
 def supports_upsample(t: int, f: int, c_max: int) -> bool:
-    """True when fused_upsample_conv has an aligned tiling (in the
-    estimator: the up stages writing F_out=80 and F_out=40)."""
-    return _pick_fpt_up(t, f, c_max) is not None
+    """True when fused_upsample_conv has an aligned tiling (f % 8 == 0 for
+    the one-frame halo blocks — the estimator's F=40 up stage; the F=20 and
+    F=10 up stages would need multi-frame halo blocks, unbuilt)."""
+    return f % 8 == 0 and _pick_fpt_up(t, f, c_max) is not None
 
 
 @partial(

@@ -446,33 +446,66 @@ def _fused_resnet_deep(
         sw1 = sw2 = jnp.ones((1, cout), jnp.float32)
     wsize = 1 if int8 else 2
 
-    cb1 = _cout_split(cin, cout, itemsize=wsize)
-    c1, stats1 = pl.pallas_call(
-        partial(_kernel_a_deep, f=f, n=n, n_true=n_true,
-                out_dtype=out_dtype, int8=int8),
-        grid=(b, cout // cb1),
-        in_specs=[
-            lens_spec2(),
-            full_spec(cin),
-            pl.BlockSpec((9 * cin, cb1), lambda bb, cb: (0, cb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb1), lambda bb, cb: (0, cb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb1), lambda bb, cb: (0, cb),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, n, cb1), lambda bb, cb: (bb, 0, cb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, cb1), lambda bb, cb: (bb, 0, cb),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, n, cout), out_dtype),
-            jax.ShapeDtypeStruct((b, 2, cout), jnp.float32),
-        ),
-        interpret=interpret,
-    )(lens_rows, x, w1_in, sw1, b1.reshape(1, cout))
+    if cin > cout:
+        # HYBRID first conv: a whole-layer kernel at cin > cout (the
+        # up-stage skip-concat projections, 2048->512 / 1024->256) crashes
+        # the TPU compiler subprocess (tools/probe_deep_shapes.py —
+        # suspected VMEM blow-up from the 3x window copies at large cin).
+        # conv1 runs as the XLA im2col/taps matmul instead (already
+        # measured at ~97% MXU for these shapes, ROADMAP), its GN stats
+        # come from one cheap XLA reduction over (n, cout), and kernels
+        # B + C still fuse everything downstream of c1.
+        from unitspeech_tpu.ops.conv_matmul import (
+            choose_conv_impl, conv3x3_im2col, conv3x3_taps,
+        )
+
+        rowmask_len = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1) < lens_rows
+        )
+        xm1 = jnp.where(rowmask_len, x, 0).astype(x.dtype)
+        impl = choose_conv_impl(cin, cout)
+        fn = conv3x3_im2col if impl == "im2col" else conv3x3_taps
+        acc1 = fn(xm1, w1.astype(x.dtype), f)  # (3,3,cin,cout) flax kernel
+        # bias fills ALL real rows (incl. masked frames — torch GroupNorm
+        # pools their bias, same as _kernel_a_deep); only the static
+        # alignment-pad rows zero
+        acc1 = acc1 + b1.reshape(1, 1, cout)
+        if n != n_true:
+            acc1 = acc1 * (
+                jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1) < n_true
+            ).astype(jnp.float32)
+        stats1 = jnp.stack(
+            [jnp.sum(acc1, axis=1), jnp.sum(acc1 * acc1, axis=1)], axis=1
+        )  # (B, 2, cout) f32
+        c1 = acc1.astype(out_dtype)
+    else:
+        cb1 = _cout_split(cin, cout, itemsize=wsize)
+        c1, stats1 = pl.pallas_call(
+            partial(_kernel_a_deep, f=f, n=n, n_true=n_true,
+                    out_dtype=out_dtype, int8=int8),
+            grid=(b, cout // cb1),
+            in_specs=[
+                lens_spec2(),
+                full_spec(cin),
+                pl.BlockSpec((9 * cin, cb1), lambda bb, cb: (0, cb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cb1), lambda bb, cb: (0, cb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cb1), lambda bb, cb: (0, cb),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, n, cb1), lambda bb, cb: (bb, 0, cb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, cb1), lambda bb, cb: (bb, 0, cb),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, n, cout), out_dtype),
+                jax.ShapeDtypeStruct((b, 2, cout), jnp.float32),
+            ),
+            interpret=interpret,
+        )(lens_rows, x, w1_in, sw1, b1.reshape(1, cout))
 
     cb2 = _cout_split(cout, cout, itemsize=wsize)
     c2, stats2 = pl.pallas_call(
