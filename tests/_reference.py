@@ -23,7 +23,15 @@ REFERENCE_ROOT = "/root/reference"
 def _stub(name: str, **attrs) -> types.ModuleType:
     mod = sys.modules.get(name)
     if mod is None:
+        import importlib.machinery
+
         mod = types.ModuleType(name)
+        # a bare ModuleType has __spec__ None, which makes OTHER packages'
+        # importlib.util.find_spec(name) probes raise ValueError (observed:
+        # transformers probing librosa after a reference-parity test stubbed
+        # it) — give every stub a real ModuleSpec
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        mod.__unitspeech_test_stub__ = True
         sys.modules[name] = mod
     for k, v in attrs.items():
         setattr(mod, k, v)
@@ -91,7 +99,7 @@ def load_reference_ecapa():
     # real file (the package itself is importable — empty __init__)
     name = "unitspeech.speaker_encoder.ecapa_tdnn"
     existing = sys.modules.get(name)
-    if existing is not None and existing.__spec__ is None:  # our placeholder
+    if getattr(existing, "__unitspeech_test_stub__", False):  # our placeholder
         del sys.modules[name]
     import importlib
 

@@ -215,12 +215,16 @@ class ResnetBlock(nn.Module):
             xf = xf * mask_rows
 
         def gn_mish(acc, scale, bias):
-            # f32 stats over ALL rows incl. padding (torch GroupNorm parity)
+            # f32 stats over ALL rows incl. padding (torch GroupNorm parity);
+            # math stays f32 even when the materialized input is bf16
             g = self.groups
             ag = acc.reshape(b, n, g, self.dim_out // g)
-            mean = jnp.mean(ag, axis=(1, 3), keepdims=True)
-            var = jnp.mean(jnp.square(ag), axis=(1, 3), keepdims=True) - jnp.square(mean)
-            h = ((ag - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(b, n, self.dim_out)
+            mean = jnp.mean(ag, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+            var = jnp.mean(
+                jnp.square(ag.astype(jnp.float32)), axis=(1, 3), keepdims=True
+            ) - jnp.square(mean)
+            h = ((ag.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)
+                 ).reshape(b, n, self.dim_out)
             h = h * scale + bias
             # mish via the one-exp identity (exact; see pallas_resnet._mish_f32)
             e2 = jnp.square(1.0 + jnp.exp(jnp.minimum(h, 30.0)))
@@ -234,9 +238,19 @@ class ResnetBlock(nn.Module):
             return fn(h, w.astype(self.dtype), f)
 
         c1 = conv(xf, k1) + b1
+        if self.use_int8:
+            # the inter-conv glue fusions (GN+mish+FiLM+mask+quantize) are
+            # HBM-bound at the deep stages (profiled ~0.128 ms/step per flat
+            # block); materializing the conv accumulators in bf16 halves
+            # their traffic. Stats/normalize math stays f32 (gn_mish); the
+            # ~0.4% bf16 rounding sits under int8's ~1%-per-conv error and
+            # int8 is already excluded from parity claims.
+            c1 = c1.astype(self.dtype)
         h = gn_mish(c1, s1, be1) * mask_rows.astype(jnp.float32)
         h = (h + bias_t[:, None, :].astype(jnp.float32)).astype(self.dtype)
         c2 = conv(h * mask_rows, k2) + b2
+        if self.use_int8:
+            c2 = c2.astype(self.dtype)
         h2 = gn_mish(c2, s2, be2) * mask_rows.astype(jnp.float32)
         if cin != self.dim_out:
             wres, bres = _Conv2dParams(
