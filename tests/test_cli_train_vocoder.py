@@ -48,7 +48,6 @@ def test_train_vocoder_cli(tmp_path, capsys):
             **kw,
         )
 
-    vocoder_loop_train = vocoder_loop.train_vocoder
     vocoder_loop.train_vocoder = patched
     try:
         import unitspeech_tpu.cli as cli
@@ -61,7 +60,7 @@ def test_train_vocoder_cli(tmp_path, capsys):
             "--save-every", "2", "--log-dir", str(tmp_path / "logs"),
         ])
     finally:
-        vocoder_loop.train_vocoder = vocoder_loop_train
+        vocoder_loop.train_vocoder = orig
     assert rc == 0
     out = capsys.readouterr().out.strip().splitlines()[-1]
     metrics = json.loads(out)["final_metrics"]
@@ -78,5 +77,5 @@ def test_train_vocoder_cli(tmp_path, capsys):
             "--save-every", "5", "--resume",
         ])
     finally:
-        vocoder_loop.train_vocoder = vocoder_loop_train
+        vocoder_loop.train_vocoder = orig
     assert rc == 0

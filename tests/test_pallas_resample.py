@@ -122,3 +122,29 @@ def test_estimator_resample_routing_parity():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=3e-5, rtol=1e-4
     )
+
+
+def test_bf16_mask_odd_length_over_256():
+    """Regression: summing a bf16 mask rounds odd lengths > 256 to even
+    (bf16 has 8 mantissa bits), silently zeroing a REAL frame — the serving
+    pipeline passes bf16 masks at T=344. Lengths must derive via f32."""
+    t, f, c = 344, 8, 4
+    lens = 341  # odd, > 256: bf16 sum would give 340
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (1, t, f, c))
+    mask16 = (jnp.arange(t)[None, :] < lens).astype(jnp.bfloat16)[
+        :, :, None, None
+    ]
+    mask32 = mask16.astype(jnp.float32)
+    mod = Downsample(c)
+    params = mod.init(key, x)
+    ref = fused_downsample_conv(
+        x, mask32, params["params"]["conv"]["kernel"],
+        params["params"]["conv"]["bias"], interpret=True, fpt=1,
+    )
+    got = fused_downsample_conv(
+        x, mask16, params["params"]["conv"]["kernel"],
+        params["params"]["conv"]["bias"], interpret=True, fpt=1,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)

@@ -474,8 +474,10 @@ class RezeroAttention(nn.Module):
             )(c)
             lens_rows = None
             if mask is not None:
+                # f32 accumulation: a bf16 mask sum rounds odd lengths
+                # > 256 to even, silently masking a real frame
                 lens = jnp.sum(
-                    mask.reshape(b, t), axis=1
+                    mask.reshape(b, t).astype(jnp.float32), axis=1
                 ).astype(jnp.int32)
                 lens_rows = (lens * f).reshape(b, 1, 1)
             y = fused_rezero_attention(

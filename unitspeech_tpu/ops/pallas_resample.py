@@ -215,7 +215,10 @@ def fused_downsample_conv(x, mask, kernel, bias,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bsz, t, f, cin = x.shape
-    lens_frames = jnp.sum(mask.reshape(bsz, t), axis=1).astype(jnp.int32)
+    # f32 accumulation: a bf16 mask sum rounds odd lengths > 256 to even
+    lens_frames = jnp.sum(
+        mask.reshape(bsz, t).astype(jnp.float32), axis=1
+    ).astype(jnp.int32)
     lens_rows = (lens_frames * f).reshape(bsz, 1, 1)
     out = _fused_downsample(
         x.reshape(bsz, t * f, cin), lens_rows, kernel.astype(x.dtype),
@@ -388,7 +391,10 @@ def fused_upsample_conv(x, mask, kernel, bias,
         interpret = jax.default_backend() != "tpu"
     bsz, t, f, cin = x.shape
     cout = kernel.shape[-1]
-    lens_frames = jnp.sum(mask.reshape(bsz, t), axis=1).astype(jnp.int32)
+    # f32 accumulation: a bf16 mask sum rounds odd lengths > 256 to even
+    lens_frames = jnp.sum(
+        mask.reshape(bsz, t).astype(jnp.float32), axis=1
+    ).astype(jnp.int32)
     lens_rows = (lens_frames * f).reshape(bsz, 1, 1)
     out = _fused_upsample(
         x.reshape(bsz, t * f, cin), lens_rows, kernel.astype(x.dtype),

@@ -633,7 +633,10 @@ def fused_resnet_block_deep(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bsz, t, f, cin = x.shape
-    lens_frames = jnp.sum(mask.reshape(bsz, t), axis=1).astype(jnp.int32)
+    # f32 accumulation: a bf16 mask sum rounds odd lengths > 256 to even
+    lens_frames = jnp.sum(
+        mask.reshape(bsz, t).astype(jnp.float32), axis=1
+    ).astype(jnp.int32)
     lens_rows = (lens_frames * f).reshape(bsz, 1, 1)
     out = _fused_resnet_deep(
         x.reshape(bsz, t * f, cin), lens_rows, t_bias.astype(x.dtype),
@@ -741,7 +744,10 @@ def fused_final_block(x, mask, w1, b1, gn_scale, gn_bias, w_out, b_out,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bsz, t, f, cin = x.shape
-    lens_frames = jnp.sum(mask.reshape(bsz, t), axis=1).astype(jnp.int32)
+    # f32 accumulation: a bf16 mask sum rounds odd lengths > 256 to even
+    lens_frames = jnp.sum(
+        mask.reshape(bsz, t).astype(jnp.float32), axis=1
+    ).astype(jnp.int32)
     lens_rows = (lens_frames * f).reshape(bsz, 1, 1)
     out = _fused_final(
         x.reshape(bsz, t * f, cin), lens_rows,
@@ -913,7 +919,10 @@ def fused_resnet_block(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bsz, t, f, cin = x.shape
-    lens_frames = jnp.sum(mask.reshape(bsz, t), axis=1).astype(jnp.int32)
+    # f32 accumulation: a bf16 mask sum rounds odd lengths > 256 to even
+    lens_frames = jnp.sum(
+        mask.reshape(bsz, t).astype(jnp.float32), axis=1
+    ).astype(jnp.int32)
     lens_rows = (lens_frames * f).reshape(bsz, 1, 1)
     xf = x.reshape(bsz, t * f, cin)
     out = _fused_resnet(

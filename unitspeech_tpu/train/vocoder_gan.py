@@ -110,3 +110,35 @@ def make_vocoder_gan_steps(
         )
 
     return jax.jit(disc_step, donate_argnums=(0,)), jax.jit(gen_step, donate_argnums=(0,))
+
+
+def make_fused_vocoder_gan_step(
+    generator: BigVGAN,
+    mpd: MultiPeriodDiscriminator,
+    mrd: MultiResolutionDiscriminator,
+    gen_opt: optax.GradientTransformation,
+    disc_opt: optax.GradientTransformation,
+    data_cfg,
+    grad_clip: float = 1000.0,
+) -> Callable:
+    """ONE jitted program per training step: real-wav mel + the alternating
+    discriminator-then-generator updates (the separate disc/gen steps cost
+    three dispatches per step — mel, disc, gen — at ~35 ms of tunnel
+    latency each on this environment's TPU; see CLAUDE.md).
+
+    fused_step(d_state, g_state, wav) -> (d_state, g_state, metrics)."""
+    disc_step, gen_step = make_vocoder_gan_steps(
+        generator, mpd, mrd, gen_opt, disc_opt, data_cfg, grad_clip
+    )
+    # trace the UN-jitted step bodies (calling the jitted wrappers under the
+    # outer trace would just warn about the ignored inner donations)
+    disc_fn = getattr(disc_step, "__wrapped__", disc_step)
+    gen_fn = getattr(gen_step, "__wrapped__", gen_step)
+
+    def fused_step(d_state: TrainState, g_state: TrainState, wav):
+        batch = {"wav": wav, "mel": _mel(wav, data_cfg)}
+        d_state, d_metrics = disc_fn(d_state, g_state.params, batch)
+        g_state, g_metrics = gen_fn(g_state, d_state.params, batch)
+        return d_state, g_state, {**d_metrics, **g_metrics}
+
+    return jax.jit(fused_step, donate_argnums=(0, 1))

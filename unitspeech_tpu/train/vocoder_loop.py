@@ -26,7 +26,7 @@ from unitspeech_tpu.models.discriminators import (
 )
 from unitspeech_tpu.models.vocoder import BigVGAN
 from unitspeech_tpu.train.steps import TrainState
-from unitspeech_tpu.train.vocoder_gan import _mel, make_vocoder_gan_steps
+from unitspeech_tpu.train.vocoder_gan import make_fused_vocoder_gan_step
 from unitspeech_tpu.utils import checkpoint as ckpt
 from unitspeech_tpu.utils.logging import MetricsWriter, StepTimer
 
@@ -66,7 +66,8 @@ class SegmentSampler:
             if len(w) <= self.segment:
                 out[i, : len(w)] = w
             else:
-                s = int(self.rng.integers(0, len(w) - self.segment))
+                # inclusive upper bound: the final crop position is reachable
+                s = int(self.rng.integers(0, len(w) - self.segment + 1))
                 out[i] = w[s : s + self.segment]
         return out
 
@@ -118,10 +119,9 @@ def train_vocoder(
             g_state, d_state = tree["gen"], tree["disc"]
             start_step = int(g_state.step)
 
-    disc_step, gen_step = make_vocoder_gan_steps(
+    fused_step = make_fused_vocoder_gan_step(
         gen, mpd, mrd, gen_opt, disc_opt, cfg.data
     )
-    mel_fn = jax.jit(lambda w: _mel(w, cfg.data))
 
     sampler = SegmentSampler(
         wavs, tcfg.segment_size, tcfg.batch_size, tcfg.seed + start_step
@@ -131,15 +131,13 @@ def train_vocoder(
     metrics = {}
     for step in range(start_step, tcfg.steps):
         wav = jnp.asarray(sampler.next())
-        batch = {"wav": wav, "mel": mel_fn(wav)}
-        d_state, d_metrics = disc_step(d_state, g_state.params, batch)
-        g_state, g_metrics = gen_step(g_state, d_state.params, batch)
-        metrics = {**d_metrics, **g_metrics}
+        d_state, g_state, metrics = fused_step(d_state, g_state, wav)
+        sec = timer.tick()  # EMA of seconds per step (ticked EVERY step)
         if writer and (step % tcfg.log_every == 0 or step == tcfg.steps - 1):
-            sps = timer.tick()
             scal = {k: float(v) for k, v in metrics.items()}
-            if sps:
-                scal["steps_per_sec"] = sps
+            if sec:
+                scal["sec_per_step"] = sec
+                scal["steps_per_sec"] = 1.0 / sec
             writer.scalars(scal, step, prefix="vocoder_gan")
         if checkpoint_dir and (
             (step + 1) % tcfg.save_every == 0 or step == tcfg.steps - 1
