@@ -44,6 +44,9 @@ def main():
                     help="mel frame bucket (~8 s utterances)")
     ap.add_argument("--k1", type=int, default=2)
     ap.add_argument("--k2", type=int, default=6)
+    ap.add_argument("--step2", action="store_true",
+                    help="bench the STEP2 unit-encoder step (frozen decoder) "
+                         "instead of STEP1")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
     if args.smoke:
@@ -113,18 +116,49 @@ def main():
         cfg.decoder.num_downsamplings,
     )
     opt = optax.adam(cfg.train.learning_rate)
-    step = make_step1_train_step(
-        te, dp, dec, opt, out_size=out_size,
-        spk_uncond=jnp.zeros((spk_dim,)), spk_dropout=0.25,
-    )
-    state = TrainState(params, opt.init(params), jnp.array(0))
+    if args.step2:
+        from unitspeech_tpu.train.steps import make_step2_train_step
 
-    def run_k(k, state):
-        for i in range(k):
-            state, metrics = step(state, batch, jax.random.fold_in(key, 100 + i))
-        # materialize ONE scalar (axon block_until_ready returns early)
-        np.asarray(metrics["total_loss"])
-        return state
+        ue = Encoder.from_config(cfg.unit_encoder)
+        units = jnp.asarray(
+            rng.integers(0, cfg.unit_encoder.n_vocab - 1, (b, t_x)), jnp.int32
+        )
+        # uniform durations summing to ~the mel length
+        durs = jnp.full((b, t_x), t_y // t_x, jnp.float32)
+        batch = {
+            "units": units,
+            "unit_lengths": batch["token_lengths"],
+            "durations": durs,
+            "mel": batch["mel"],
+            "mel_lengths": batch["mel_lengths"],
+            "spk_emb": batch["spk_emb"],
+        }
+        ue_params = ue.init(jax.random.fold_in(key, 4), units,
+                            batch["unit_lengths"])
+        dec_params = params["decoder"]
+        step2 = make_step2_train_step(ue, dec, opt, out_size=out_size)
+        state = TrainState(ue_params, opt.init(ue_params), jnp.array(0))
+
+        def run_k(k, state):
+            for i in range(k):
+                state, metrics = step2(
+                    state, dec_params, batch, jax.random.fold_in(key, 100 + i)
+                )
+            np.asarray(metrics["total_loss"])
+            return state
+    else:
+        step = make_step1_train_step(
+            te, dp, dec, opt, out_size=out_size,
+            spk_uncond=jnp.zeros((spk_dim,)), spk_dropout=0.25,
+        )
+        state = TrainState(params, opt.init(params), jnp.array(0))
+
+        def run_k(k, state):
+            for i in range(k):
+                state, metrics = step(state, batch, jax.random.fold_in(key, 100 + i))
+            # materialize ONE scalar (axon block_until_ready returns early)
+            np.asarray(metrics["total_loss"])
+            return state
 
     t0 = time.perf_counter()
     state = run_k(args.k1, state)  # compile + k1 steps
@@ -139,7 +173,7 @@ def main():
     per_step = (t_k2 - t_k1) / (args.k2 - args.k1)
 
     print(json.dumps({
-        "metric": "step1_train_step_seconds",
+        "metric": ("step2" if args.step2 else "step1") + "_train_step_seconds",
         "value": round(per_step, 4),
         "unit": "s/step",
         "batch": b, "t_x": t_x, "t_y": int(t_y), "out_size": int(out_size),
