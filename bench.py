@@ -265,24 +265,11 @@ def bench_serving_modes(synth, args, frames, n_tok, hop, sr):
     print(f"# exact: rtf={rtf_exact:.4f} speech_mean={speech_exact:.2f}s",
           file=sys.stderr)
 
-    # bucket-switch serving: window covering the selected requests' actual
-    # lengths plus one ladder step of headroom (capped at 3 branches)
-    from unitspeech_tpu.ops.masking import choose_bucket, fix_len_compatibility
-
-    num_down = synth.models.cfg.decoder.num_downsamplings
-    sel = totals[band[:8]] * lscale
-    lo_b = choose_bucket(
-        fix_len_compatibility(int(sel.min()), num_down), synth.frame_buckets
-    )
-    hi_b = choose_bucket(
-        fix_len_compatibility(int(np.ceil(sel.max())), num_down),
-        synth.frame_buckets,
-    )
-    above = [bk for bk in synth.frame_buckets if bk > hi_b]
-    hi_b = above[0] if above else hi_b
-    window = tuple(
-        bk for bk in synth.frame_buckets if lo_b <= bk <= hi_b
-    )[-3:]
+    # bucket-switch serving: the PRODUCTION bucket-window policy
+    # (Synthesizer.make_switch_buckets over the calibrator's observed
+    # length distribution) — the bench must measure the configuration a
+    # real deployment picks, not a private variant
+    window = synth.make_switch_buckets(length_scale=lscale)
     sw = dc.replace(synth, calibrator=cal, switch_buckets=window)
     rtf_switch, speech_sw = timed(
         lambda r, k: sw(r, k, **kw), reqs

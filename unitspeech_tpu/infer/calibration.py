@@ -40,8 +40,7 @@ class DurationCalibrator:
     min_samples: int = 8          # requests seen before speculating
     quantile: float = 0.95        # residual coverage target
     max_margin: float = 1.5       # cap on the residual margin
-    ema: float = 0.05             # per-token table EMA step
-    max_residuals: int = 512
+    max_residuals: int = 512      # sliding window for residuals/totals
     _dur_sum: np.ndarray = field(default=None, repr=False)
     _dur_cnt: np.ndarray = field(default=None, repr=False)
     _residuals: list = field(default_factory=list, repr=False)
@@ -133,6 +132,7 @@ class DurationCalibrator:
                     "min_samples": self.min_samples,
                     "quantile": self.quantile,
                     "max_margin": self.max_margin,
+                    "max_residuals": self.max_residuals,
                     "dur_sum": self._dur_sum.tolist(),
                     "dur_cnt": self._dur_cnt.tolist(),
                     "residuals": self._residuals,
@@ -149,6 +149,7 @@ class DurationCalibrator:
         cal = cls(
             n_vocab=d["n_vocab"], min_samples=d["min_samples"],
             quantile=d["quantile"], max_margin=d["max_margin"],
+            max_residuals=int(d.get("max_residuals", 512)),
         )
         cal._dur_sum = np.asarray(d["dur_sum"], np.float64)
         cal._dur_cnt = np.asarray(d["dur_cnt"], np.float64)
