@@ -266,11 +266,16 @@ def bench_serving_modes(synth, args, frames, n_tok, hop, sr):
           file=sys.stderr)
 
     # bucket-switch serving: the PRODUCTION bucket-window policy
-    # (Synthesizer.make_switch_buckets over the calibrator's observed
-    # length distribution) — the bench must measure the configuration a
-    # real deployment picks, not a private variant
-    window = synth.make_switch_buckets(length_scale=lscale)
-    sw = dc.replace(synth, calibrator=cal, switch_buckets=window)
+    # (Synthesizer.make_switch_buckets) — the bench must measure the
+    # configuration a real deployment picks, not a private variant. The
+    # policy's calibrator observes the POPULATION actually served (the
+    # baseline-protocol ~3.98 s band), not the unfiltered candidates: a
+    # deployment's window always reflects its own traffic.
+    cal2 = DurationCalibrator(n_vocab=n_vocab, min_samples=4)
+    sw = dc.replace(synth, calibrator=cal2)
+    sw.calibrate(reqs)
+    window = sw.make_switch_buckets(length_scale=lscale)
+    sw = dc.replace(sw, switch_buckets=window)
     rtf_switch, speech_sw = timed(
         lambda r, k: sw(r, k, **kw), reqs
     )
