@@ -148,3 +148,23 @@ def test_bf16_mask_odd_length_over_256():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_support_matrix_at_reference_shapes():
+    """Locks WHICH estimator resample sites the fused kernels may claim at
+    the reference config (the f % 8 halo constraint and aligned-tile search
+    are easy to regress; the first on-chip run of an unsupported shape
+    costs a compiler crash)."""
+    from unitspeech_tpu.ops.pallas_resample import (
+        supports_downsample,
+        supports_upsample,
+    )
+
+    # downsample inputs (T, F, C) at the 344-frame bucket
+    assert supports_downsample(344, 80, 128)
+    assert supports_downsample(172, 40, 256)
+    assert not supports_downsample(86, 20, 512)   # F % 8 != 0
+    # upsample inputs
+    assert supports_upsample(172, 40, 128)
+    assert not supports_upsample(86, 20, 256)     # F % 8 != 0
+    assert not supports_upsample(43, 10, 512)
