@@ -194,7 +194,10 @@ def test_fused_final_block_parity(lens):
 
 @pytest.mark.parametrize(
     "cin,cout,lens",
-    [(8, 16, [15, 9]), (16, 16, [15, 15])],
+    # (16, 8): the cin > cout hybrid branch (conv1 as the XLA matmul +
+    # fused kernels B/C) used by the up-stage skip-concat projections
+    # 2048->512 / 1024->256 (ADVICE r3)
+    [(8, 16, [15, 9]), (16, 16, [15, 15]), (16, 8, [15, 9])],
 )
 def test_fused_resnet_deep_parity(cin, cout, lens):
     """Whole-layer deep-stage fused kernels (no tiles/halos, odd T, F%8!=0)
@@ -265,7 +268,7 @@ def test_fused_resnet_int8_error_bound():
     assert rel < 0.05, rel
 
 
-@pytest.mark.parametrize("cin,cout", [(8, 16), (16, 16)])
+@pytest.mark.parametrize("cin,cout", [(8, 16), (16, 16), (16, 8)])
 def test_fused_resnet_deep_int8_error_bound(cin, cout):
     """int8 inside the whole-layer deep kernels (per-batch-element dynamic
     activation scale + per-channel weight scales) stays within a few percent

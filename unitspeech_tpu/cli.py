@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from functools import partial
 
 
 import numpy as np
@@ -1018,6 +1019,10 @@ def main_train_vocoder(argv=None):
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--save-every", type=int, default=500)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--preload-limit", type=int, default=256,
+                    help="filelists larger than this are loaded lazily per "
+                         "draw instead of preloaded into host RAM (a full "
+                         "BigVGAN corpus would exhaust memory)")
     args = ap.parse_args(argv)
     cfg = _setup(args)
 
@@ -1027,13 +1032,24 @@ def main_train_vocoder(argv=None):
         train_vocoder,
     )
 
-    wavs = []
-    for row in parse_filelist(args.filelist):
-        wav, sr = load_wav(row[0])
+    rows = parse_filelist(args.filelist)
+
+    def _checked_load(path):
+        wav, sr = load_wav(path)
         if sr != cfg.data.sampling_rate:
-            raise SystemExit(
-                f"{row[0]}: {sr} != {cfg.data.sampling_rate}")
-        wavs.append(wav)
+            raise ValueError(f"{path}: {sr} != {cfg.data.sampling_rate}")
+        return wav
+
+    if len(rows) > args.preload_limit:
+        # lazy: SegmentSampler calls the loader per draw (sample rate is
+        # checked on first touch of each file)
+        wavs = [partial(_checked_load, row[0]) for row in rows]
+        _checked_load(rows[0][0])  # fail fast on an obviously wrong corpus
+    else:
+        try:
+            wavs = [_checked_load(row[0]) for row in rows]
+        except ValueError as e:
+            raise SystemExit(str(e))
     tcfg = VocoderTrainConfig(
         segment_size=args.segment_size, batch_size=args.batch_size,
         learning_rate=args.lr, steps=args.steps, seed=args.seed,

@@ -61,7 +61,8 @@ class TTSModels:
     def random_init(cls, cfg: MainConfig, key, dtype=jnp.float32, with_vocoder=True,
                     use_pallas_vocoder=False, use_pallas_resnet=False,
                     use_pallas_attention=False, use_int8_deep=False,
-                    use_pallas_deep=False, use_pallas_resample=False):
+                    use_pallas_deep=False, use_pallas_resample=False,
+                    glue_mish="exact"):
         """Randomly initialized bundle at full config size (for benchmarks and
         shape tests; real weights come from the checkpoint converter)."""
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
@@ -85,7 +86,7 @@ class TTSModels:
             cfg.decoder, dtype=dtype, use_pallas_resnet=use_pallas_resnet,
             use_pallas_attention=use_pallas_attention,
             use_int8_deep=use_int8_deep, use_pallas_deep=use_pallas_deep,
-            use_pallas_resample=use_pallas_resample,
+            use_pallas_resample=use_pallas_resample, glue_mish=glue_mish,
         )
         t8 = fix_len_compatibility(8, cfg.decoder.num_downsamplings)
         dec_params = decoder.init(

@@ -57,6 +57,7 @@ class UnitSpeech(nn.Module):
     use_int8_deep: bool = False
     use_pallas_deep: bool = False
     use_pallas_resample: bool = False
+    glue_mish: str = "exact"
 
     def setup(self):
         self.text_uncon = self.param(
@@ -77,6 +78,7 @@ class UnitSpeech(nn.Module):
             use_int8_deep=self.use_int8_deep,
             use_pallas_deep=self.use_pallas_deep,
             use_pallas_resample=self.use_pallas_resample,
+            glue_mish=self.glue_mish,
         )
 
     def __call__(self, xt, mask, cond, t, spk_emb):
@@ -87,7 +89,8 @@ class UnitSpeech(nn.Module):
     @classmethod
     def from_config(cls, cfg, dtype=jnp.float32, use_pallas_attention=False,
                     use_pallas_resnet=False, use_int8_deep=False,
-                    use_pallas_deep=False, use_pallas_resample=False):
+                    use_pallas_deep=False, use_pallas_resample=False,
+                    glue_mish="exact"):
         return cls(
             n_feats=cfg.n_feats,
             dim=cfg.dim,
@@ -103,6 +106,7 @@ class UnitSpeech(nn.Module):
             use_int8_deep=use_int8_deep,
             use_pallas_deep=use_pallas_deep,
             use_pallas_resample=use_pallas_resample,
+            glue_mish=glue_mish,
         )
 
 

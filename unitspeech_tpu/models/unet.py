@@ -34,6 +34,14 @@ def mish(x):
     return x * jnp.tanh(nn.softplus(x))
 
 
+_DEEP_INT8_OVERRIDE_LOGGED = False
+
+
+def _mark_deep_int8_override_logged():
+    global _DEEP_INT8_OVERRIDE_LOGGED
+    _DEEP_INT8_OVERRIDE_LOGGED = True
+
+
 def sinusoidal_pos_emb(t, dim: int, scale: float = 1000.0):
     """(B,) -> (B, dim). Reference SinusoidalPosEmb (unitspeech.py:109-121)."""
     half = dim // 2
@@ -192,6 +200,11 @@ class ResnetBlock(nn.Module):
     # stage2 0.21 vs 0.31 ms/block bf16; stage3 break-even. Excluded from
     # parity claims; see ops/conv_matmul.conv3x3_int8.
     use_int8: bool = False
+    # mish implementation for the VPU-bound inter-conv glue of the flat
+    # path (ops/cheap_mish.py; quality-gated by tools/mish_gate.py). The
+    # XLA Block path and the Pallas kernels keep exact mish — their glue is
+    # HBM-bound, the approximation buys nothing there.
+    glue_mish: str = "exact"
 
     def _flat_matmul_block(self, x, mask, t_emb):
         """Whole-block flat fast path (identical parameter tree)."""
@@ -226,9 +239,9 @@ class ResnetBlock(nn.Module):
             h = ((ag.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)
                  ).reshape(b, n, self.dim_out)
             h = h * scale + bias
-            # mish via the one-exp identity (exact; see pallas_resnet._mish_f32)
-            e2 = jnp.square(1.0 + jnp.exp(jnp.minimum(h, 30.0)))
-            return jnp.where(h > 20.0, h, h * ((e2 - 1.0) / (e2 + 1.0)))
+            from unitspeech_tpu.ops.cheap_mish import glue_mish
+
+            return glue_mish(h, self.glue_mish)
 
         def conv(h, w):
             if self.use_int8:
@@ -313,6 +326,18 @@ class ResnetBlock(nn.Module):
                 from unitspeech_tpu.ops.pallas_resnet import (
                     fused_resnet_block_deep,
                 )
+
+                if self.use_int8 and not _DEEP_INT8_OVERRIDE_LOGGED:
+                    # visible once per process so benchmark configurations
+                    # stay interpretable (ADVICE r3): with use_pallas_deep
+                    # the deep blocks run bf16 — in-kernel int8 crashes the
+                    # TPU compiler, and deep bf16 measures faster anyway
+                    import logging
+
+                    logging.getLogger(__name__).info(
+                        "use_int8_deep overridden to bf16 on the fused "
+                        "deep-kernel route (use_pallas_deep)")
+                    _mark_deep_int8_override_logged()
 
                 (k1, b1, s1, be1, bias_t, k2, b2, s2, be2, wres,
                  bres) = self._fused_params(x, t_emb)
@@ -567,6 +592,7 @@ class GradLogPEstimator2d(nn.Module):
     use_int8_deep: bool = False
     use_pallas_deep: bool = False
     use_pallas_resample: bool = False
+    glue_mish: str = "exact"
 
     @nn.compact
     def __call__(self, x, mask, mu, t, spk_emb):
@@ -591,6 +617,7 @@ class GradLogPEstimator2d(nn.Module):
                             use_pallas=self.use_pallas_resnet,
                             use_int8=self.use_int8_deep,
                         use_pallas_deep=self.use_pallas_deep,
+                        glue_mish=self.glue_mish,
                             name=f"down_{ind}_res1")(h, mk, t_emb)
             # res1's output is masked by construction -> skip res2's input mask
             h = ResnetBlock(dim_out, self.groups, dtype=self.dtype,
@@ -598,6 +625,7 @@ class GradLogPEstimator2d(nn.Module):
                             use_pallas=self.use_pallas_resnet,
                             use_int8=self.use_int8_deep,
                         use_pallas_deep=self.use_pallas_deep,
+                        glue_mish=self.glue_mish,
                             name=f"down_{ind}_res2")(h, mk, t_emb)
             attn = RezeroAttention(dtype=self.dtype,
                                    use_pallas=self.use_pallas_attention,
@@ -638,12 +666,14 @@ class GradLogPEstimator2d(nn.Module):
                         use_pallas=self.use_pallas_resnet,
                         use_int8=self.use_int8_deep,
                         use_pallas_deep=self.use_pallas_deep,
+                        glue_mish=self.glue_mish,
                         name="mid_res1")(h, mk, t_emb)
         h = RezeroAttention(dtype=self.dtype, use_pallas=self.use_pallas_attention, name="mid_attn")(h, mask=mk)
         h = ResnetBlock(mid_dim, self.groups, dtype=self.dtype,
                         use_pallas=self.use_pallas_resnet,
                         use_int8=self.use_int8_deep,
                         use_pallas_deep=self.use_pallas_deep,
+                        glue_mish=self.glue_mish,
                         name="mid_res2")(h, mk, t_emb)
 
         # up stages mirror down stages 1..num_res-1, reversed
@@ -655,12 +685,14 @@ class GradLogPEstimator2d(nn.Module):
                             use_pallas=self.use_pallas_resnet,
                             use_int8=self.use_int8_deep,
                         use_pallas_deep=self.use_pallas_deep,
+                        glue_mish=self.glue_mish,
                             name=f"up_{ind}_res1")(h, mk, t_emb)
             h = ResnetBlock(dim_in, self.groups, dtype=self.dtype,
                             input_pre_masked=True,
                             use_pallas=self.use_pallas_resnet,
                             use_int8=self.use_int8_deep,
                         use_pallas_deep=self.use_pallas_deep,
+                        glue_mish=self.glue_mish,
                             name=f"up_{ind}_res2")(h, mk, t_emb)
             attn = RezeroAttention(dtype=self.dtype,
                                    use_pallas=self.use_pallas_attention,
@@ -708,7 +740,8 @@ class GradLogPEstimator2d(nn.Module):
     @classmethod
     def from_config(cls, cfg, dtype=jnp.float32, use_pallas_attention=False,
                     use_pallas_resnet=False, use_int8_deep=False,
-                    use_pallas_deep=False, use_pallas_resample=False):
+                    use_pallas_deep=False, use_pallas_resample=False,
+                    glue_mish="exact"):
         return cls(
             dim=cfg.dim,
             dim_mults=tuple(cfg.dim_mults),
@@ -721,4 +754,5 @@ class GradLogPEstimator2d(nn.Module):
             use_int8_deep=use_int8_deep,
             use_pallas_deep=use_pallas_deep,
             use_pallas_resample=use_pallas_resample,
+            glue_mish=glue_mish,
         )

@@ -128,7 +128,10 @@ def _pick_fpt_down(t_out: int, f: int, c_max: int,
         if (k * (f // 2)) % 8:
             continue
         rows = (2 * k + 1) * f
-        if rows * c_max * 6 > budget_bytes:  # in window + out + accum
+        # in window (bf16) + out (bf16) + f32 accum + the (9*cin, cout)
+        # weight block — omitting the weights under-counted by ~2-3 MB at
+        # C=256 (ADVICE r3)
+        if rows * c_max * 6 + 9 * c_max * c_max * 2 > budget_bytes:
             continue
         key = (abs(rows - 1024), -k)
         if best_key is None or key < best_key:
@@ -322,8 +325,11 @@ def _pick_fpt_up(t: int, f: int, c_max: int,
         if (2 * k * f) % 8:
             continue
         rows = (k + 2) * f
-        # window + 4 f32 phase accumulators at 2x lanes
-        if rows * c_max * 2 + 4 * k * f * c_max * 4 > budget_bytes:
+        # window + 4 f32 phase accumulators at 2x lanes + the (16*cin, cout)
+        # weight block + the packed (2*fpt*f, 2*cout) bf16 output block
+        # (weight/output terms were omitted pre-r4 — ADVICE r3)
+        if (rows * c_max * 2 + 4 * k * f * c_max * 4
+                + 16 * c_max * c_max * 2 + 8 * k * f * c_max) > budget_bytes:
             continue
         key = (abs(rows - 1024), -k)
         if best_key is None or key < best_key:

@@ -46,10 +46,15 @@ class VocoderTrainConfig:
 
 
 class SegmentSampler:
-    """Random fixed-size segments from host-resident waveforms (zero-padded
-    when a clip is shorter than the segment)."""
+    """Random fixed-size segments from waveforms (zero-padded when a clip is
+    shorter than the segment).
 
-    def __init__(self, wavs: List[np.ndarray], segment: int, batch: int,
+    Entries may be arrays (host-resident) or zero-arg callables returning an
+    array (lazy per-draw loading) — a full BigVGAN-scale corpus of hundreds
+    of hours must not be preloaded into host RAM (ADVICE r3); the reference
+    likewise loads per batch from disk (its meldataset __getitem__)."""
+
+    def __init__(self, wavs: List, segment: int, batch: int,
                  seed: int):
         if not wavs:
             raise ValueError("empty wav list")
@@ -63,6 +68,8 @@ class SegmentSampler:
         idx = self.rng.integers(0, len(self.wavs), self.batch)
         for i, j in enumerate(idx):
             w = self.wavs[j]
+            if callable(w):
+                w = w()
             if len(w) <= self.segment:
                 out[i, : len(w)] = w
             else:
@@ -110,6 +117,10 @@ def train_vocoder(
     d_state = TrainState(d_params, disc_opt.init(d_params), 0)
 
     start_step = 0
+    if resume and not checkpoint_dir:
+        raise ValueError(
+            "resume=True requires checkpoint_dir (a silent fresh run would "
+            "look like a successful resume)")
     if resume and checkpoint_dir:
         latest = ckpt.latest_checkpoint(checkpoint_dir)
         if latest:
@@ -118,6 +129,12 @@ def train_vocoder(
             )
             g_state, d_state = tree["gen"], tree["disc"]
             start_step = int(g_state.step)
+    if start_step >= tcfg.steps:
+        # the loop body would never execute; make the no-op explicit instead
+        # of returning empty metrics with rc 0 (ADVICE r3)
+        return g_state, d_state, {
+            "already_complete": 1.0, "restored_step": float(start_step)
+        }
 
     fused_step = make_fused_vocoder_gan_step(
         gen, mpd, mrd, gen_opt, disc_opt, cfg.data
