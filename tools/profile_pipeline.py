@@ -70,6 +70,10 @@ def main():
     ap.add_argument("--trace-dir", default="/tmp/pipeline_trace")
     ap.add_argument("--parse-only", action="store_true",
                     help="just re-parse an existing trace dir")
+    ap.add_argument("--no-int8", dest="int8", action="store_false",
+                    default=True,
+                    help="profile the bf16 estimator instead of the int8 "
+                         "serving default")
     args = ap.parse_args()
 
     if not args.parse_only:
@@ -81,7 +85,7 @@ def main():
         sys.argv = [sys.argv[0]]
         import bench
 
-        synth = bench.build(smoke=False)
+        synth = bench.build(smoke=False, use_int8=args.int8)
         rng = np.random.default_rng(0)
         tokens_np = rng.integers(1, 179, (1, 140)).astype(np.int32)
         key = jax.random.PRNGKey(42)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 HALO = 16  # input-sample halo per side, covers both filters' reach
+T_TILE_DEFAULT = 256  # rows per kernel tile (tools/bench_vocoder.py sweep)
 
 
 @lru_cache(maxsize=4)
@@ -191,14 +192,26 @@ def _aa_snake_conv_kernel_nores(x_ref, alpha_ref, beta_ref, w_ref, b_ref,
 
 def _pack_windows(x, t_tile: int, halo: int, pack: int):
     """(B, T, C) -> packed overlapping windows (B, G, win, pack*C) plus the
-    non-overlapping center packing of the same grid (for residual inputs)."""
+    non-overlapping center packing of the same grid (for residual inputs).
+
+    Built from ALIGNED reshapes + a slice + one concat — not an advanced
+    gather: XLA's gather lowering measured ~0.09 ms per call on v5e (5.7 ms
+    per vocoder forward, tools/roofline.py r4), ~30x its HBM-traffic bound;
+    the aligned construction is plain full-bandwidth copies. Requires
+    2*halo <= t_tile (checked)."""
     b, t, c = x.shape
     t_pad = -(-t // (t_tile * pack)) * (t_tile * pack)
     n_tiles = t_pad // t_tile
+    if 2 * halo > t_tile:
+        raise ValueError(f"halo {halo} too large for t_tile {t_tile}")
     xp = jnp.pad(x, ((0, 0), (halo, halo + (t_pad - t)), (0, 0)), mode="edge")
     win = t_tile + 2 * halo
-    idx = np.arange(win)[None, :] + t_tile * np.arange(n_tiles)[:, None]
-    xw = xp[:, idx, :]
+    # window i = xp[i*t_tile : i*t_tile + win]: t_tile-aligned head rows +
+    # the first 2*halo rows of the NEXT aligned block
+    head = xp[:, : n_tiles * t_tile].reshape(b, n_tiles, t_tile, c)
+    xp2 = jnp.pad(xp, ((0, 0), (0, t_tile - 2 * halo), (0, 0)))
+    tail = xp2[:, t_tile:].reshape(b, n_tiles, t_tile, c)[:, :, : 2 * halo]
+    xw = jnp.concatenate([head, tail], axis=2)  # (B, n_tiles, win, C)
     g = n_tiles // pack
     if pack > 1:
         xw = xw.reshape(b, g, pack, win, c).swapaxes(2, 3)
@@ -227,7 +240,7 @@ def _unpack_centers(out, b, t_pad, t, c, t_tile: int, pack: int):
 
 def fused_aa_snake_conv(x, alpha, beta, conv_kernel, conv_bias,
                         dilation: int = 1, residual=None,
-                        logscale: bool = True, t_tile: int = 256,
+                        logscale: bool = True, t_tile: int = 0,
                         interpret=None):
     """AA-snake activation fused with the following k=3 dilated conv1d (+
     optional residual add): the BigVGAN AMP block's inner step
@@ -241,6 +254,7 @@ def fused_aa_snake_conv(x, alpha, beta, conv_kernel, conv_bias,
     ends use extended-LTI padding like fused_aa_snake (interior-exact)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    t_tile = t_tile or T_TILE_DEFAULT
     f0, f1, g, up_off0, up_off1, down_off = _phase_filters()
     filters = (
         tuple(float(v) for v in f0), tuple(float(v) for v in f1),
@@ -320,7 +334,7 @@ def _fused_aa_snake_conv(x, alpha, beta, wk, bconv, residual, logscale: bool,
     return _unpack_centers(out, b, t_pad, t, c, t_tile, pack)
 
 
-def fused_aa_snake(x, alpha, beta, logscale: bool = True, t_tile: int = 256,
+def fused_aa_snake(x, alpha, beta, logscale: bool = True, t_tile: int = 0,
                    interpret=None):
     """x: (B, T, C) -> (B, T, C); alpha/beta: (C,) snake parameters.
 
@@ -332,6 +346,7 @@ def fused_aa_snake(x, alpha, beta, logscale: bool = True, t_tile: int = 256,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    t_tile = t_tile or T_TILE_DEFAULT
     # probe OUTSIDE the jit (omnistaging would stage the probe ops into the
     # trace); pass as hashable static tuples
     f0, f1, g, up_off0, up_off1, down_off = _phase_filters()
