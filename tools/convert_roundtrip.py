@@ -47,7 +47,7 @@ def main():
     ap.add_argument("--tpu", action="store_true",
                     help="run the JAX side on the TPU (default CPU)")
     ap.add_argument("--tokens", type=int, default=11)
-    ap.add_argument("--atol", type=float, default=5e-3)
+    ap.add_argument("--rtol", type=float, default=2e-3)
     args = ap.parse_args()
 
     import jax
@@ -68,10 +68,17 @@ def main():
     cfg = MainConfig()  # the published full-size configuration throughout
 
     def _randomize(module, seed):
+        # fan-in-scaled randomization: the toy parity tests' flat *0.2
+        # scale explodes at full size (each 9x128-fan-in conv then gains
+        # ~6.8x; 38 blocks + 3 diffusion steps -> NaN on BOTH pipelines)
         g = torch.Generator().manual_seed(seed)
         with torch.no_grad():
             for p in module.parameters():
-                p.copy_(torch.randn(p.shape, generator=g) * 0.2)
+                fan_in = 1
+                for d in p.shape[1:]:
+                    fan_in *= int(d)
+                scale = 0.5 / max(fan_in, 1) ** 0.5
+                p.copy_(torch.randn(p.shape, generator=g) * scale)
         module.eval()
         return module
 
@@ -149,12 +156,18 @@ def main():
 
     # ---- load through the CLI's own loader --------------------------------
     from unitspeech_tpu.cli import _load_tts_models
+    from unitspeech_tpu.utils.checkpoint import latest_checkpoint
+
+    def _latest(name):
+        path = latest_checkpoint(os.path.join(work, name))
+        assert path, name
+        return path
 
     ns = argparse.Namespace(
-        decoder=os.path.join(work, "decoder"),
-        text_encoder=os.path.join(work, "text_encoder"),
-        duration_predictor=os.path.join(work, "duration_predictor"),
-        vocoder=os.path.join(work, "vocoder"),
+        decoder=_latest("decoder"),
+        text_encoder=_latest("text_encoder"),
+        duration_predictor=_latest("duration_predictor"),
+        vocoder=_latest("vocoder"),
         spk_emb=None, bf16=False,  # f32 parity configuration
     )
     models = _load_tts_models(ns, cfg)
@@ -210,7 +223,10 @@ def main():
     finally:
         torch.randn, torch.randn_like = orig_randn, orig_like
     assert draw[0] == steps + 1
-    print(f"# torch pipeline: {time.time()-t0:.1f}s", flush=True)
+    print(f"# torch pipeline: {time.time()-t0:.1f}s "
+          f"mel_ref finite={bool(torch.isfinite(mel_ref).all())} "
+          f"y_dec range=({float(y_dec.min()):.3f},{float(y_dec.max()):.3f}) "
+          f"wav_ref finite={bool(np.isfinite(wav_ref).all())}", flush=True)
 
     # ---- our pipeline from the CONVERTED artifacts -------------------------
     t0 = time.time()
@@ -220,6 +236,8 @@ def main():
         noise_z=jnp.asarray(master[0]), noises=jnp.asarray(master[1:]),
     )
     mel_j = np.asarray(mel_j, np.float32)
+    print(f"# mel_j finite={bool(np.isfinite(mel_j).all())} "
+          f"range=({np.nanmin(mel_j):.3f},{np.nanmax(mel_j):.3f})", flush=True)
     wav_j = np.asarray(synth.vocode(mel_j[None] if mel_j.ndim == 2 else mel_j))
     print(f"# jax pipeline ({jax.devices()[0].platform}): "
           f"{time.time()-t0:.1f}s (incl. compile)", flush=True)
@@ -234,15 +252,22 @@ def main():
     nw = min(len(wav_j1), len(wav_ref)) - margin
     werr = float(np.max(np.abs(wav_j1[:nw] - wav_ref[:nw])))
 
+    # relative criterion: random-weight diffusion output is unbounded (the
+    # sampler's y_dec is not squashed), and 3 chaotic reverse steps amplify
+    # f32 reassociation noise linearly with the value scale — a converter
+    # bug (wrong transpose/permute) produces O(1) RELATIVE error, orders of
+    # magnitude above this bound
+    rel = err / max(scale, 1e-6)
     report = {
         "config": "published full size (dim=128, mults 1/2/4/8, enc 6L/192, "
                   "BigVGAN 22khz_80band)",
         "steps": steps, "tokens": args.tokens, "y_len": y_len,
         "platform": jax.devices()[0].platform,
         "mel_max_abs_err": err, "mel_scale": scale,
+        "mel_max_rel_err": rel,
         "wav_max_abs_err": werr,
-        "atol": args.atol,
-        "pass": bool(err <= args.atol),
+        "rtol": args.rtol,
+        "pass": bool(rel <= args.rtol and werr <= 5e-3),
     }
     out = os.path.join(ROOT, "CONVERT_ROUNDTRIP.json")
     # keep per-platform history: append-style dict keyed by platform
@@ -255,7 +280,8 @@ def main():
         json.dump(hist, f, indent=2)
     print(json.dumps(report))
     if not report["pass"]:
-        raise SystemExit(f"mel parity FAILED: {err} > {args.atol}")
+        raise SystemExit(
+            f"mel parity FAILED: rel {rel} > {args.rtol} or wav {werr} > 5e-3")
 
 
 if __name__ == "__main__":

@@ -26,7 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 
 HALO = 16  # input-sample halo per side, covers both filters' reach
-T_TILE_DEFAULT = 256  # rows per kernel tile (tools/bench_vocoder.py sweep)
+# rows per kernel tile: t512 measured 66.6 ms vs t256 75.4 / t1024 71.8 for
+# a full 344-frame BigVGAN forward on v5e (tools/bench_vocoder.py r4 sweep —
+# halo recompute amortizes until the window overflows VMEM-friendly sizes)
+T_TILE_DEFAULT = 512
 
 
 @lru_cache(maxsize=4)
@@ -282,9 +285,12 @@ def _fused_aa_snake_conv(x, alpha, beta, wk, bconv, residual, logscale: bool,
     b, t, c = x.shape
     has_res = residual.size > 0
     t_tile = min(t_tile, max(8, -(-t // 8) * 8))
+    halo = HALO + conv_ext
+    # the aligned window construction needs 2*halo <= t_tile (tiny inputs,
+    # e.g. module init shapes, would otherwise under-tile)
+    t_tile = max(t_tile, -(-2 * halo // 8) * 8)
     pack = max(1, 128 // c) if c <= 128 else 1
     pack = min(pack, max(1, -(-t // t_tile)))
-    halo = HALO + conv_ext
     xw, t_pad, n_groups = _pack_windows(x, t_tile, halo, pack)
     cp = pack * c
     win = t_tile + 2 * halo
@@ -368,6 +374,7 @@ def _fused_aa_snake(x, alpha, beta, logscale: bool, t_tile: int,
     f0, f1, g, up_off0, up_off1, down_off = filters
     b, t, c = x.shape
     t_tile = min(t_tile, max(8, -(-t // 8) * 8))
+    t_tile = max(t_tile, -(-2 * HALO // 8) * 8)  # window construction bound
     # LANE PACKING: the vocoder's upper stages have C = 32/64 channels, so a
     # plain (rows, C) layout leaves 3/4 of the 128 lanes (and of every
     # native (8, 128) memory tile) idle — profiled ~26x off the roofline.
