@@ -270,6 +270,17 @@ def bench_serving_modes(synth, args, frames, n_tok, hop, sr):
     print(f"# exact: rtf={rtf_exact:.4f} speech_mean={speech_exact:.2f}s",
           file=sys.stderr)
 
+    # calibrated speculative serving (VERDICT r4 item 8: per-bucket
+    # standalone executables selected on HOST from the calibrator's
+    # prediction — no multi-branch switch executable in the dispatch —
+    # with the exact two-dispatch path as overflow fallback)
+    cal_sp = DurationCalibrator(n_vocab=n_vocab, min_samples=4)
+    sp = dc.replace(synth, calibrator=cal_sp)
+    sp.calibrate(reqs)
+    rtf_spec, speech_sp = timed(lambda r, k: sp(r, k, **kw), reqs)
+    print(f"# speculative: rtf={rtf_spec:.4f} speech_mean={speech_sp:.2f}s",
+          file=sys.stderr)
+
     # bucket-switch serving: the PRODUCTION bucket-window policy
     # (Synthesizer.make_switch_buckets) — the bench must measure the
     # configuration a real deployment picks, not a private variant. The
@@ -290,6 +301,7 @@ def bench_serving_modes(synth, args, frames, n_tok, hop, sr):
     return {
         "rtf_serving": round(rtf_switch, 5),
         "rtf_exact": round(rtf_exact, 5),
+        "rtf_speculative": round(rtf_spec, 5),
         "serving_frames_mean": round(speech_sw * sr / hop, 1),
         "switch_buckets": list(window),
     }
