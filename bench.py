@@ -49,7 +49,7 @@ HOP = 256
 
 def build(smoke: bool, use_pallas: bool = True, use_pallas_resnet: bool = True,
           use_int8: bool = False, use_deep: bool = False,
-          use_resample: bool = False):
+          use_resample: bool = False, tap_mode: str = "taps"):
     from unitspeech_tpu.config import (
         DataConfig,
         DecoderConfig,
@@ -90,6 +90,7 @@ def build(smoke: bool, use_pallas: bool = True, use_pallas_resnet: bool = True,
         use_int8_deep=use_int8,
         use_pallas_deep=use_deep and on_tpu,
         use_pallas_resample=use_resample and on_tpu,
+        tap_mode=tap_mode,
     )
     return Synthesizer(models)
 
@@ -118,6 +119,10 @@ def main():
                     default=False,
                     help="fused Pallas stride-2 down/upsample convs at "
                          "supported stages (ops/pallas_resample.py)")
+    ap.add_argument("--tap-mode", default="taps",
+                    choices=["taps", "taps3", "im2col"],
+                    help="conv structure in the fused early-stage kernels "
+                         "(ops/pallas_resnet._conv3x3_taps)")
     ap.add_argument("--skip-serving", action="store_true",
                     help="measure only the forced-duration headline "
                          "(1 compile instead of ~4)")
@@ -132,7 +137,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     synth = build(args.smoke, use_int8=args.int8, use_deep=args.deep,
-                  use_resample=args.resample)
+                  use_resample=args.resample, tap_mode=args.tap_mode)
     m = synth.models
     frames = args.frames if not args.smoke else 48
 

@@ -11,7 +11,8 @@ from unitspeech_tpu.models.unet import ResnetBlock, mish
 from unitspeech_tpu.ops.pallas_resnet import fused_resnet_block
 
 
-def _run_pair(b, t, f, cin, cout, groups, lens, seed=0, frames_per_tile=0):
+def _run_pair(b, t, f, cin, cout, groups, lens, seed=0, frames_per_tile=0,
+              tap_mode=None):
     key = jax.random.PRNGKey(seed)
     block = ResnetBlock(cout, groups)
     x = jax.random.normal(jax.random.fold_in(key, 1), (b, t, f, cin))
@@ -36,6 +37,7 @@ def _run_pair(b, t, f, cin, cout, groups, lens, seed=0, frames_per_tile=0):
         groups=groups,
         interpret=True,
         frames_per_tile=frames_per_tile,
+        tap_mode=tap_mode,
     )
     return np.asarray(ref), np.asarray(fused)
 
@@ -50,6 +52,23 @@ def _run_pair(b, t, f, cin, cout, groups, lens, seed=0, frames_per_tile=0):
 )
 def test_fused_resnet_parity(cin, cout, lens):
     ref, fused = _run_pair(2, 16, 8, cin, cout, groups=4, lens=lens)
+    np.testing.assert_allclose(fused, ref, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("tap_mode", ["taps3", "im2col"])
+@pytest.mark.parametrize(
+    "cin,cout,lens",
+    [
+        (4, 8, [16, 11]),   # res_conv path, padded batch
+        (8, 8, [16, 5]),    # identity residual, heavy padding
+    ],
+)
+def test_fused_resnet_tap_modes(cin, cout, lens, tap_mode):
+    """The alternate conv structures inside the fused kernels ("taps3":
+    3 lane-concat K=3C dots; "im2col": one K=9C dot) are numerically
+    equivalent routes to the default 9-tap form."""
+    ref, fused = _run_pair(2, 16, 8, cin, cout, groups=4, lens=lens,
+                           tap_mode=tap_mode)
     np.testing.assert_allclose(fused, ref, atol=2e-5, rtol=1e-4)
 
 

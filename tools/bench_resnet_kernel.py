@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--deep", action="store_true",
                     help="bench fused_resnet_block_deep at the F%%8!=0 stages "
                          "instead of skipping them (stage3 only fits VMEM)")
+    ap.add_argument("--tap-mode", default=None,
+                    choices=["taps", "taps3", "im2col"],
+                    help="conv structure inside the fused early-stage "
+                         "kernels (ops/pallas_resnet._conv3x3_taps)")
     ap.add_argument("--int8", action="store_true",
                     help="int8 convs on BOTH sides: the XLA baseline becomes "
                          "the flat conv3x3_int8 path (the serving default at "
@@ -118,7 +122,7 @@ def main():
                         params["block2"]["conv"]["bias"],
                         params["block2"]["norm"]["scale"],
                         params["block2"]["norm"]["bias"],
-                        groups=8, interpret=False,
+                        groups=8, interpret=False, tap_mode=args.tap_mode,
                     ).astype(h.dtype)
                 out = lax.fori_loop(0, k, body, xx)
                 return jnp.sum(out.astype(jnp.float32)) if reduce else out

@@ -62,7 +62,7 @@ class TTSModels:
                     use_pallas_vocoder=False, use_pallas_resnet=False,
                     use_pallas_attention=False, use_int8_deep=False,
                     use_pallas_deep=False, use_pallas_resample=False,
-                    glue_mish="exact"):
+                    glue_mish="exact", tap_mode="taps"):
         """Randomly initialized bundle at full config size (for benchmarks and
         shape tests; real weights come from the checkpoint converter)."""
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
@@ -87,6 +87,7 @@ class TTSModels:
             use_pallas_attention=use_pallas_attention,
             use_int8_deep=use_int8_deep, use_pallas_deep=use_pallas_deep,
             use_pallas_resample=use_pallas_resample, glue_mish=glue_mish,
+            tap_mode=tap_mode,
         )
         t8 = fix_len_compatibility(8, cfg.decoder.num_downsamplings)
         dec_params = decoder.init(

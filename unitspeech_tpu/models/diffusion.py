@@ -58,6 +58,7 @@ class UnitSpeech(nn.Module):
     use_pallas_deep: bool = False
     use_pallas_resample: bool = False
     glue_mish: str = "exact"
+    tap_mode: str = "taps"
 
     def setup(self):
         self.text_uncon = self.param(
@@ -79,6 +80,7 @@ class UnitSpeech(nn.Module):
             use_pallas_deep=self.use_pallas_deep,
             use_pallas_resample=self.use_pallas_resample,
             glue_mish=self.glue_mish,
+            tap_mode=self.tap_mode,
         )
 
     def __call__(self, xt, mask, cond, t, spk_emb):
@@ -90,7 +92,7 @@ class UnitSpeech(nn.Module):
     def from_config(cls, cfg, dtype=jnp.float32, use_pallas_attention=False,
                     use_pallas_resnet=False, use_int8_deep=False,
                     use_pallas_deep=False, use_pallas_resample=False,
-                    glue_mish="exact"):
+                    glue_mish="exact", tap_mode="taps"):
         return cls(
             n_feats=cfg.n_feats,
             dim=cfg.dim,
@@ -107,6 +109,7 @@ class UnitSpeech(nn.Module):
             use_pallas_deep=use_pallas_deep,
             use_pallas_resample=use_pallas_resample,
             glue_mish=glue_mish,
+            tap_mode=tap_mode,
         )
 
 

@@ -205,6 +205,10 @@ class ResnetBlock(nn.Module):
     # XLA Block path and the Pallas kernels keep exact mish — their glue is
     # HBM-bound, the approximation buys nothing there.
     glue_mish: str = "exact"
+    # conv structure inside the fused early-stage kernels ("taps" | "taps3"
+    # | "im2col", ops/pallas_resnet._conv3x3_taps); bit-equivalent routes
+    # with different MXU-dispatch/VPU-move tradeoffs
+    tap_mode: str = "taps"
 
     def _flat_matmul_block(self, x, mask, t_emb):
         """Whole-block flat fast path (identical parameter tree)."""
@@ -356,6 +360,7 @@ class ResnetBlock(nn.Module):
                 x.astype(self.dtype), mask, bias_t,
                 k1, b1, s1, be1, k2, b2, s2, be2,
                 wres=wres, bres=bres, groups=self.groups,
+                tap_mode=self.tap_mode,
                 # int8 in the early-stage kernels is a MEASURED NEGATIVE:
                 # full-pipeline 0.102 vs 0.0994 RTF with deep-only int8 —
                 # the in-kernel quantize (round/clip over three f32 windows
@@ -593,6 +598,9 @@ class GradLogPEstimator2d(nn.Module):
     use_pallas_deep: bool = False
     use_pallas_resample: bool = False
     glue_mish: str = "exact"
+    # conv structure inside the fused early-stage Pallas kernels
+    # (ops/pallas_resnet._conv3x3_taps: "taps" | "taps3" | "im2col")
+    tap_mode: str = "taps"
 
     @nn.compact
     def __call__(self, x, mask, mu, t, spk_emb):
@@ -618,6 +626,7 @@ class GradLogPEstimator2d(nn.Module):
                             use_int8=self.use_int8_deep,
                         use_pallas_deep=self.use_pallas_deep,
                         glue_mish=self.glue_mish,
+                        tap_mode=self.tap_mode,
                             name=f"down_{ind}_res1")(h, mk, t_emb)
             # res1's output is masked by construction -> skip res2's input mask
             h = ResnetBlock(dim_out, self.groups, dtype=self.dtype,
@@ -626,6 +635,7 @@ class GradLogPEstimator2d(nn.Module):
                             use_int8=self.use_int8_deep,
                         use_pallas_deep=self.use_pallas_deep,
                         glue_mish=self.glue_mish,
+                        tap_mode=self.tap_mode,
                             name=f"down_{ind}_res2")(h, mk, t_emb)
             attn = RezeroAttention(dtype=self.dtype,
                                    use_pallas=self.use_pallas_attention,
@@ -667,6 +677,7 @@ class GradLogPEstimator2d(nn.Module):
                         use_int8=self.use_int8_deep,
                         use_pallas_deep=self.use_pallas_deep,
                         glue_mish=self.glue_mish,
+                        tap_mode=self.tap_mode,
                         name="mid_res1")(h, mk, t_emb)
         h = RezeroAttention(dtype=self.dtype, use_pallas=self.use_pallas_attention, name="mid_attn")(h, mask=mk)
         h = ResnetBlock(mid_dim, self.groups, dtype=self.dtype,
@@ -674,6 +685,7 @@ class GradLogPEstimator2d(nn.Module):
                         use_int8=self.use_int8_deep,
                         use_pallas_deep=self.use_pallas_deep,
                         glue_mish=self.glue_mish,
+                        tap_mode=self.tap_mode,
                         name="mid_res2")(h, mk, t_emb)
 
         # up stages mirror down stages 1..num_res-1, reversed
@@ -686,6 +698,7 @@ class GradLogPEstimator2d(nn.Module):
                             use_int8=self.use_int8_deep,
                         use_pallas_deep=self.use_pallas_deep,
                         glue_mish=self.glue_mish,
+                        tap_mode=self.tap_mode,
                             name=f"up_{ind}_res1")(h, mk, t_emb)
             h = ResnetBlock(dim_in, self.groups, dtype=self.dtype,
                             input_pre_masked=True,
@@ -693,6 +706,7 @@ class GradLogPEstimator2d(nn.Module):
                             use_int8=self.use_int8_deep,
                         use_pallas_deep=self.use_pallas_deep,
                         glue_mish=self.glue_mish,
+                        tap_mode=self.tap_mode,
                             name=f"up_{ind}_res2")(h, mk, t_emb)
             attn = RezeroAttention(dtype=self.dtype,
                                    use_pallas=self.use_pallas_attention,
@@ -731,7 +745,7 @@ class GradLogPEstimator2d(nn.Module):
             wo, bo = _Conv2dParams(1, ksize=(1, 1), name="final_conv")(self.dim)
             return fused_final_block(
                 h.astype(self.dtype), m, k1, b1, s1, be1, wo, bo,
-                groups=self.groups,
+                groups=self.groups, tap_mode=self.tap_mode,
             )
         h = Block(self.dim, self.groups, dtype=self.dtype, name="final_block")(h, m)
         out = nn.Conv(1, (1, 1), dtype=self.dtype, name="final_conv")(h * m)
@@ -741,7 +755,7 @@ class GradLogPEstimator2d(nn.Module):
     def from_config(cls, cfg, dtype=jnp.float32, use_pallas_attention=False,
                     use_pallas_resnet=False, use_int8_deep=False,
                     use_pallas_deep=False, use_pallas_resample=False,
-                    glue_mish="exact"):
+                    glue_mish="exact", tap_mode="taps"):
         return cls(
             dim=cfg.dim,
             dim_mults=tuple(cfg.dim_mults),
@@ -755,4 +769,5 @@ class GradLogPEstimator2d(nn.Module):
             use_pallas_deep=use_pallas_deep,
             use_pallas_resample=use_pallas_resample,
             glue_mish=glue_mish,
+            tap_mode=tap_mode,
         )

@@ -142,18 +142,26 @@ def _freq_wrap_masks(f: int, tile: int, dtype):
     return mask_m, mask_p
 
 
-def _conv3x3_taps(win, w_ref, f: int, tile: int, im2col: bool = False):
+def _conv3x3_taps(win, w_ref, f: int, tile: int, tap_mode: str = "taps"):
     """conv3x3 over the assembled window. win: (TILE+2F, C); w_ref rows:
     [(dt+1)*3 + (df+1)] * Cin -> (Cin, Cout). f32 accumulator.
 
-    im2col=False: 9 shifted (TILE, C) x (C, Cout) matmuls. im2col=True:
+    tap_mode="taps": 9 shifted (TILE, C) x (C, Cout) matmuls. "im2col":
     concatenate the 9 taps on lanes IN VMEM and run ONE
     (TILE, 9C) x (9C, Cout) matmul. The hypothesis was that the 9x-longer K
     would amortize the MXU's systolic pipeline better at small C; measured
     on v5e it LOSES — stage0 fpt=8: 0.67 vs 0.58 taps; stage1's best taps
     config also wins (0.305 at fpt=43 vs 0.34 im2col) — the in-VMEM tap
     concat costs more vector moves than the longer contraction saves, so
-    taps stays the default (tools/bench_conv_variants.py --fpt-sweep)."""
+    taps stays the default (tools/bench_conv_variants.py --fpt-sweep).
+
+    "taps3": middle ground — lane-concat ONLY the three freq shifts
+    (win_m | win | win_p) into one (TILE+2F, 3C) window, then 3 row-shifted
+    (TILE, 3C) x (3C, Cout) matmuls (dt = -1/0/+1). vs "taps": 6 fewer MXU
+    dispatches and 6 fewer (TILE, Cout) f32 accumulator adds; vs "im2col":
+    the concat copies 3 full-height arrays ONCE instead of materializing 9
+    row-offset tap extracts. The w row order (dt-major, df-minor) makes each
+    dt's (3C, Cout) weight slice contiguous, matching the lane order."""
     cin = win.shape[-1]
     mask_m, mask_p = _freq_wrap_masks(f, tile, win.dtype)
     # +-1 row shifts as static slice+concat (Mosaic's rotate op does not
@@ -163,7 +171,7 @@ def _conv3x3_taps(win, w_ref, f: int, tile: int, im2col: bool = False):
     zero_row = jnp.zeros((1, cin), win.dtype)
     win_m = jnp.concatenate([zero_row, win[:-1]], 0) * mask_m  # row i = win[i-1]
     win_p = jnp.concatenate([win[1:], zero_row], 0) * mask_p   # row i = win[i+1]
-    if im2col:
+    if tap_mode == "im2col":
         taps = [
             src[f + dt * f : f + dt * f + tile, :]
             for dt in (-1, 0, 1)
@@ -171,6 +179,16 @@ def _conv3x3_taps(win, w_ref, f: int, tile: int, im2col: bool = False):
         ]
         col = jnp.concatenate(taps, axis=1)  # (TILE, 9C), tap order == w rows
         return jnp.dot(col, w_ref[:], preferred_element_type=jnp.float32)
+    if tap_mode == "taps3":
+        col3 = jnp.concatenate([win_m, win, win_p], axis=1)  # (TILE+2F, 3C)
+        acc = None
+        for dt in (-1, 0, 1):
+            base = f + dt * f
+            tap = col3[base : base + tile, :]
+            w = w_ref[(dt + 1) * 3 * cin : (dt + 2) * 3 * cin, :]
+            part = jnp.dot(tap, w, preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+        return acc
     acc = None
     for dt in (-1, 0, 1):
         base = f + dt * f
@@ -218,7 +236,7 @@ def _conv3x3_taps_int8(win, w_ref, sw_ref, f: int, tile: int):
 
 def _kernel_a(lens_ref, top_ref, cur_ref, bot_ref, w_ref, sw_ref, b_ref,
               out_ref, stats_ref, *, f: int, tile: int, n_tiles: int,
-              out_dtype, im2col: bool, int8: bool):
+              out_dtype, tap_mode: str, int8: bool):
     import jax.experimental.pallas as pl
 
     j = pl.program_id(1)
@@ -227,7 +245,7 @@ def _kernel_a(lens_ref, top_ref, cur_ref, bot_ref, w_ref, sw_ref, b_ref,
     if int8:
         acc = _conv3x3_taps_int8(win, w_ref, sw_ref, f, tile)
     else:
-        acc = _conv3x3_taps(win, w_ref, f, tile, im2col)
+        acc = _conv3x3_taps(win, w_ref, f, tile, tap_mode)
     acc = acc + b_ref[:].astype(jnp.float32)
     out_ref[0] = acc.astype(out_dtype)
 
@@ -242,7 +260,7 @@ def _kernel_a(lens_ref, top_ref, cur_ref, bot_ref, w_ref, sw_ref, b_ref,
 def _kernel_b(lens_ref, top_ref, cur_ref, bot_ref, stats_ref, scale_ref,
               bias_ref, film_ref, w_ref, sw_ref, b_ref, out_ref, stats2_ref,
               *, f: int, tile: int, n_tiles: int, n_rows: int, groups: int,
-              out_dtype, im2col: bool, int8: bool):
+              out_dtype, tap_mode: str, int8: bool):
     import jax.experimental.pallas as pl
 
     j = pl.program_id(1)
@@ -270,7 +288,7 @@ def _kernel_b(lens_ref, top_ref, cur_ref, bot_ref, stats_ref, scale_ref,
     if int8:
         acc = _conv3x3_taps_int8(h, w_ref, sw_ref, f, tile)
     else:
-        acc = _conv3x3_taps(h, w_ref, f, tile, im2col)
+        acc = _conv3x3_taps(h, w_ref, f, tile, tap_mode)
     acc = acc + b_ref[:].astype(jnp.float32)
     out_ref[0] = acc.astype(out_dtype)
 
@@ -676,12 +694,12 @@ def _kernel_d(lens_ref, c1_ref, stats_ref, scale_ref, bias_ref, wo_ref,
 @partial(
     jax.jit,
     static_argnames=("n_frames", "f", "groups", "interpret",
-                     "frames_per_tile"),
+                     "frames_per_tile", "tap_mode"),
 )
 def _fused_final(
     x, lens_rows, w1, b1, s1, be1, wo, bo,
     n_frames: int, f: int, groups: int, interpret: bool,
-    frames_per_tile: int = 0,
+    frames_per_tile: int = 0, tap_mode: str = "taps",
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -707,7 +725,7 @@ def _fused_final(
     top, cur, bot = _halo_specs(n_frames, f, cin, n_tiles, fpt)
     c1, stats1 = pl.pallas_call(
         partial(_kernel_a, f=f, tile=tile, n_tiles=n_tiles,
-                out_dtype=x.dtype, im2col=False, int8=False),
+                out_dtype=x.dtype, tap_mode=tap_mode, int8=False),
         grid=grid,
         in_specs=[lens_spec, top, cur, bot, w_spec(9 * cin, cout),
                   row_spec(cout), row_spec(cout)],
@@ -735,7 +753,7 @@ def _fused_final(
 
 def fused_final_block(x, mask, w1, b1, gn_scale, gn_bias, w_out, b_out,
                       groups: int = 8, interpret: Optional[bool] = None,
-                      frames_per_tile: int = 0):
+                      frames_per_tile: int = 0, tap_mode: str = "taps"):
     """conv3x3+GN+mish+mask (models/unet.py Block 'final_block') fused with
     the 1-channel final_conv (reference unitspeech.py:198-201): x
     (B, T, F, C) -> (B, T, F) f32 score. Same numerics contract as
@@ -754,7 +772,7 @@ def fused_final_block(x, mask, w1, b1, gn_scale, gn_bias, w_out, b_out,
         w1.astype(x.dtype), b1, gn_scale, gn_bias,
         w_out.astype(x.dtype), b_out,
         n_frames=t, f=f, groups=groups, interpret=bool(interpret),
-        frames_per_tile=frames_per_tile,
+        frames_per_tile=frames_per_tile, tap_mode=tap_mode,
     )
     return out.reshape(bsz, t, f)
 
@@ -793,12 +811,12 @@ def _quant_w(w2d):
 @partial(
     jax.jit,
     static_argnames=("n_frames", "f", "groups", "interpret", "out_dtype_name",
-                     "frames_per_tile", "im2col", "int8"),
+                     "frames_per_tile", "tap_mode", "int8"),
 )
 def _fused_resnet(
     x, lens_rows, t_bias, w1, b1, s1, be1, w2, b2, s2, be2, wres, bres,
     n_frames: int, f: int, groups: int, interpret: bool, out_dtype_name: str,
-    frames_per_tile: int = 0, im2col: bool = False, int8: bool = False,
+    frames_per_tile: int = 0, tap_mode: str = "taps", int8: bool = False,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -839,7 +857,7 @@ def _fused_resnet(
     top, cur, bot = _halo_specs(n_frames, f, cin, n_tiles, fpt)
     c1, stats1 = pl.pallas_call(
         partial(_kernel_a, f=f, tile=tile, n_tiles=n_tiles,
-                out_dtype=out_dtype, im2col=im2col, int8=int8),
+                out_dtype=out_dtype, tap_mode=tap_mode, int8=int8),
         grid=grid,
         in_specs=[lens_spec, top, cur, bot, w_spec(9 * cin, cout),
                   row_spec(cout), row_spec(cout)],
@@ -854,7 +872,8 @@ def _fused_resnet(
     topc, curc, botc = _halo_specs(n_frames, f, cout, n_tiles, fpt)
     c2, stats2 = pl.pallas_call(
         partial(_kernel_b, f=f, tile=tile, n_tiles=n_tiles, n_rows=n,
-                groups=groups, out_dtype=out_dtype, im2col=im2col, int8=int8),
+                groups=groups, out_dtype=out_dtype, tap_mode=tap_mode,
+                int8=int8),
         grid=grid,
         in_specs=[lens_spec, topc, curc, botc, stats_spec, row_spec(cout),
                   row_spec(cout), brow_spec(cout), w_spec(9 * cout, cout),
@@ -905,6 +924,7 @@ def fused_resnet_block(
     frames_per_tile: int = 0,
     im2col: bool = False,
     int8: bool = False,
+    tap_mode: Optional[str] = None,
 ):
     """One ResnetBlock, fused (XLA twin: models/unet.py:ResnetBlock).
 
@@ -913,11 +933,15 @@ def fused_resnet_block(
     w1/w2: (3, 3, Cin|Cout, Cout) flax conv kernels (spatial (t, f));
     wres/bres: optional 1x1 residual projection. Returns (B, T, F, Cout).
 
-    Requires T % 8 == 0 (fix_len_compatibility guarantees it) and F*C tile-
-    friendly shapes; call sites fall back to the XLA path otherwise.
+    tap_mode overrides the conv structure ("taps"/"taps3"/"im2col", see
+    _conv3x3_taps); the legacy im2col flag maps to "im2col" when tap_mode is
+    None. Requires T % 8 == 0 (fix_len_compatibility guarantees it) and F*C
+    tile-friendly shapes; call sites fall back to the XLA path otherwise.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if tap_mode is None:
+        tap_mode = "im2col" if im2col else "taps"
     bsz, t, f, cin = x.shape
     # f32 accumulation: a bf16 mask sum rounds odd lengths > 256 to even
     lens_frames = jnp.sum(
@@ -932,6 +956,6 @@ def fused_resnet_block(
         None if wres is None else wres.astype(x.dtype), bres,
         n_frames=t, f=f, groups=groups, interpret=bool(interpret),
         out_dtype_name=jnp.dtype(x.dtype).name,
-        frames_per_tile=frames_per_tile, im2col=im2col, int8=int8,
+        frames_per_tile=frames_per_tile, tap_mode=tap_mode, int8=int8,
     )
     return out.reshape(bsz, t, f, -1)
