@@ -95,3 +95,47 @@ def test_fused_aa_snake_conv_pack1_path():
     np.testing.assert_allclose(
         np.asarray(got)[:, sl], np.asarray(ref)[:, sl], rtol=2e-2, atol=2e-3
     )
+
+
+def test_fast_sin_squared_accuracy():
+    """The default SNAKE_MODE="poly" replaces Mosaic's ~40-op sin
+    legalization with a range-reduced degree-7 polynomial (measured 14.2 ms
+    of the 58.3 ms BigVGAN forward on v5e). The snake squares the result, so
+    the bound that matters is on sin^2; it must sit far below bf16's eps
+    (7.8e-3) for the kernel output to be bit-compatible with jnp.sin."""
+    from unitspeech_tpu.ops.pallas_kernels import _fast_sin
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-256, 256, 200_001), jnp.float32
+    )
+    got = np.asarray(_fast_sin(x)).astype(np.float64) ** 2
+    want = np.sin(np.asarray(x).astype(np.float64)) ** 2
+    assert np.max(np.abs(got - want)) < 2e-5
+
+
+def test_snake_poly_matches_jnp_at_bf16():
+    """fused_aa_snake with the poly sin vs the jnp-sin oracle, bf16 compute:
+    outputs must agree to ~1 bf16 ulp (the poly error is ~500x below it)."""
+    from unitspeech_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 256, 32)) * 2.0, jnp.bfloat16)
+    alpha = jnp.asarray(rng.standard_normal(32) * 0.5, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(32) * 0.5, jnp.float32)
+    prev = pk.SNAKE_MODE
+    try:
+        pk.SNAKE_MODE = "poly"
+        jax.clear_caches()
+        got = np.asarray(fused_aa_snake(x, alpha, beta, t_tile=64,
+                                        interpret=True), np.float32)
+        pk.SNAKE_MODE = "jnp"
+        jax.clear_caches()
+        want = np.asarray(fused_aa_snake(x, alpha, beta, t_tile=64,
+                                         interpret=True), np.float32)
+    finally:
+        pk.SNAKE_MODE = prev
+        jax.clear_caches()
+    # 1 bf16 ulp relative (~0.8%), tiny absolute slack for near-zero values
+    np.testing.assert_allclose(got, want, rtol=8e-3, atol=1e-3)
+    # and the overwhelming majority must be bit-identical
+    assert np.mean(got == want) > 0.99

@@ -53,6 +53,12 @@ def main():
                     choices=["taps", "taps3", "im2col"],
                     help="conv structure inside the fused early-stage "
                          "kernels (ops/pallas_resnet._conv3x3_taps)")
+    ap.add_argument("--mish-mode", default="exp",
+                    choices=["exp", "fast", "probe_noexp"],
+                    help="exp = Mosaic builtin (default); fast = exp2-poly "
+                         "(measured negative, ~85 vs ~20 lane-ops); "
+                         "probe_noexp = WRONG numerics (exp replaced by a "
+                         "multiply, timing diagnostic)")
     ap.add_argument("--int8", action="store_true",
                     help="int8 convs on BOTH sides: the XLA baseline becomes "
                          "the flat conv3x3_int8 path (the serving default at "
@@ -61,9 +67,12 @@ def main():
     args = ap.parse_args()
 
     from unitspeech_tpu.models.unet import ResnetBlock, mish
+    from unitspeech_tpu.ops import pallas_resnet
     from unitspeech_tpu.ops.pallas_resnet import (
         fused_resnet_block, fused_resnet_block_deep, supports_shape,
     )
+
+    pallas_resnet.MISH_MODE = args.mish_mode
 
     dtype = jnp.dtype(args.dtype)
     print(f"backend={jax.default_backend()} dtype={dtype.name}", flush=True)

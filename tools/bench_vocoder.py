@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--frames", type=int, default=344)
     ap.add_argument("--tiles", default="256,512,1024")
     ap.add_argument("--xla", action="store_true", help="also bench the XLA path")
+    ap.add_argument("--snake-mode", default="poly",
+                    choices=["poly", "jnp", "probe_nosin"],
+                    help="poly = range-reduced fast sin (default); jnp = "
+                         "Mosaic builtin sin; probe_nosin = WRONG numerics, "
+                         "times the kernel with sin replaced by a multiply")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
     if args.smoke:
@@ -68,10 +73,12 @@ def main():
         print(json.dumps({"variant": label, "ms": round(ms, 3)}), flush=True)
         return ms
 
+    pk.SNAKE_MODE = args.snake_mode
+    suffix = "" if args.snake_mode == "poly" else f"_{args.snake_mode}"
     for tile in [int(t) for t in args.tiles.split(",") if t]:
         pk.T_TILE_DEFAULT = tile
         jax.clear_caches()
-        bench(True, f"pallas_t{tile}")
+        bench(True, f"pallas_t{tile}{suffix}")
     if args.xla:
         jax.clear_caches()
         bench(False, "xla")

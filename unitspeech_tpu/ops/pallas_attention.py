@@ -36,6 +36,20 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from unitspeech_tpu.ops.fastmath import fast_exp
+
+# online-softmax exp implementation: "jnp" (Mosaic builtin, DEFAULT) |
+# "fast" (exp2-poly, ops/fastmath.py). fast_exp measured ~85 lane-ops vs
+# jnp's ~20 (tools/bench_transcendental.py r4 — Mosaic's i32 shift/bitcast
+# lowering is wide), so the builtin stays. If "fast" is ever re-tried: its
+# <4e-6 rel error is invisible at bf16, and exp(-1e30) = ~1.6e-38 instead
+# of 0 adds only ~1e-35 absolute to den/num for masked rows.
+ATTN_EXP = "jnp"
+
+
+def _exp(x):
+    return fast_exp(x) if ATTN_EXP == "fast" else jnp.exp(x)
+
 
 def _head_block_mask(hd: int, d: int):
     rows = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // d
@@ -69,8 +83,8 @@ def _phase1_kernel(x_ref, wk_ref, wv_ref, ctx_ref, m_scr, den_scr, num_scr,
     m_old = m_scr[:]  # (1, HD)
     lm = jnp.max(k, axis=0, keepdims=True)  # (1, HD)
     m_new = jnp.maximum(m_old, lm)
-    scale = jnp.exp(m_old - m_new)  # (1, HD)
-    e = jnp.exp(k - m_new)  # (Tt, HD); pad rows -> exp(-inf) = 0
+    scale = _exp(m_old - m_new)  # (1, HD)
+    e = _exp(k - m_new)  # (Tt, HD); pad rows -> ~0 (see _exp note)
     den_scr[:] = den_scr[:] * scale + jnp.sum(e, axis=0, keepdims=True)
     # full contraction on the MXU; cross-head blocks are masked at the end
     num = jax.lax.dot_general(

@@ -30,6 +30,20 @@ HALO = 16  # input-sample halo per side, covers both filters' reach
 # a full 344-frame BigVGAN forward on v5e (tools/bench_vocoder.py r4 sweep —
 # halo recompute amortizes until the window overflows VMEM-friendly sizes)
 T_TILE_DEFAULT = 512
+# snake sin implementation inside the Pallas kernels:
+#   "poly"        range-reduced degree-7 minimax sin (default; ~9 VPU ops).
+#                 Mosaic's jnp.sin legalization measured ~40 vector ops —
+#                 14.2 of the 58.3 ms standalone BigVGAN forward on v5e
+#                 (tools/bench_vocoder.py --snake-mode probe_nosin, r4).
+#                 Max |poly - sin| < 1e-6 for |x| <= 256 (test_pallas_voc),
+#                 ~100x below the bf16 output resolution, so the kernel's
+#                 bf16 result is bit-equal to the jnp path for ~all inputs.
+#   "jnp"         Mosaic's builtin sin (escape hatch / parity oracle)
+#   "probe_nosin" WRONG numerics, timing diagnostic only
+SNAKE_MODE = "poly"
+
+
+from unitspeech_tpu.ops.fastmath import fast_sin as _fast_sin  # noqa: E402
 
 
 @lru_cache(maxsize=4)
@@ -116,9 +130,20 @@ def _aa_core(x, alpha_ref, beta_ref, t_out: int, *, f0, f1, g,
     y1 = phase(f1, up_off1)  # y2[2(j_rel+pair_lo)+1]
 
     def snake(y):
-        # Mosaic only legalizes sin on float32 vectors; the cast stays in
-        # registers/VMEM (no HBM traffic)
-        s = jnp.sin((y * alpha).astype(jnp.float32)).astype(dt)
+        # sin runs on f32 (Mosaic legalizes sin only on f32 vectors; the
+        # poly path also wants f32 range reduction); the cast stays in
+        # registers/VMEM (no HBM traffic). The result is cast to the
+        # compute dtype BEFORE squaring so the "poly" default stays
+        # bit-compatible with the "jnp" oracle at bf16.
+        x32 = (y * alpha).astype(jnp.float32)
+        if SNAKE_MODE == "probe_nosin":
+            # DIAGNOSTIC ONLY (wrong numerics): replace the transcendental
+            # with a multiply to measure sin's share of the kernel time
+            s = x32.astype(dt)
+        elif SNAKE_MODE == "jnp":
+            s = jnp.sin(x32).astype(dt)
+        else:
+            s = _fast_sin(x32).astype(dt)
         return y + inv_beta * s * s
 
     y0 = snake(y0)

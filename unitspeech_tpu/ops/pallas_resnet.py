@@ -69,6 +69,18 @@ def supports_shape(t: int, f: int) -> bool:
     return f % 8 == 0 and t >= 1
 
 
+# mish exp implementation inside the fused kernels:
+#   "exp"         Mosaic's builtin exp (DEFAULT). Measured ~20 lane-ops
+#                 (tools/bench_transcendental.py r4) — ~6-11% of the fused
+#                 early-stage block time (--mish-mode probe_noexp).
+#   "fast"        exp2-poly exp (ops/fastmath.py): measured NEGATIVE, ~85
+#                 lane-ops — Mosaic lowers the i32 shift/bitcast exponent
+#                 construction as wide multi-pass ops. Kept as the
+#                 documented attempt; do not flip without re-measuring.
+#   "probe_noexp" WRONG numerics, timing diagnostic only
+MISH_MODE = "exp"
+
+
 def _mish_f32(x):
     """mish(x) = x * tanh(softplus(x)), computed with ONE transcendental via
     the exact identity tanh(log(1+e^x)) = ((1+e^x)^2 - 1)/((1+e^x)^2 + 1) —
@@ -76,8 +88,16 @@ def _mish_f32(x):
     throughput is a real term in the fused kernels' budget. (1+e^x)^2
     overflows f32 at x ~ 44 (-> inf/inf = NaN), and tanh(softplus(x)) == 1.0
     to f32 precision for x > 20, so large x selects the identity branch."""
+    from unitspeech_tpu.ops.fastmath import fast_exp
+
     xf = x.astype(jnp.float32)
-    t = jnp.square(1.0 + jnp.exp(jnp.minimum(xf, 30.0)))
+    if MISH_MODE == "probe_noexp":
+        e = jnp.minimum(xf, 30.0) * 0.5 + 1.0  # DIAGNOSTIC: exp -> multiply
+    elif MISH_MODE == "exp":
+        e = jnp.exp(jnp.minimum(xf, 30.0))
+    else:
+        e = fast_exp(jnp.minimum(xf, 30.0))
+    t = jnp.square(1.0 + e)
     return jnp.where(
         xf > 20.0, xf, xf * ((t - 1.0) / (t + 1.0))
     ).astype(x.dtype)
