@@ -54,11 +54,12 @@ def main():
                     help="conv structure inside the fused early-stage "
                          "kernels (ops/pallas_resnet._conv3x3_taps)")
     ap.add_argument("--mish-mode", default="exp",
-                    choices=["exp", "fast", "probe_noexp"],
+                    choices=["exp", "fast", "probe_noexp", "probe_nodiv",
+                             "probe_identity"],
                     help="exp = Mosaic builtin (default); fast = exp2-poly "
                          "(measured negative, ~85 vs ~20 lane-ops); "
-                         "probe_noexp = WRONG numerics (exp replaced by a "
-                         "multiply, timing diagnostic)")
+                         "probe_* = WRONG numerics timing diagnostics "
+                         "(exp->mul, div->mul, whole mish -> identity)")
     ap.add_argument("--int8", action="store_true",
                     help="int8 convs on BOTH sides: the XLA baseline becomes "
                          "the flat conv3x3_int8 path (the serving default at "

@@ -55,6 +55,8 @@ BODIES = {
     "jnp_exp": lambda x: jnp.exp(jnp.minimum(x, 8.0)),
     "fast_exp": lambda x: fast_exp(jnp.minimum(x, 8.0)),
     "jnp_tanh": jnp.tanh,
+    "div": lambda x: jnp.float32(1.3) / (jnp.abs(x) + jnp.float32(1.0)),
+    "rsqrt": lambda x: jax.lax.rsqrt(jnp.abs(x) + jnp.float32(1.0)),
 }
 
 

@@ -91,6 +91,8 @@ def _mish_f32(x):
     from unitspeech_tpu.ops.fastmath import fast_exp
 
     xf = x.astype(jnp.float32)
+    if MISH_MODE == "probe_identity":
+        return x  # DIAGNOSTIC: bounds the ENTIRE mish cost
     if MISH_MODE == "probe_noexp":
         e = jnp.minimum(xf, 30.0) * 0.5 + 1.0  # DIAGNOSTIC: exp -> multiply
     elif MISH_MODE == "exp":
@@ -98,9 +100,11 @@ def _mish_f32(x):
     else:
         e = fast_exp(jnp.minimum(xf, 30.0))
     t = jnp.square(1.0 + e)
-    return jnp.where(
-        xf > 20.0, xf, xf * ((t - 1.0) / (t + 1.0))
-    ).astype(x.dtype)
+    if MISH_MODE == "probe_nodiv":
+        r = (t - 1.0) * 0.25  # DIAGNOSTIC: divide -> multiply
+    else:
+        r = (t - 1.0) / (t + 1.0)
+    return jnp.where(xf > 20.0, xf, xf * r).astype(x.dtype)
 
 
 def _group_stats(sum_c, sumsq_c, n_rows: int, groups: int, eps: float = 1e-5):
