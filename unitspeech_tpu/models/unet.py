@@ -54,19 +54,28 @@ def _group_norm_lowmem(x, groups: int, scale, bias, eps: float = 1e-5):
     """GroupNorm that keeps the big tensor in its compute dtype: statistics
     accumulate in float32 (small per-group scalars), but no float32 copy of
     the activation is ever materialized — on TPU the U-Net is HBM-bandwidth
-    bound, so activation bytes are the budget."""
+    bound, so activation bytes are the budget.
+
+    The stats reduce over ROWS with the channel (lane) axis intact: reducing
+    a (B,T,F,G,C/G) reshape instead splits the 128-lane dim, and XLA lowers
+    that as a relayout + cross-lane reduction — the thirteen flat-block GN
+    stats fusions measured ~10x their bytes bound that way (0.87 ms/step of
+    the r4 roofline). Group pooling happens on the tiny (B, C) sums, same
+    trick as the fused kernels' _group_stats (ops/pallas_resnet.py)."""
     from jax import lax as _lax
 
     b, t, f, c = x.shape
-    xg = x.reshape(b, t, f, groups, c // groups)
-    mean = jnp.mean(xg, axis=(1, 2, 4), dtype=jnp.float32)  # (B, G)
-    var = jnp.mean(
-        jnp.square(xg.astype(jnp.float32)), axis=(1, 2, 4)
-    ) - jnp.square(mean)
-    inv = _lax.rsqrt(var + eps)  # (B, G)
-    mean_b = mean[:, None, None, :, None].astype(x.dtype)
-    inv_b = inv[:, None, None, :, None].astype(x.dtype)
-    y = (xg - mean_b) * inv_b
+    cg = c // groups
+    x2 = x.reshape(b, t * f, c)
+    s = jnp.sum(x2, axis=1, dtype=jnp.float32)  # (B, C), lanes intact
+    ss = jnp.sum(jnp.square(x2.astype(jnp.float32)), axis=1)  # (B, C)
+    n = t * f * cg
+    mean_g = s.reshape(b, groups, cg).sum(-1) / n  # (B, G) — tiny
+    var_g = ss.reshape(b, groups, cg).sum(-1) / n - jnp.square(mean_g)
+    inv_g = _lax.rsqrt(var_g + eps)  # (B, G)
+    mean_c = jnp.repeat(mean_g, cg, axis=1).astype(x.dtype)  # (B, C)
+    inv_c = jnp.repeat(inv_g, cg, axis=1).astype(x.dtype)
+    y = (x2 - mean_c[:, None, :]) * inv_c[:, None, :]
     y = y.reshape(b, t, f, c)
     return y * scale.astype(x.dtype) + bias.astype(x.dtype)
 
