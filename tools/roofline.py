@@ -53,6 +53,11 @@ def load_events(trace_dir):
 
 def bucket_of(e):
     tf_op = e["args"].get("tf_op", "")
+    # the fused final Block+final_conv kernels run under a nested jit, so
+    # their tf_op module path is bare jit(...) frames — name-match them
+    # before the module regex (they otherwise land in a bogus "est/jit")
+    if e["name"].startswith(("_fused_final", "fused_final")):
+        return "est/final_block"
     m = re.search(r"estimator/([A-Za-z0-9_]+)", tf_op)
     if m:
         return "est/" + m.group(1)

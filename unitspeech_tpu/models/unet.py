@@ -56,25 +56,20 @@ def _group_norm_lowmem(x, groups: int, scale, bias, eps: float = 1e-5):
     the activation is ever materialized — on TPU the U-Net is HBM-bandwidth
     bound, so activation bytes are the budget.
 
-    The stats reduce over ROWS with the channel (lane) axis intact: reducing
-    a (B,T,F,G,C/G) reshape instead splits the 128-lane dim, and XLA lowers
-    that as a relayout + cross-lane reduction — the thirteen flat-block GN
-    stats fusions measured ~10x their bytes bound that way (0.87 ms/step of
-    the r4 roofline). Group pooling happens on the tiny (B, C) sums, same
-    trick as the fused kernels' _group_stats (ops/pallas_resnet.py)."""
-    from jax import lax as _lax
+    The stats come from ops/pallas_stats.group_mean_inv: ONE bytes-bound
+    Pallas pass per tensor (channels on lanes, rows across sublanes, f32
+    accumulation; jnp row-reduce fallback off-TPU). Reducing a
+    (B,T,F,G,C/G) reshape instead splits the 128-lane dim, and even the
+    lane-intact XLA reduce lowers ~10x off its bytes bound (r4 roofline).
+    Group pooling happens on the tiny (B, C) sums, same trick as the fused
+    kernels' _group_stats (ops/pallas_resnet.py)."""
+    from unitspeech_tpu.ops.pallas_stats import group_mean_inv
 
     b, t, f, c = x.shape
-    cg = c // groups
     x2 = x.reshape(b, t * f, c)
-    s = jnp.sum(x2, axis=1, dtype=jnp.float32)  # (B, C), lanes intact
-    ss = jnp.sum(jnp.square(x2.astype(jnp.float32)), axis=1)  # (B, C)
-    n = t * f * cg
-    mean_g = s.reshape(b, groups, cg).sum(-1) / n  # (B, G) — tiny
-    var_g = ss.reshape(b, groups, cg).sum(-1) / n - jnp.square(mean_g)
-    inv_g = _lax.rsqrt(var_g + eps)  # (B, G)
-    mean_c = jnp.repeat(mean_g, cg, axis=1).astype(x.dtype)  # (B, C)
-    inv_c = jnp.repeat(inv_g, cg, axis=1).astype(x.dtype)
+    mean_f, inv_f = group_mean_inv(x2, groups, eps)  # (B, C) f32
+    mean_c = mean_f.astype(x.dtype)
+    inv_c = inv_f.astype(x.dtype)
     y = (x2 - mean_c[:, None, :]) * inv_c[:, None, :]
     y = y.reshape(b, t, f, c)
     return y * scale.astype(x.dtype) + bias.astype(x.dtype)
@@ -242,15 +237,17 @@ class ResnetBlock(nn.Module):
 
         def gn_mish(acc, scale, bias):
             # f32 stats over ALL rows incl. padding (torch GroupNorm parity);
-            # math stays f32 even when the materialized input is bf16
-            g = self.groups
-            ag = acc.reshape(b, n, g, self.dim_out // g)
-            mean = jnp.mean(ag, axis=(1, 3), keepdims=True, dtype=jnp.float32)
-            var = jnp.mean(
-                jnp.square(ag.astype(jnp.float32)), axis=(1, 3), keepdims=True
-            ) - jnp.square(mean)
-            h = ((ag.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)
-                 ).reshape(b, n, self.dim_out)
+            # math stays f32 even when the materialized input is bf16. Stats
+            # come from the one-pass Pallas row_stats kernel: the previous
+            # (b, n, g, C/g) reduce split the 128-lane axis and XLA's
+            # variadic sum/sumsq reduce emitter measured ~10x its bytes
+            # bound either way (thirteen fusions, 0.88 ms/step — r4
+            # roofline; ops/pallas_stats.py)
+            from unitspeech_tpu.ops.pallas_stats import group_mean_inv
+
+            mean_c, inv_c = group_mean_inv(acc, self.groups)
+            h = (acc.astype(jnp.float32) - mean_c[:, None, :]) \
+                * inv_c[:, None, :]
             h = h * scale + bias
             from unitspeech_tpu.ops.cheap_mish import glue_mish
 

@@ -97,9 +97,16 @@ def conv3x3_int8(xf, w, f: int):
     OPT-IN (ResnetBlock use_int8) and excluded from parity claims."""
     b, n, cin = xf.shape
     cout = w.shape[-1]
-    xf32 = xf.astype(jnp.float32)
-    sx = 127.0 / jnp.maximum(jnp.max(jnp.abs(xf32)), 1e-8)
-    x8 = jnp.clip(jnp.round(xf32 * sx), -127, 127).astype(jnp.int8)
+    # per-tensor activation scale via the one-pass Pallas row-absmax kernel:
+    # XLA's full-tensor abs+max reduce measured ~15x its bytes bound on the
+    # serving profile (abs_reduce fusions ~0.2 ms/step — r4 roofline;
+    # ops/pallas_stats.py)
+    from unitspeech_tpu.ops.pallas_stats import row_absmax
+
+    sx = 127.0 / jnp.maximum(jnp.max(row_absmax(xf)), 1e-8)
+    x8 = jnp.clip(
+        jnp.round(xf.astype(jnp.float32) * sx), -127, 127
+    ).astype(jnp.int8)
     wm = w.astype(jnp.float32).reshape(9 * cin, cout)
     sw = 127.0 / jnp.maximum(jnp.max(jnp.abs(wm), axis=0), 1e-8)  # (Cout,)
     w8 = jnp.clip(jnp.round(wm * sw), -127, 127).astype(jnp.int8)
