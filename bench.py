@@ -49,7 +49,8 @@ HOP = 256
 
 def build(smoke: bool, use_pallas: bool = True, use_pallas_resnet: bool = True,
           use_int8: bool = False, use_deep: bool = False,
-          use_resample: bool = False, tap_mode: str = "taps"):
+          use_resample: bool = False, tap_mode: str = "taps",
+          i8pre: bool = False):
     from unitspeech_tpu.config import (
         DataConfig,
         DecoderConfig,
@@ -90,6 +91,7 @@ def build(smoke: bool, use_pallas: bool = True, use_pallas_resnet: bool = True,
         use_int8_deep=use_int8,
         use_pallas_deep=use_deep and on_tpu,
         use_pallas_resample=use_resample and on_tpu,
+        use_i8pre_deep=i8pre and on_tpu,
         tap_mode=tap_mode,
     )
     return Synthesizer(models)
@@ -115,6 +117,12 @@ def main():
                     help="whole-layer fused Pallas deep-stage ResnetBlocks "
                          "(bf16; measured 2.4-3.6x the flat matmul blocks "
                          "per block, tools/bench_resnet_kernel.py --deep)")
+    ap.add_argument("--i8pre", dest="i8pre", action="store_true",
+                    default=False,
+                    help="route stage2-band deep blocks through the "
+                         "whole-layer PRE-quantized int8 kernels "
+                         "(fused_resnet_block_deep_i8; microbenched 1.30x "
+                         "vs flat int8 at stage2)")
     ap.add_argument("--resample", dest="resample", action="store_true",
                     default=False,
                     help="fused Pallas stride-2 down/upsample convs at "
@@ -137,6 +145,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     synth = build(args.smoke, use_int8=args.int8, use_deep=args.deep,
+                  i8pre=args.i8pre,
                   use_resample=args.resample, tap_mode=args.tap_mode)
     m = synth.models
     frames = args.frames if not args.smoke else 48
@@ -362,6 +371,33 @@ def bench_extras(synth, args, frames, n_tok):
         return {"rtf_500step": round(rtf, 5),
                 "vs_baseline_500step": round(8.4981 / rtf, 2)}
 
+    def _rtf_dpm2(steps):
+        # deterministic DPM-Solver++(2M) fast serving mode (NOT the
+        # reference-parity number — the reference has no ODE sampler; its
+        # Grad-TTS lineage samples with coarse ODE solvers). Reported under
+        # its own label; quality bound vs the 50-step DDPM output in
+        # tests/test_ode_sampler.py + tools/dpm2_gate.py.
+        toks = list(rng.integers(1, 179, (n_tok,)).astype(np.int32))
+
+        def once():
+            wav, _sr = synth(
+                toks, key, _forced_total_frames=frames,
+                diffusion_steps=steps, sampler="dpm2",
+                text_gradient_scale=tg, spk_gradient_scale=sg,
+            )
+            return np.asarray(wav)
+
+        once()
+        once()
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            once()
+            times.append(time.perf_counter() - t0)
+        rtf = float(np.median(times)) / speech_s
+        print(f"# dpm2-{steps}step: rtf={rtf:.4f}", file=sys.stderr)
+        return {f"rtf_dpm2_{steps}step": round(rtf, 5)}
+
     def _throughput(bsz):
         def once():
             toks = rng.integers(1, 179, (bsz, n_tok)).astype(np.int32)
@@ -415,6 +451,8 @@ def bench_extras(synth, args, frames, n_tok):
         return {"finetune_500iter_s": r["value"]}
 
     _section("rtf_500step", _rtf_500step)
+    _section("dpm2_25", lambda: _rtf_dpm2(25))
+    _section("dpm2_16", lambda: _rtf_dpm2(16))
     _section("batch8", _throughput(8))
     _section("batch32", _throughput(32))
     _section("train_step1", lambda: _train(False))

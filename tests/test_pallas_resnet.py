@@ -323,6 +323,43 @@ def test_fused_resnet_deep_int8_error_bound(cin, cout):
     assert np.abs(np.asarray(got)[1, 9:]).max() == 0.0
 
 
+@pytest.mark.parametrize("cin,cout", [(8, 16), (16, 16), (16, 8)])
+def test_fused_resnet_deep_i8pre_error_bound(cin, cout):
+    """Pre-quantized int8 deep kernels (fused_resnet_block_deep_i8): the
+    activations quantize OUTSIDE the conv kernels (per-batch-element scale),
+    so the whole-layer kernels assemble int8 windows directly — the VMEM
+    shape the r3 in-kernel int8 variant blew up on. Same error band as the
+    other int8 paths; padding rows stay exactly zero."""
+    from unitspeech_tpu.ops.pallas_resnet import fused_resnet_block_deep_i8
+
+    b, t, f = 2, 15, 6
+    key = jax.random.PRNGKey(13)
+    block = ResnetBlock(cout, groups=4)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (b, t, f, cin))
+    t_emb = jax.random.normal(jax.random.fold_in(key, 2), (b, 12))
+    mask = (jnp.arange(t)[None, :] < jnp.asarray([15, 9])[:, None]).astype(
+        jnp.float32
+    )[:, :, None, None]
+    params = block.init(key, x, mask, t_emb)
+    ref = np.asarray(block.apply(params, x, mask, t_emb))
+
+    p = params["params"]
+    t_bias = mish(t_emb) @ p["mlp"]["kernel"] + p["mlp"]["bias"]
+    got = fused_resnet_block_deep_i8(
+        x, mask, t_bias,
+        p["block1"]["conv"]["kernel"], p["block1"]["conv"]["bias"],
+        p["block1"]["norm"]["scale"], p["block1"]["norm"]["bias"],
+        p["block2"]["conv"]["kernel"], p["block2"]["conv"]["bias"],
+        p["block2"]["norm"]["scale"], p["block2"]["norm"]["bias"],
+        wres=p["res_conv"]["kernel"] if cin != cout else None,
+        bres=p["res_conv"]["bias"] if cin != cout else None,
+        groups=4, interpret=True,
+    )
+    rel = np.abs(np.asarray(got) - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel
+    assert np.abs(np.asarray(got)[1, 9:]).max() == 0.0
+
+
 def test_estimator_routes_deep_kernel_over_flat_int8():
     """use_pallas_deep + use_int8 routes cout >= cin deep blocks through the
     BF16 fused whole-layer kernel (the in-kernel int8 variant crashes the

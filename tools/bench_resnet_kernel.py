@@ -13,6 +13,7 @@ import argparse
 import os
 import sys
 import time
+from functools import partial
 
 # NEVER set PYTHONPATH for TPU jobs: the axon plugin's device discovery
 # fails ("No jellyfish device found") whenever the PYTHONPATH env var is set,
@@ -65,12 +66,17 @@ def main():
                          "the flat conv3x3_int8 path (the serving default at "
                          "the deep stages) and the deep fused kernel "
                          "quantizes in kernel")
+    ap.add_argument("--i8pre", action="store_true",
+                    help="with --deep: bench fused_resnet_block_deep_i8 "
+                         "(whole-layer int8 kernels on PRE-quantized "
+                         "activations) against the flat int8 baseline")
     args = ap.parse_args()
 
     from unitspeech_tpu.models.unet import ResnetBlock, mish
     from unitspeech_tpu.ops import pallas_resnet
     from unitspeech_tpu.ops.pallas_resnet import (
-        fused_resnet_block, fused_resnet_block_deep, supports_shape,
+        fused_resnet_block, fused_resnet_block_deep,
+        fused_resnet_block_deep_i8, supports_shape,
     )
 
     pallas_resnet.MISH_MODE = args.mish_mode
@@ -139,10 +145,13 @@ def main():
             return run
 
         def deep_chain(k, reduce=True):
+            deep_fn = (fused_resnet_block_deep_i8 if args.i8pre
+                       else partial(fused_resnet_block_deep, int8=args.int8))
+
             @jax.jit
             def run(xx):
                 def body(i, h):
-                    return fused_resnet_block_deep(
+                    return deep_fn(
                         h, mask, t_bias,
                         params["block1"]["conv"]["kernel"],
                         params["block1"]["conv"]["bias"],
@@ -152,7 +161,7 @@ def main():
                         params["block2"]["conv"]["bias"],
                         params["block2"]["norm"]["scale"],
                         params["block2"]["norm"]["bias"],
-                        groups=8, interpret=False, int8=args.int8,
+                        groups=8, interpret=False,
                     ).astype(h.dtype)
                 out = lax.fori_loop(0, k, body, xx)
                 return jnp.sum(out.astype(jnp.float32)) if reduce else out

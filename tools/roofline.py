@@ -90,11 +90,44 @@ def estimator_blocks(t=344, f=80, b=3, dim=128, mults=(1, 2, 4, 8),
     out = {}
 
     def conv_cost(r, cin, cout, int8):
+        """Bytes model the conv as the flat path actually executes it, not
+        an idealized conv: the int8 im2col path (ops/conv_matmul.
+        conv3x3_int8) quantizes the bf16 input, MATERIALIZES the (r, 9*cin)
+        int8 column tensor (write + read), and re-reads the int8 weights
+        every step (loop-hoisted quantization, but the bytes still flow);
+        the bf16 taps/im2col paths likewise materialize shifted copies.
+        The r4 ledger's first version omitted these, overstating deep-conv
+        headroom as 1.7-2x; with the real traffic the deep blocks measure
+        ~1.0-1.2x their bound."""
         fl = r * 9 * cin * cout * 2
-        by = r * (cin + cout) * (1 if int8 else 2) + 9 * cin * cout
+        if int8:
+            by = (r * cin * 2        # bf16 input read (absmax + quantize)
+                  + r * cin          # int8 x write
+                  + 2 * r * 9 * cin  # im2col column write + read (int8)
+                  + 9 * cin * cout   # int8 weights, re-read each step
+                  + r * cout * 2)    # output store (bf16)
+        else:
+            by = (r * cin * 2
+                  + 2 * r * 9 * cin * 2  # shifted-tap / column copies (bf16)
+                  + 9 * cin * cout * 2
+                  + r * cout * 2)
         return fl, by
 
-    def res_block(name, r, cin, cout):
+    def res_block(name, r, cin, cout, fused=False):
+        """fused=True: the block runs the 3-chained-Pallas-kernel route
+        (F % 8 == 0 stages — down_0/1 and up_0; bf16, windows assembled in
+        VMEM with a ~25% halo re-read, glue rides inside the kernels).
+        fused=False: the flat matmul route with materialized columns."""
+        if fused:
+            fl = (r * 9 * cin * cout + r * 9 * cout * cout) * 2
+            if cin != cout:
+                fl += r * cin * cout * 2
+            by = (1.25 * r * cin * 2 + r * cout * 2      # A: in + c1
+                  + 1.25 * r * cout * 2 + r * cout * 2   # B: c1 + c2
+                  + r * cout * 2 + r * cin * 2           # C: c2 + x residual
+                  + r * cout * 2)                        # C: out
+            out[name] = (fl, by, PEAK_BF16)
+            return
         int8 = max(cin, cout) >= int8_min_c
         f1, b1 = conv_cost(r, cin, cout, int8)
         f2, b2 = conv_cost(r, cout, cout, int8)
@@ -116,8 +149,9 @@ def estimator_blocks(t=344, f=80, b=3, dim=128, mults=(1, 2, 4, 8),
     prev_c = 2
     for i, c in enumerate(dims):
         r = rows[i]
-        res_block(f"est/down_{i}_res1", r, prev_c, c)
-        res_block(f"est/down_{i}_res2", r, c, c)
+        fused = i < 2  # F=80/40 stages: fused Pallas resblock route
+        res_block(f"est/down_{i}_res1", r, prev_c, c, fused=fused)
+        res_block(f"est/down_{i}_res2", r, c, c, fused=fused)
         attn(f"est/down_{i}_attn", r, c)
         if i < len(dims) - 1:
             out[f"est/down_{i}_down"] = (
@@ -134,8 +168,9 @@ def estimator_blocks(t=344, f=80, b=3, dim=128, mults=(1, 2, 4, 8),
         din = dims[ind]
         r = rows[ind + 1]
         cin = dims[ind + 1] * 2  # skip concat
-        res_block(f"est/up_{ind}_res1", r, cin, din)
-        res_block(f"est/up_{ind}_res2", r, din, din)
+        fused = ind == 0  # up_0 runs at the F=40 resolution: fused route
+        res_block(f"est/up_{ind}_res1", r, cin, din, fused=fused)
+        res_block(f"est/up_{ind}_res2", r, din, din, fused=fused)
         attn(f"est/up_{ind}_attn", r, din)
         out[f"est/up_{ind}_up"] = (
             (r * 4) * 4 * din * din * 2,  # convT4x4/s2: 4 taps per output

@@ -26,7 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from unitspeech_tpu.config import MainConfig
-from unitspeech_tpu.models.diffusion import UnitSpeech, reverse_diffusion
+from unitspeech_tpu.models.diffusion import (
+    UnitSpeech,
+    reverse_diffusion,
+    reverse_diffusion_ode,
+)
 from unitspeech_tpu.models.duration import DurationPredictor
 from unitspeech_tpu.models.encoder import Encoder
 from unitspeech_tpu.models.vocoder import BigVGAN
@@ -62,6 +66,7 @@ class TTSModels:
                     use_pallas_vocoder=False, use_pallas_resnet=False,
                     use_pallas_attention=False, use_int8_deep=False,
                     use_pallas_deep=False, use_pallas_resample=False,
+                    use_i8pre_deep=False,
                     glue_mish="exact", tap_mode="taps"):
         """Randomly initialized bundle at full config size (for benchmarks and
         shape tests; real weights come from the checkpoint converter)."""
@@ -86,7 +91,8 @@ class TTSModels:
             cfg.decoder, dtype=dtype, use_pallas_resnet=use_pallas_resnet,
             use_pallas_attention=use_pallas_attention,
             use_int8_deep=use_int8_deep, use_pallas_deep=use_pallas_deep,
-            use_pallas_resample=use_pallas_resample, glue_mish=glue_mish,
+            use_pallas_resample=use_pallas_resample,
+            use_i8pre_deep=use_i8pre_deep, glue_mish=glue_mish,
             tap_mode=tap_mode,
         )
         t8 = fix_len_compatibility(8, cfg.decoder.num_downsamplings)
@@ -149,6 +155,7 @@ def _encode_and_duration(
         "beta_min",
         "beta_max",
         "y_pad",
+        "sampler",
         "mesh",
         "sample_spec",
     ),
@@ -170,6 +177,7 @@ def _align_and_sample(
     beta_min: float,
     beta_max: float,
     y_pad: int = 0,
+    sampler: str = "ddpm",
     mesh=None,
     sample_spec=None,
     noise_z=None,
@@ -194,23 +202,36 @@ def _align_and_sample(
         z = jax.random.normal(jax.random.fold_in(key, 0), cond_y.shape)
     else:
         z = noise_z
-    mel = reverse_diffusion(
-        decoder_apply,
-        dec_params,
-        z,
-        y_mask,
-        cond_y,
-        spk_emb,
-        jax.random.fold_in(key, 1),
-        n_timesteps=n_timesteps,
-        text_gradient_scale=text_gradient_scale,
-        spk_gradient_scale=spk_gradient_scale,
-        beta_min=beta_min,
-        beta_max=beta_max,
-        mesh=mesh,
-        sample_spec=sample_spec,
-        noises=noises,
-    )
+    if sampler == "dpm2":
+        # deterministic DPM-Solver++(2M) probability-flow sampler: the
+        # fast serving mode (reaches comparable quality at roughly half
+        # the DDPM step count; reported under its own benchmark label)
+        mel = reverse_diffusion_ode(
+            decoder_apply, dec_params, z, y_mask, cond_y, spk_emb,
+            n_timesteps=n_timesteps,
+            text_gradient_scale=text_gradient_scale,
+            spk_gradient_scale=spk_gradient_scale,
+            beta_min=beta_min, beta_max=beta_max,
+            mesh=mesh, sample_spec=sample_spec,
+        )
+    else:
+        mel = reverse_diffusion(
+            decoder_apply,
+            dec_params,
+            z,
+            y_mask,
+            cond_y,
+            spk_emb,
+            jax.random.fold_in(key, 1),
+            n_timesteps=n_timesteps,
+            text_gradient_scale=text_gradient_scale,
+            spk_gradient_scale=spk_gradient_scale,
+            beta_min=beta_min,
+            beta_max=beta_max,
+            mesh=mesh,
+            sample_spec=sample_spec,
+            noises=noises,
+        )
     return denormalize_mel(mel, mel_min, mel_max), attn
 
 
@@ -225,7 +246,7 @@ def _vocode_jit(vocoder, vocoder_params, mel):
         "text_encoder", "duration_predictor", "decoder_apply", "vocoder",
         "frame_bucket", "n_timesteps", "length_scale", "text_gradient_scale",
         "spk_gradient_scale", "beta_min", "beta_max", "override_durations",
-        "mesh", "sample_spec",
+        "sampler", "mesh", "sample_spec",
     ),
 )
 def _synthesize_single_dispatch(
@@ -235,7 +256,7 @@ def _synthesize_single_dispatch(
     frame_bucket: int, n_timesteps: int, length_scale: float,
     text_gradient_scale: float, spk_gradient_scale: float,
     beta_min: float, beta_max: float, override_durations: bool = False,
-    mesh=None, sample_spec=None,
+    sampler: str = "ddpm", mesh=None, sample_spec=None,
 ):
     """The ENTIRE pipeline — text encoder -> duration -> alignment -> scan
     sampler -> BigVGAN — as ONE device dispatch at a statically chosen frame
@@ -278,7 +299,8 @@ def _synthesize_single_dispatch(
         mu_x, x_mask, w_ceil, y_mask, spk_emb, key, mel_min, mel_max,
         n_timesteps=n_timesteps, text_gradient_scale=text_gradient_scale,
         spk_gradient_scale=spk_gradient_scale,
-        beta_min=beta_min, beta_max=beta_max, mesh=mesh, sample_spec=sample_spec,
+        beta_min=beta_min, beta_max=beta_max, sampler=sampler,
+        mesh=mesh, sample_spec=sample_spec,
     )
     # mu_x/x_mask/w_ceil ride along DEVICE-RESIDENT (no D2H unless the caller
     # materializes them): a speculative miss reuses them for the corrected
@@ -368,16 +390,16 @@ def _synthesize_bucket_switch(
     jax.jit,
     static_argnames=(
         "decoder_apply", "vocoder", "n_timesteps", "text_gradient_scale",
-        "spk_gradient_scale", "beta_min", "beta_max", "y_pad", "mesh",
-        "sample_spec",
+        "spk_gradient_scale", "beta_min", "beta_max", "y_pad", "sampler",
+        "mesh", "sample_spec",
     ),
 )
 def _align_sample_vocode(
     decoder_apply, dec_params, vocoder, vocoder_params,
     mu_x, x_mask, w_ceil, y_mask, spk_emb, key, mel_min, mel_max,
     n_timesteps: int, text_gradient_scale: float, spk_gradient_scale: float,
-    beta_min: float, beta_max: float, y_pad: int = 0, mesh=None,
-    sample_spec=None, noise_z=None, noises=None,
+    beta_min: float, beta_max: float, y_pad: int = 0, sampler: str = "ddpm",
+    mesh=None, sample_spec=None, noise_z=None, noises=None,
 ):
     """Whole post-duration pipeline in ONE executable: alignment -> 50-step
     scan sampler -> BigVGAN. One device dispatch instead of two — dispatch
@@ -387,8 +409,8 @@ def _align_sample_vocode(
         mel_min, mel_max, n_timesteps=n_timesteps,
         text_gradient_scale=text_gradient_scale,
         spk_gradient_scale=spk_gradient_scale,
-        beta_min=beta_min, beta_max=beta_max, y_pad=y_pad, mesh=mesh,
-        sample_spec=sample_spec, noise_z=noise_z, noises=noises,
+        beta_min=beta_min, beta_max=beta_max, y_pad=y_pad, sampler=sampler,
+        mesh=mesh, sample_spec=sample_spec, noise_z=noise_z, noises=noises,
     )
     wav = vocoder.apply(vocoder_params, mel)
     return wav, mel, attn
@@ -680,7 +702,7 @@ class Synthesizer:
         )
 
     def _single_dispatch(self, tokens, lengths, w_override, frame_bucket,
-                         key, steps, lscale, tg, sg):
+                         key, steps, lscale, tg, sg, sampler="ddpm"):
         """Run _synthesize_single_dispatch over a (B, tok_bucket) batch."""
         m = self.models
         override = w_override is not None
@@ -704,7 +726,7 @@ class Synthesizer:
             length_scale=float(lscale), text_gradient_scale=float(tg),
             spk_gradient_scale=float(sg),
             beta_min=m.cfg.decoder.beta_min, beta_max=m.cfg.decoder.beta_max,
-            override_durations=override,
+            override_durations=override, sampler=str(sampler),
             mesh=self.mesh, sample_spec=self.sample_spec,
         )
 
@@ -737,6 +759,9 @@ class Synthesizer:
         sg = kwargs.get("spk_gradient_scale")
         sg = icfg.spk_gradient_scale if sg is None else sg
         forced_frames = kwargs.get("_forced_total_frames")
+        # "ddpm" (reference parity, default) or "dpm2" (deterministic
+        # DPM-Solver++(2M) fast mode — fewer estimator calls per sample)
+        sampler = str(kwargs.get("sampler", "ddpm"))
 
         hop = m.cfg.data.hop_length
         sr = m.cfg.data.sampling_rate
@@ -759,7 +784,8 @@ class Synthesizer:
                 self.frame_buckets,
             )
             wav, _mel, y_lengths, *_rest = self._single_dispatch(
-                tokens, [n_tok], w_forced, bucket, key, steps, lscale, tg, sg
+                tokens, [n_tok], w_forced, bucket, key, steps, lscale, tg, sg,
+                sampler=sampler,
             )
             wav, y_len = jax.device_get((wav, y_lengths))
             return np.asarray(wav)[0, : int(y_len[0]) * hop], sr

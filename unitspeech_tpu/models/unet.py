@@ -204,6 +204,13 @@ class ResnetBlock(nn.Module):
     # stage2 0.21 vs 0.31 ms/block bf16; stage3 break-even. Excluded from
     # parity claims; see ops/conv_matmul.conv3x3_int8.
     use_int8: bool = False
+    # whole-layer PRE-quantized int8 deep kernels for the stage2-band
+    # blocks (Cout <= 512): activations quantize in one XLA pass so the
+    # kernels assemble int8 windows directly — no (r, 9C) im2col column
+    # round trip. Microbenched 1.30x vs flat int8 at stage2, wash at
+    # stage3 (tools/bench_resnet_kernel.py --deep --i8pre --int8); only
+    # the winning band routes. Same ~1% int8 error family as use_int8.
+    use_i8pre_deep: bool = False
     # mish implementation for the VPU-bound inter-conv glue of the flat
     # path (ops/cheap_mish.py; quality-gated by tools/mish_gate.py). The
     # XLA Block path and the Pallas kernels keep exact mish — their glue is
@@ -328,6 +335,23 @@ class ResnetBlock(nn.Module):
             # the same way even at identity shapes, so the deep call is
             # always bf16 (measured faster than flat int8 anyway: 0.182 vs
             # 0.289 ms/block at stage2, tools/bench_resnet_kernel.py).
+            i8pre_ok = (
+                self.use_i8pre_deep and self.use_int8
+                and self.dim_out <= 512
+                and t * f * max(cin, self.dim_out) * 2 <= 4 * 1024 * 1024
+            )
+            if i8pre_ok:
+                from unitspeech_tpu.ops.pallas_resnet import (
+                    fused_resnet_block_deep_i8,
+                )
+
+                (k1, b1, s1, be1, bias_t, k2, b2, s2, be2, wres,
+                 bres) = self._fused_params(x, t_emb)
+                return fused_resnet_block_deep_i8(
+                    x.astype(self.dtype), mask, bias_t,
+                    k1, b1, s1, be1, k2, b2, s2, be2,
+                    wres=wres, bres=bres, groups=self.groups,
+                )
             deep_ok = (
                 self.use_pallas_deep
                 and t * f * max(cin, self.dim_out) * 2 <= 4 * 1024 * 1024
@@ -603,6 +627,10 @@ class GradLogPEstimator2d(nn.Module):
     use_int8_deep: bool = False
     use_pallas_deep: bool = False
     use_pallas_resample: bool = False
+    # route the stage2-band deep blocks (Cout <= 512) through the
+    # whole-layer PRE-quantized int8 kernels (fused_resnet_block_deep_i8):
+    # microbenched 1.30x vs the flat int8 path at stage2, wash at stage3
+    use_i8pre_deep: bool = False
     glue_mish: str = "exact"
     # conv structure inside the fused early-stage Pallas kernels
     # (ops/pallas_resnet._conv3x3_taps: "taps" | "taps3" | "im2col")
@@ -631,6 +659,7 @@ class GradLogPEstimator2d(nn.Module):
                             use_pallas=self.use_pallas_resnet,
                             use_int8=self.use_int8_deep,
                         use_pallas_deep=self.use_pallas_deep,
+                        use_i8pre_deep=self.use_i8pre_deep,
                         glue_mish=self.glue_mish,
                         tap_mode=self.tap_mode,
                             name=f"down_{ind}_res1")(h, mk, t_emb)
@@ -640,6 +669,7 @@ class GradLogPEstimator2d(nn.Module):
                             use_pallas=self.use_pallas_resnet,
                             use_int8=self.use_int8_deep,
                         use_pallas_deep=self.use_pallas_deep,
+                        use_i8pre_deep=self.use_i8pre_deep,
                         glue_mish=self.glue_mish,
                         tap_mode=self.tap_mode,
                             name=f"down_{ind}_res2")(h, mk, t_emb)
@@ -682,6 +712,7 @@ class GradLogPEstimator2d(nn.Module):
                         use_pallas=self.use_pallas_resnet,
                         use_int8=self.use_int8_deep,
                         use_pallas_deep=self.use_pallas_deep,
+                        use_i8pre_deep=self.use_i8pre_deep,
                         glue_mish=self.glue_mish,
                         tap_mode=self.tap_mode,
                         name="mid_res1")(h, mk, t_emb)
@@ -690,6 +721,7 @@ class GradLogPEstimator2d(nn.Module):
                         use_pallas=self.use_pallas_resnet,
                         use_int8=self.use_int8_deep,
                         use_pallas_deep=self.use_pallas_deep,
+                        use_i8pre_deep=self.use_i8pre_deep,
                         glue_mish=self.glue_mish,
                         tap_mode=self.tap_mode,
                         name="mid_res2")(h, mk, t_emb)
@@ -703,6 +735,7 @@ class GradLogPEstimator2d(nn.Module):
                             use_pallas=self.use_pallas_resnet,
                             use_int8=self.use_int8_deep,
                         use_pallas_deep=self.use_pallas_deep,
+                        use_i8pre_deep=self.use_i8pre_deep,
                         glue_mish=self.glue_mish,
                         tap_mode=self.tap_mode,
                             name=f"up_{ind}_res1")(h, mk, t_emb)
@@ -711,6 +744,7 @@ class GradLogPEstimator2d(nn.Module):
                             use_pallas=self.use_pallas_resnet,
                             use_int8=self.use_int8_deep,
                         use_pallas_deep=self.use_pallas_deep,
+                        use_i8pre_deep=self.use_i8pre_deep,
                         glue_mish=self.glue_mish,
                         tap_mode=self.tap_mode,
                             name=f"up_{ind}_res2")(h, mk, t_emb)

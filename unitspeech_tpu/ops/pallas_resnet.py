@@ -832,6 +832,308 @@ def _quant_w(w2d):
     return w8.astype(jnp.int8), (1.0 / sw).reshape(1, -1).astype(jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# int8 deep path with PRE-quantized activations ("i8pre")
+#
+# The r3 in-kernel int8 deep kernels crashed the remote TPU compiler even at
+# identity shapes — the bf16 windows PLUS their quantized copies blew VMEM.
+# This variant quantizes activations OUTSIDE the conv kernels (one cheap XLA
+# pass per conv, scales from the one-pass ops/pallas_stats.row_absmax), so
+# the conv kernels assemble int8 windows directly: HALF the bf16 VMEM, int8 x
+# int8 -> int32 MXU dots (2x v5e throughput), and no materialized (r, 9C)
+# im2col column — the flat path's dominant deep-stage traffic (~24 MB/conv
+# round trip at stage3; r4 roofline conv_cost).
+# ---------------------------------------------------------------------------
+
+
+def _conv3x3_taps_i8pre(win8, w8_ref, swe_ref, f: int, tile: int):
+    """9-tap conv3x3 on a PRE-quantized int8 window. win8: (tile+2F, Cin)
+    int8; w8_ref rows: [(dt+1)*3+(df+1)]*Cin -> (Cin, Cb) int8; swe_ref:
+    (1, Cb) f32 EFFECTIVE dequant scale — (1/sx)*(1/sw) with the per-batch
+    activation scale folded in by the caller."""
+    cin = win8.shape[-1]
+    wrow = jax.lax.broadcasted_iota(jnp.int32, (tile + 2 * f, 1), 0) % f
+    zero_row = jnp.zeros((1, cin), jnp.int8)
+    win_m = jnp.where(wrow != 0,
+                      jnp.concatenate([zero_row, win8[:-1]], 0), 0)
+    win_p = jnp.where(wrow != f - 1,
+                      jnp.concatenate([win8[1:], zero_row], 0), 0)
+    srcs = {-1: win_m, 0: win8, 1: win_p}
+    acc = None
+    for dt in (-1, 0, 1):
+        base = f + dt * f
+        for df in (-1, 0, 1):
+            tap = srcs[df][base : base + tile, :]
+            k = ((dt + 1) * 3 + (df + 1)) * cin
+            part = jnp.dot(tap, w8_ref[k : k + cin, :],
+                           preferred_element_type=jnp.int32)
+            acc = part if acc is None else acc + part
+    return acc.astype(jnp.float32) * swe_ref[0]  # (1, Cb) from (1, 1, Cb)
+
+
+def _kernel_a_deep_i8(lens_ref, x8_ref, w8_ref, swe_ref, b_ref, out_ref,
+                      stats_ref, *, f: int, n: int, n_true: int, out_dtype):
+    """Whole-layer int8 conv3x3 + bias + GN stats (i8pre variant of
+    _kernel_a_deep; row-count/masking contract identical)."""
+    x8 = x8_ref[0]  # (n, cin) int8
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) < lens_ref[0, 0, 0]
+    )
+    xm = jnp.where(valid, x8, 0)
+    zf = jnp.zeros((f, x8.shape[-1]), jnp.int8)
+    win = jnp.concatenate([zf, xm, zf], axis=0)  # (n + 2f, cin)
+    acc = _conv3x3_taps_i8pre(win, w8_ref, swe_ref, f, n)
+    acc = acc + b_ref[:].astype(jnp.float32)
+    if n != n_true:
+        rv = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+              < n_true).astype(jnp.float32)
+        acc = acc * rv
+    out_ref[0] = acc.astype(out_dtype)
+    stats_ref[0, 0, :] = jnp.sum(acc, axis=0)
+    stats_ref[0, 1, :] = jnp.sum(acc * acc, axis=0)
+
+
+def _kernel_glue_q_deep(lens_ref, c1_ref, stats_ref, scale_ref, bias_ref,
+                        film_ref, h8_ref, amax_ref, *, n: int, n_true: int,
+                        groups: int):
+    """GN1-apply + mish + FiLM + mask + int8 QUANTIZE, whole layer for one
+    batch element. Emits the quantized conv2 input h8 plus the per-channel
+    abs-max the caller folds into conv2's effective dequant scale. The
+    in-kernel global scale 127/max|h| equals the XLA-side
+    127/max(amax_channels) exactly (max is order-independent), so the
+    quantization and its dequant agree bit-for-bit. No windows, no dots —
+    VMEM stays ~3 f32 copies of one deep layer, far under the r3 crash
+    regime."""
+    c1 = c1_ref[0]  # (n, cout)
+    mean, inv = _group_stats(
+        stats_ref[0, 0, :], stats_ref[0, 1, :], n_true, groups
+    )
+    h = (c1.astype(jnp.float32) - mean) * inv
+    h = h * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+    h = _mish_f32(h)
+    h = h + film_ref[0].astype(jnp.float32)
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) < lens_ref[0, 0, 0]
+    )
+    h = h * valid.astype(jnp.float32)
+    amax_c = jnp.max(jnp.abs(h), axis=0, keepdims=True)  # (1, cout)
+    s = 127.0 / jnp.maximum(jnp.max(amax_c), 1e-8)
+    h8_ref[0] = jnp.clip(jnp.round(h * s), -127, 127).astype(jnp.int8)
+    amax_ref[0] = amax_c
+
+
+@partial(
+    jax.jit,
+    static_argnames=("f", "groups", "interpret", "out_dtype_name"),
+)
+def _fused_resnet_deep_i8pre(
+    x, lens_rows, t_bias, w1, b1, s1, be1, w2, b2, s2, be2, wres, bres,
+    f: int, groups: int, interpret: bool, out_dtype_name: str,
+):
+    """Whole-layer deep ResnetBlock with int8 MXU convs on pre-quantized
+    activations. Chain: XLA quantize(x) -> kernel A (int8 conv1 + stats) ->
+    kernel GLUE (GN1+mish+FiLM+mask+quantize) -> kernel A (int8 conv2 +
+    stats) -> kernel C (GN2+mish+mask+residual). cin > cout falls back to
+    the XLA conv1 hybrid exactly like _fused_resnet_deep."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    out_dtype = jnp.dtype(out_dtype_name)
+    b, n_true, cin = x.shape
+    cout = w1.shape[-1]
+    align = 32  # int8 operands tile natively as (32, 128)
+    n = -(-n_true // align) * align
+    if n != n_true:
+        x = jnp.pad(x, ((0, 0), (0, n - n_true), (0, 0)))
+
+    lens_spec2 = lambda: pl.BlockSpec((1, 1, 1), lambda bb, cb: (bb, 0, 0),
+                                      memory_space=pltpu.SMEM)
+    full_spec_i8 = lambda c: pl.BlockSpec(
+        (1, n, c), lambda bb, cb: (bb, 0, 0), memory_space=pltpu.VMEM)
+    row_full = lambda c: pl.BlockSpec((1, c), lambda bb, cb: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    stats_full = lambda c: pl.BlockSpec((1, 2, c), lambda bb, cb: (bb, 0, 0),
+                                        memory_space=pltpu.VMEM)
+
+    w1_8, sw1 = _quant_w(w1.reshape(9 * cin, cout))
+    w2_8, sw2 = _quant_w(w2.reshape(9 * cout, cout))
+
+    rowmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1) < lens_rows
+    )
+
+    def a_call(x8, swe, w8, bias, cin_conv):
+        cb = _cout_split(cin_conv, cout, itemsize=1)
+        return pl.pallas_call(
+            partial(_kernel_a_deep_i8, f=f, n=n, n_true=n_true,
+                    out_dtype=out_dtype),
+            grid=(b, cout // cb),
+            in_specs=[
+                lens_spec2(),
+                full_spec_i8(cin_conv),
+                pl.BlockSpec((9 * cin_conv, cb), lambda bb, cbi: (0, cbi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, cb), lambda bb, cbi: (bb, 0, cbi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cb), lambda bb, cbi: (0, cbi),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, n, cb), lambda bb, cbi: (bb, 0, cbi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, cb), lambda bb, cbi: (bb, 0, cbi),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, n, cout), out_dtype),
+                jax.ShapeDtypeStruct((b, 2, cout), jnp.float32),
+            ),
+            interpret=interpret,
+        )(lens_rows, x8, w8, swe, bias.reshape(1, cout))
+
+    if cin > cout:
+        # XLA conv1 hybrid (whole-layer kernels at cin > cout crash the
+        # TPU compiler; see _fused_resnet_deep)
+        from unitspeech_tpu.ops.conv_matmul import (
+            choose_conv_impl, conv3x3_im2col, conv3x3_taps,
+        )
+
+        xm1 = jnp.where(rowmask, x, 0).astype(x.dtype)
+        impl = choose_conv_impl(cin, cout)
+        fn = conv3x3_im2col if impl == "im2col" else conv3x3_taps
+        acc1 = fn(xm1, w1.astype(x.dtype), f) + b1.reshape(1, 1, cout)
+        if n != n_true:
+            acc1 = acc1 * (
+                jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1) < n_true
+            ).astype(jnp.float32)
+        stats1 = jnp.stack(
+            [jnp.sum(acc1, axis=1), jnp.sum(acc1 * acc1, axis=1)], axis=1
+        )
+        c1 = acc1.astype(out_dtype)
+    else:
+        # per-batch activation scale from the masked input (one bytes-bound
+        # pass; garbage in unmasked rows must not inflate the scale)
+        xm = jnp.where(rowmask, x.astype(jnp.float32), 0.0)
+        amax_x = jnp.max(jnp.abs(xm), axis=(1, 2))  # (B,)
+        sx1 = 127.0 / jnp.maximum(amax_x, 1e-8)
+        x8 = jnp.clip(
+            jnp.round(xm * sx1[:, None, None]), -127, 127
+        ).astype(jnp.int8)
+        swe1 = (1.0 / sx1)[:, None, None] * sw1[None, :, :]  # (B, 1, cout)
+        c1, stats1 = a_call(x8, swe1, w1_8, b1, cin)
+
+    # glue + quantize for conv2
+    h8, amax_h = pl.pallas_call(
+        partial(_kernel_glue_q_deep, n=n, n_true=n_true, groups=groups),
+        grid=(b, 1),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda bb, j: (bb, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n, cout), lambda bb, j: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, cout), lambda bb, j: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            row_full(cout),
+            row_full(cout),
+            pl.BlockSpec((1, 1, cout), lambda bb, j: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, cout), lambda bb, j: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cout), lambda bb, j: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, cout), jnp.int8),
+            jax.ShapeDtypeStruct((b, 1, cout), jnp.float32),
+        ),
+        interpret=interpret,
+    )(lens_rows, c1, stats1, s1.reshape(1, cout), be1.reshape(1, cout),
+      t_bias.reshape(b, 1, cout))
+
+    sx2 = 127.0 / jnp.maximum(jnp.max(amax_h[:, 0, :], axis=-1), 1e-8)  # (B,)
+    swe2 = (1.0 / sx2)[:, None, None] * sw2[None, :, :]
+    c2, stats2 = a_call(h8, swe2, w2_8, b2, cout)
+
+    # kernel C (GN2 + mish + mask + residual) — identical to the bf16 path
+    identity_res = wres is None
+    res_mode = "identity" if identity_res else "none"
+    wres_in = jnp.zeros((1, 1), x.dtype)
+    bres_in = jnp.zeros((1, 1), jnp.float32)
+    kern_dtype = out_dtype if identity_res else jnp.float32
+    out = pl.pallas_call(
+        partial(_kernel_c, tile=n, n_rows=n_true, groups=groups,
+                res_mode=res_mode, out_dtype=kern_dtype),
+        grid=(b, 1),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda bb, j: (bb, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n, cout), lambda bb, j: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, cin), lambda bb, j: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, cout), lambda bb, j: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda bb, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda bb, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda bb, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda bb, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, cout), lambda bb, j: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, cout), kern_dtype),
+        interpret=interpret,
+    )(lens_rows, c2, x, stats2, s2.reshape(1, cout), be2.reshape(1, cout),
+      wres_in, bres_in)
+    out = out[:, :n_true]
+    if not identity_res:
+        rm = rowmask[:, :n_true]
+        xm = jnp.where(rm, x[:, :n_true], 0)
+        res = jnp.einsum(
+            "bnc,cd->bnd", xm, wres.reshape(cin, cout).astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        res = jnp.where(rm, res + bres.reshape(1, 1, cout), 0.0)
+        out = (out + res).astype(out_dtype)
+    return out
+
+
+def fused_resnet_block_deep_i8(
+    x, mask, t_bias,
+    w1, b1, gn1_scale, gn1_bias,
+    w2, b2, gn2_scale, gn2_bias,
+    wres=None, bres=None,
+    groups: int = 8,
+    interpret: Optional[bool] = None,
+):
+    """Deep ResnetBlock with int8 MXU convs on PRE-quantized activations
+    (same numerics contract and parameter tree as fused_resnet_block_deep;
+    quantization error ~1% per conv like ops/conv_matmul.conv3x3_int8 —
+    excluded from parity claims, eligible for the int8 serving default
+    behind its gate)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, t, f, cin = x.shape
+    lens_frames = jnp.sum(
+        mask.reshape(bsz, t).astype(jnp.float32), axis=1
+    ).astype(jnp.int32)
+    lens_rows = (lens_frames * f).reshape(bsz, 1, 1)
+    out = _fused_resnet_deep_i8pre(
+        x.reshape(bsz, t * f, cin), lens_rows, t_bias.astype(x.dtype),
+        w1, b1, gn1_scale, gn1_bias,
+        w2, b2, gn2_scale, gn2_bias,
+        None if wres is None else wres, bres,
+        f=f, groups=groups, interpret=bool(interpret),
+        out_dtype_name=jnp.dtype(x.dtype).name,
+    )
+    return out.reshape(bsz, t, f, -1)
+
+
 @partial(
     jax.jit,
     static_argnames=("n_frames", "f", "groups", "interpret", "out_dtype_name",

@@ -126,3 +126,102 @@ def make_reverse_schedule(
         c_score=c_score[rev].astype(np.float32).copy(),
         c_noise=c_noise[rev].astype(np.float32).copy(),
     )
+
+
+@dataclass(frozen=True)
+class OdeSchedule:
+    """Per-step coefficients for the DPM-Solver++(2M) probability-flow ODE
+    sampler (deterministic; no noise injection).
+
+    The reference samples ONLY with the 50/500-step stochastic DDPM loop
+    (unitspeech.py:333-374); this schedule powers the framework's opt-in
+    fast serving mode — the Grad-TTS family UnitSpeech builds on samples
+    its reverse process with coarse ODE solvers (Grad-TTS uses 10-50 Euler
+    steps), and a second-order multistep solver reaches comparable sample
+    quality at ~half the DDPM step count, which is the single biggest
+    remaining latency lever on one chip (each step is a full 3x-batched
+    U-Net call).
+
+    Arrays (n_timesteps,), float32 — step i advances t_{i-1} -> t_i:
+      t_eval:  time the score estimator is evaluated at (t_{i-1})
+      a:       sigma_i / sigma_{i-1}                   (carry coefficient)
+      b:       alpha_i * (1 - exp(-h_i))               (data-pred coefficient)
+      c1, c2:  D_i = c1*x0(x_{i-1}) + c2*x0_prev       (2M multistep weights;
+               first step c1=1, c2=0 — a DDIM step)
+      inv_alpha, sigma2: of t_{i-1}, to form x0 = (x + sigma^2*score)/alpha
+    """
+
+    n_timesteps: int
+    t_eval: np.ndarray
+    a: np.ndarray
+    b: np.ndarray
+    c1: np.ndarray
+    c2: np.ndarray
+    inv_alpha: np.ndarray
+    sigma2: np.ndarray
+
+    def stacked(self):
+        return jnp.stack(
+            [jnp.asarray(v) for v in (
+                self.t_eval, self.a, self.b, self.c1, self.c2,
+                self.inv_alpha, self.sigma2,
+            )],
+            axis=1,
+        )  # (N, 7)
+
+
+def _lambda_of_t(t, beta_min, beta_max):
+    lam_cum = beta_min * t + 0.5 * (beta_max - beta_min) * t ** 2
+    alpha2 = np.exp(-lam_cum)
+    sigma2 = 1.0 - alpha2
+    return 0.5 * (np.log(alpha2) - np.log(sigma2))
+
+
+@lru_cache(maxsize=64)
+def make_ode_schedule(
+    n_timesteps: int, beta_min: float = 0.05, beta_max: float = 20.0,
+    t_start: float = 1.0, t_end: float = 0.01,
+) -> OdeSchedule:
+    """DPM-Solver++(2M) coefficients on a uniform log-SNR (lambda) grid from
+    t_start down to t_end (default matches the 50-step DDPM grid's finest
+    midpoint 0.5/50). Host-side float64; the t(lambda) inversion is a
+    bisection on the monotone lambda(t)."""
+    n = n_timesteps
+    lam_a = _lambda_of_t(np.float64(t_start), beta_min, beta_max)
+    lam_b = _lambda_of_t(np.float64(t_end), beta_min, beta_max)
+    lams = np.linspace(lam_a, lam_b, n + 1)  # increasing (t decreasing)
+
+    def t_of_lambda(lam):
+        lo, hi = t_end * 1e-3, 1.0
+        for _ in range(200):
+            mid = 0.5 * (lo + hi)
+            if _lambda_of_t(mid, beta_min, beta_max) > lam:
+                lo = mid
+            else:
+                hi = mid
+        return 0.5 * (lo + hi)
+
+    ts = np.array([t_start] + [t_of_lambda(l) for l in lams[1:-1]] + [t_end])
+    lam_cum = beta_min * ts + 0.5 * (beta_max - beta_min) * ts ** 2
+    alpha = np.exp(-0.5 * lam_cum)
+    sigma = np.sqrt(1.0 - alpha ** 2)
+
+    h = lams[1:] - lams[:-1]  # (N,), positive
+    a = sigma[1:] / sigma[:-1]
+    b = alpha[1:] * (1.0 - np.exp(-h))
+    c1 = np.ones(n)
+    c2 = np.zeros(n)
+    if n > 1:
+        r = h[:-1] / h[1:]  # r_i = h_{i-1}/h_i for i >= 2
+        c1[1:] = 1.0 + 1.0 / (2.0 * r)
+        c2[1:] = -1.0 / (2.0 * r)
+    return OdeSchedule(
+        n_timesteps=n,
+        t_eval=ts[:-1].astype(np.float32).copy(),
+        a=a.astype(np.float32).copy(),
+        b=b.astype(np.float32).copy(),
+        c1=c1.astype(np.float32).copy(),
+        c2=c2.astype(np.float32).copy(),
+        inv_alpha=(1.0 / alpha[:-1]).astype(np.float32).copy(),
+        sigma2=(sigma[:-1] ** 2).astype(np.float32).copy(),
+    )
