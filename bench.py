@@ -102,6 +102,10 @@ def main():
     ap.add_argument("--smoke", action="store_true", help="tiny config, CPU-friendly")
     ap.add_argument("--frames", type=int, default=344, help="synthesized mel frames")
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--sampler", default="ddpm", choices=["ddpm", "dpm2"],
+                    help="forced-path sampler: reference-parity DDPM or the "
+                         "deterministic DPM-Solver++(2M) fast mode (labeled "
+                         "separately; never the parity headline)")
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--batch", type=int, default=1,
                     help="utterances per batched synthesis (throughput mode)")
@@ -167,7 +171,7 @@ def main():
         if b == 1:
             wav, _sr = synth(
                 list(tokens_np[0]), key, _forced_total_frames=frames,
-                diffusion_steps=args.steps,
+                diffusion_steps=args.steps, sampler=args.sampler,
                 text_gradient_scale=tg, spk_gradient_scale=sg,
             )
             return np.asarray(wav)
@@ -205,7 +209,8 @@ def main():
     speech_s *= b  # throughput mode: RTF per chip across the batch
     rtf_forced = proc / speech_s
     result = {
-        "metric": "rtf_50step_synthesis",
+        "metric": ("rtf_50step_synthesis" if args.sampler == "ddpm"
+                   else f"rtf_dpm2_{args.steps}step_forced"),
         "value": round(rtf_forced, 5),
         "unit": "rtf",
         "vs_baseline": round(BASELINE_RTF / rtf_forced, 2),
