@@ -300,3 +300,49 @@ def test_calibrate_and_switch_window_flow(tiny_synth):
                     text_gradient_scale=0.0, spk_gradient_scale=0.0)
     assert len(wav) > 0 and sr == 22050
     assert len(cal._totals) == n_tot + 1
+
+
+def test_dpm2_sampler_through_serving_paths(tiny_synth):
+    """sampler="dpm2" (deterministic DPM-Solver++(2M) fast mode) must ride
+    EVERY serving path: the exact two-dispatch path, forced-duration single
+    dispatch, and bucket-switch serving all resolve the same prior z at the
+    same bucket, and the ODE solve is noise-free — so all three outputs must
+    be bit-identical, deterministic across calls, and distinct from DDPM's
+    ancestral sample."""
+    import dataclasses as dc
+
+    from unitspeech_tpu.ops.masking import choose_bucket, fix_len_compatibility
+
+    tokens = [1, 5, 9, 3, 7]
+    kw = dict(diffusion_steps=4, text_gradient_scale=0.0,
+              spk_gradient_scale=0.0, sampler="dpm2")
+    wav_exact, sr = tiny_synth(tokens, jax.random.PRNGKey(5), _exact=True, **kw)
+    assert sr == 22050 and np.isfinite(wav_exact).all() and len(wav_exact) > 0
+
+    # deterministic: same key -> identical waveform
+    wav_again, _ = tiny_synth(tokens, jax.random.PRNGKey(5), _exact=True, **kw)
+    np.testing.assert_array_equal(wav_exact, wav_again)
+
+    # differs from the ancestral DDPM sample (different trajectory class)
+    wav_ddpm, _ = tiny_synth(
+        tokens, jax.random.PRNGKey(5), _exact=True,
+        **{**kw, "sampler": "ddpm"},
+    )
+    assert np.abs(np.asarray(wav_ddpm) - np.asarray(wav_exact)).max() > 1e-6
+
+    # bucket-switch serving forwards the sampler and matches exact
+    y_len = len(wav_exact) // 4  # hop 4 in tiny config
+    bucket = choose_bucket(
+        fix_len_compatibility(y_len, 1), tiny_synth.frame_buckets
+    )
+    below = [b for b in tiny_synth.frame_buckets if b < bucket][-1:]
+    above = [b for b in tiny_synth.frame_buckets if b > bucket][:1]
+    sw = dc.replace(tiny_synth, switch_buckets=tuple(below + [bucket] + above))
+    wav_sw, _ = sw(tokens, jax.random.PRNGKey(5), **kw)
+    np.testing.assert_allclose(wav_sw, wav_exact, atol=1e-5, rtol=1e-5)
+
+    # forced-duration single dispatch (the bench path) at the exact length
+    wav_forced, _ = tiny_synth(
+        tokens, jax.random.PRNGKey(5), _forced_total_frames=y_len, **kw
+    )
+    assert np.isfinite(wav_forced).all() and len(wav_forced) == y_len * 4

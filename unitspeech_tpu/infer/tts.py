@@ -315,6 +315,7 @@ def _synthesize_single_dispatch(
         "text_encoder", "duration_predictor", "decoder_apply", "vocoder",
         "buckets", "upsample", "n_timesteps", "length_scale",
         "text_gradient_scale", "spk_gradient_scale", "beta_min", "beta_max",
+        "sampler",
     ),
 )
 def _synthesize_bucket_switch(
@@ -323,7 +324,7 @@ def _synthesize_bucket_switch(
     packed, spk_emb, key, mel_min, mel_max,
     buckets, upsample: int, n_timesteps: int, length_scale: float,
     text_gradient_scale: float, spk_gradient_scale: float,
-    beta_min: float, beta_max: float,
+    beta_min: float, beta_max: float, sampler: str = "ddpm",
 ):
     """Open-text serving as ONE dispatch with NO host length sync: the frame
     bucket is chosen ON DEVICE by a `lax.switch` whose branches each run
@@ -371,7 +372,7 @@ def _synthesize_bucket_switch(
                 n_timesteps=n_timesteps,
                 text_gradient_scale=text_gradient_scale,
                 spk_gradient_scale=spk_gradient_scale,
-                beta_min=beta_min, beta_max=beta_max,
+                beta_min=beta_min, beta_max=beta_max, sampler=sampler,
             )
             wav = jnp.pad(wav, ((0, 0), (0, (max_b - bucket) * upsample)))
             mel = jnp.pad(mel, ((0, 0), (0, max_b - bucket), (0, 0)))
@@ -679,7 +680,8 @@ class Synthesizer:
             window = [hi_b]
         return tuple(window[-max_branches:])
 
-    def _switch_dispatch(self, tokens, lengths, key, steps, lscale, tg, sg):
+    def _switch_dispatch(self, tokens, lengths, key, steps, lscale, tg, sg,
+                         sampler="ddpm"):
         """Run _synthesize_bucket_switch over a (B, tok_bucket) batch."""
         m = self.models
         tokens_np = np.asarray(tokens, np.int32)
@@ -699,6 +701,7 @@ class Synthesizer:
             length_scale=float(lscale), text_gradient_scale=float(tg),
             spk_gradient_scale=float(sg),
             beta_min=m.cfg.decoder.beta_min, beta_max=m.cfg.decoder.beta_max,
+            sampler=str(sampler),
         )
 
     def _single_dispatch(self, tokens, lengths, w_override, frame_bucket,
@@ -793,7 +796,8 @@ class Synthesizer:
         if self.switch_buckets is not None and not exact and forced_frames is None:
             wav, _mel, y_lengths, fits, mu_x, x_mask, w_ceil = (
                 self._switch_dispatch(
-                    tokens, [n_tok], key, steps, lscale, tg, sg
+                    tokens, [n_tok], key, steps, lscale, tg, sg,
+                    sampler=sampler,
                 )
             )
             wav, y_len, fits = jax.device_get((wav, y_lengths, fits))
@@ -814,7 +818,7 @@ class Synthesizer:
                 text_gradient_scale=float(tg), spk_gradient_scale=float(sg),
                 beta_min=m.cfg.decoder.beta_min,
                 beta_max=m.cfg.decoder.beta_max, y_pad=int(y_pad),
-                mesh=self.mesh, sample_spec=self.sample_spec,
+                sampler=sampler, mesh=self.mesh, sample_spec=self.sample_spec,
             )
             return np.asarray(wav[0, : y_length * hop]), sr
 
@@ -827,7 +831,8 @@ class Synthesizer:
                 )
                 wav, _mel, y_lengths, _yp, fits, mu_x, x_mask, w_ceil = (
                     self._single_dispatch(
-                        tokens, [n_tok], None, bucket, key, steps, lscale, tg, sg
+                        tokens, [n_tok], None, bucket, key, steps, lscale,
+                        tg, sg, sampler=sampler,
                     )
                 )
                 wav, y_len, fits = jax.device_get((wav, y_lengths, fits))
@@ -850,7 +855,8 @@ class Synthesizer:
                     spk_gradient_scale=float(sg),
                     beta_min=m.cfg.decoder.beta_min,
                     beta_max=m.cfg.decoder.beta_max, y_pad=int(y_pad),
-                    mesh=self.mesh, sample_spec=self.sample_spec,
+                    sampler=sampler, mesh=self.mesh,
+                    sample_spec=self.sample_spec,
                 )
                 return np.asarray(wav[0, : y_length * hop]), sr
             # calibrator not ready yet: fall through to the exact path, which
@@ -863,7 +869,8 @@ class Synthesizer:
                 fix_len_compatibility(guess, num_down), self.frame_buckets
             )
             wav, _mel, y_lengths, _yp, fits, *_rest = self._single_dispatch(
-                tokens, [n_tok], None, bucket, key, steps, lscale, tg, sg
+                tokens, [n_tok], None, bucket, key, steps, lscale, tg, sg,
+                sampler=sampler,
             )
             wav, y_len, fits = jax.device_get((wav, y_lengths, fits))
             if bool(fits):
@@ -906,7 +913,8 @@ class Synthesizer:
             n_timesteps=int(steps), text_gradient_scale=float(tg),
             spk_gradient_scale=float(sg),
             beta_min=m.cfg.decoder.beta_min, beta_max=m.cfg.decoder.beta_max,
-            y_pad=int(y_pad), mesh=self.mesh, sample_spec=self.sample_spec,
+            y_pad=int(y_pad), sampler=sampler, mesh=self.mesh,
+            sample_spec=self.sample_spec,
             noise_z=kwargs.get("_noise_z"), noises=kwargs.get("_noises"),
         )
         return np.asarray(wav[0, : y_length * hop]), sr
