@@ -317,13 +317,27 @@ def bench_serving_modes(synth, args, frames, n_tok, hop, sr):
     print(f"# switch{list(window)}: rtf={rtf_switch:.4f} "
           f"speech_mean={speech_sw:.2f}s", file=sys.stderr)
 
-    return {
+    out = {
         "rtf_serving": round(rtf_switch, 5),
         "rtf_exact": round(rtf_exact, 5),
         "rtf_speculative": round(rtf_spec, 5),
         "serving_frames_mean": round(speech_sw * sr / hop, 1),
         "switch_buckets": list(window),
     }
+
+    # fast serving mode: the SAME bucket-switch deployment with the
+    # deterministic DPM-Solver++(2M) sampler at 25 steps (labeled
+    # separately; the parity headline stays the 50-step DDPM above)
+    if not args.smoke:
+        try:
+            kw_fast = dict(kw, diffusion_steps=25, sampler="dpm2")
+            rtf_fast, _sp = timed(lambda r, k: sw(r, k, **kw_fast), reqs)
+            print(f"# serving dpm2@25: rtf={rtf_fast:.4f}", file=sys.stderr)
+            out["rtf_serving_dpm2_25step"] = round(rtf_fast, 5)
+        except Exception as e:  # pragma: no cover - environment-specific
+            out["rtf_serving_dpm2_25step_error"] = f"{type(e).__name__}: {e}"
+            print(f"# serving dpm2@25 failed: {e}", file=sys.stderr)
+    return out
 
 
 def bench_extras(synth, args, frames, n_tok):
