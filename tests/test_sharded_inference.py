@@ -44,6 +44,29 @@ def test_seq_sharded_sampler_matches_unsharded():
     )
 
 
+def test_seq_sharded_ode_sampler_matches_unsharded():
+    """The DPM-Solver++(2M) fast mode must shard over `seq` exactly like the
+    DDPM sampler (the solver is deterministic, so the sharded/unsharded
+    comparison is pure-numerics, no noise alignment needed)."""
+    from unitspeech_tpu.models.diffusion import reverse_diffusion_ode
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(data=1, seq=8)
+    model, params, z, mask, cond, spk = _model_and_inputs(t=64)
+    base = reverse_diffusion_ode(
+        model.apply, params, z, mask, cond, spk, n_timesteps=4,
+        text_gradient_scale=1.0, spk_gradient_scale=1.0,
+    )
+    sharded = reverse_diffusion_ode(
+        model.apply, params, z, mask, cond, spk, n_timesteps=4,
+        text_gradient_scale=1.0, spk_gradient_scale=1.0,
+        mesh=mesh, sample_spec=P(None, "seq", None),
+    )
+    np.testing.assert_allclose(
+        np.asarray(base), np.asarray(sharded), rtol=2e-3, atol=2e-4
+    )
+
+
 def test_data_sharded_sampler_runs():
     mesh = make_mesh()  # all 8 on data
     model, params, z, mask, cond, spk = _model_and_inputs(b=8, t=16)
