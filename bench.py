@@ -472,6 +472,9 @@ def bench_extras(synth, args, frames, n_tok):
     _section("rtf_500step", _rtf_500step)
     _section("dpm2_25", lambda: _rtf_dpm2(25))
     _section("dpm2_16", lambda: _rtf_dpm2(16))
+    # @10 also passes the full-size discretization gate (DPM2_GATE.json:
+    # 0.73% of mel range vs the converged 200-step solution)
+    _section("dpm2_10", lambda: _rtf_dpm2(10))
     _section("batch8", _throughput(8))
     _section("batch32", _throughput(32))
     _section("train_step1", lambda: _train(False))
