@@ -326,17 +326,24 @@ def bench_serving_modes(synth, args, frames, n_tok, hop, sr):
     }
 
     # fast serving mode: the SAME bucket-switch deployment with the
-    # deterministic DPM-Solver++(2M) sampler at 25 steps (labeled
-    # separately; the parity headline stays the 50-step DDPM above)
+    # deterministic DPM-Solver++(2M) sampler (labeled separately; the
+    # parity headline stays the 50-step DDPM above). Both step counts are
+    # full-size quality-gated on-chip (DPM2_GATE.json: max deviation from
+    # the converged ODE solution 0.27% of mel range @25, 0.42% @16).
     if not args.smoke:
-        try:
-            kw_fast = dict(kw, diffusion_steps=25, sampler="dpm2")
-            rtf_fast, _sp = timed(lambda r, k: sw(r, k, **kw_fast), reqs)
-            print(f"# serving dpm2@25: rtf={rtf_fast:.4f}", file=sys.stderr)
-            out["rtf_serving_dpm2_25step"] = round(rtf_fast, 5)
-        except Exception as e:  # pragma: no cover - environment-specific
-            out["rtf_serving_dpm2_25step_error"] = f"{type(e).__name__}: {e}"
-            print(f"# serving dpm2@25 failed: {e}", file=sys.stderr)
+        for fast_steps in (25, 16):
+            key = f"rtf_serving_dpm2_{fast_steps}step"
+            try:
+                kw_fast = dict(kw, diffusion_steps=fast_steps,
+                               sampler="dpm2")
+                rtf_fast, _sp = timed(lambda r, k: sw(r, k, **kw_fast), reqs)
+                print(f"# serving dpm2@{fast_steps}: rtf={rtf_fast:.4f}",
+                      file=sys.stderr)
+                out[key] = round(rtf_fast, 5)
+            except Exception as e:  # pragma: no cover - environment-specific
+                out[key + "_error"] = f"{type(e).__name__}: {e}"
+                print(f"# serving dpm2@{fast_steps} failed: {e}",
+                      file=sys.stderr)
     return out
 
 

@@ -38,6 +38,11 @@ def main():
                     help="poly = range-reduced fast sin (default); jnp = "
                          "Mosaic builtin sin; probe_nosin = WRONG numerics, "
                          "times the kernel with sin replaced by a multiply")
+    ap.add_argument("--aa-mode", default="full",
+                    choices=["full", "probe_nofilter"],
+                    help="probe_nofilter = WRONG numerics, times the kernel "
+                         "with the up/down AA filters cut to one tap each "
+                         "(bounds the filters' share of the kernel time)")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
     if args.smoke:
@@ -74,7 +79,10 @@ def main():
         return ms
 
     pk.SNAKE_MODE = args.snake_mode
+    pk.AA_MODE = args.aa_mode
     suffix = "" if args.snake_mode == "poly" else f"_{args.snake_mode}"
+    if args.aa_mode != "full":
+        suffix += f"_{args.aa_mode}"
     for tile in [int(t) for t in args.tiles.split(",") if t]:
         pk.T_TILE_DEFAULT = tile
         jax.clear_caches()

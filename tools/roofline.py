@@ -31,6 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PEAK_BF16 = 197e12
 PEAK_INT8 = 394e12
 PEAK_F32 = 49e12    # MXU f32 (6-pass) — conservative
+# VPU: 8 sublanes x 128 lanes x 4 ALUs x ~0.94 GHz ~= 3.9 Tops/s f32.
+# Practical Mosaic rate on multi-pass elementwise kernels measures well
+# below this (tools/bench_transcendental.py) — the VPU bound below is the
+# *optimistic* floor, like the MXU peaks.
+PEAK_VPU = 3.9e12
 HBM_BPS = 819e9
 STEPS = 50
 
@@ -186,6 +191,48 @@ def estimator_blocks(t=344, f=80, b=3, dim=128, mults=(1, 2, 4, 8),
     return out
 
 
+def vocoder_cost(t=344, num_mels=80, rates=(8, 8, 2, 2), ch0=512,
+                 ks=(3, 7, 11), n_dil=3):
+    """(mxu_flops, vpu_flops, min_bytes) for the full BigVGAN forward at
+    the serving shape, Pallas fused path (models/vocoder.py).
+
+    Per fused AA-snake-conv call on a (T, C) stage tensor:
+      VPU  ~74 ops/elem — up 2x polyphase (2 phases x 6 taps x mul+add = 24),
+           snakebeta on the 2T grid (poly sin ~9 ops + scale/square/add ~4,
+           x2 rows = 26), down 12 taps x2 = 24;
+      MXU  the fused conv as k dense (rows, CP)x(CP, CP) tap dots with
+           CP = pack*C = 128 (block-diagonal weights: the pack^2 zero blocks
+           still burn MXU cycles);
+      HBM  window read + packed-copy write/read + output write (+ residual
+           read on the second conv of each pair) ~= 5 passes of T*C*2 bytes.
+    XLA side (ConvTranspose upsamplers, conv_pre/post, the xs-mean adds)
+    rides the reported-bytes term; its MXU flops are counted below."""
+    VPU_PER_ELEM = 74.0
+    CP = 128
+    mxu = vpu = by = 0.0
+    t_in, c_in = t, num_mels
+    mxu += t_in * 7 * c_in * ch0 * 2  # conv_pre k=7
+    ch = ch0
+    for i, u in enumerate(rates):
+        ch_out = ch0 // (2 ** (i + 1))
+        t_out = t_in * u
+        k_up = {8: 16, 2: 4}[u]
+        mxu += t_out * (k_up // u) * ch * ch_out * 2  # convT: k/u taps/output
+        # 18 fused calls (3 resblocks x 3 dilations x 2 convs) per stage
+        n_calls = len(ks) * n_dil * 2
+        tc = t_out * ch_out
+        vpu += n_calls * VPU_PER_ELEM * tc
+        mxu += sum(2 * k * tc * CP for k in ks) * n_dil
+        by += n_calls * 5 * tc * 2
+        by += 2 * 3 * tc * 2  # xs accumulation adds + /num_kernels
+        t_in, ch = t_out, ch_out
+    vpu += VPU_PER_ELEM * t_in * ch  # final fused_aa_snake (no conv)
+    by += 5 * t_in * ch * 2
+    mxu += t_in * 7 * ch * 1 * 2  # conv_post
+    by += t_in * (ch + 1) * 2
+    return mxu, vpu, by
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace-dir", default="/tmp/pipeline_trace")
@@ -214,6 +261,17 @@ def main():
     for bkt, us in sorted(meas.items(), key=lambda kv: -kv[1]):
         ms_step = us / 1e3 / args.steps if bkt.startswith(("est/", "sampler")) \
             else us / 1e3
+        if bkt == "vocoder":
+            # three-term bound: MXU taps, analytic VPU (AA filters + snake
+            # dominate — the Pallas calls report model_flops=0 so the VPU
+            # work is otherwise invisible), HBM from the reported bytes
+            mxu, vpu, by_a = vocoder_cost()
+            by = max(meta[bkt][1], by_a)
+            bound_ms = max(mxu / PEAK_BF16, vpu / PEAK_VPU,
+                           by / HBM_BPS) * 1e3
+            rows.append((bkt, ms_step, (mxu + vpu) / 1e9, by / 1e6,
+                         bound_ms, ms_step / bound_ms))
+            continue
         fl, by, pk = analytic.get(bkt, (None, None, None))
         if fl is None:
             # fall back to reported metadata (per whole trace)

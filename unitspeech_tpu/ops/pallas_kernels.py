@@ -41,6 +41,13 @@ T_TILE_DEFAULT = 512
 #   "jnp"         Mosaic's builtin sin (escape hatch / parity oracle)
 #   "probe_nosin" WRONG numerics, timing diagnostic only
 SNAKE_MODE = "poly"
+# AA filter implementation inside the Pallas kernels:
+#   "full"           the exact 6+6-tap polyphase up / 12-tap down filters
+#   "probe_nofilter" WRONG numerics, timing diagnostic only: one tap per
+#                    phase and one down tap — bounds the up/down filters'
+#                    share of the kernel time (the snake itself is ~free
+#                    with the poly sin, so filters are the VPU suspect)
+AA_MODE = "full"
 
 
 from unitspeech_tpu.ops.fastmath import fast_sin as _fast_sin  # noqa: E402
@@ -117,8 +124,11 @@ def _aa_core(x, alpha_ref, beta_ref, t_out: int, *, f0, f1, g,
     up_len = pair_hi - pair_lo + 1
 
     def phase(f, off):
+        taps = range(len(f))
+        if AA_MODE == "probe_nofilter":  # diagnostic: single center tap
+            taps = [len(f) // 2]
         acc = None
-        for k in range(len(f)):
+        for k in taps:
             # y2[2(u+pair_lo)+p] needs x[(u+pair_lo) + off + k]; x window is
             # shifted by +HALO relative to output row 0
             start = HALO + pair_lo + off + k
@@ -152,8 +162,11 @@ def _aa_core(x, alpha_ref, beta_ref, t_out: int, *, f0, f1, g,
     # out[u] = sum_k g[k] * y2[2u + down_off + k]; pick the phase array by
     # the parity of (down_off + k) — contiguous slices only (Mosaic cannot
     # lower strided gathers)
+    down_taps = range(len(g))
+    if AA_MODE == "probe_nofilter":  # diagnostic: single even-parity tap
+        down_taps = [k for k in range(len(g)) if (down_off + k) % 2 == 0][:1]
     acc = None
-    for k in range(len(g)):
+    for k in down_taps:
         s = down_off + k
         if s % 2 == 0:
             src, idx0 = y0, s // 2 - pair_lo
