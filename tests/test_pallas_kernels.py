@@ -139,3 +139,32 @@ def test_snake_poly_matches_jnp_at_bf16():
     np.testing.assert_allclose(got, want, rtol=8e-3, atol=1e-3)
     # and the overwhelming majority must be bit-identical
     assert np.mean(got == want) > 0.99
+
+
+def test_aa_mode_default_and_probe_is_diagnostic_only():
+    """Serving defaults stay locked: AA_MODE="full" / SNAKE_MODE="poly".
+    probe_nofilter exists only to time the filters' VPU share on-chip
+    (ROADMAP r4 vocoder closure) — it must change the numerics, proving
+    every parity test above really exercises the full filter path."""
+    from unitspeech_tpu.ops import pallas_kernels as pk
+
+    assert pk.AA_MODE == "full"
+    assert pk.SNAKE_MODE == "poly"
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 128, 8)) * 0.5, jnp.float32)
+    alpha = jnp.asarray(rng.standard_normal(8) * 0.1, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(8) * 0.1, jnp.float32)
+    full = np.asarray(fused_aa_snake(x, alpha, beta, t_tile=64,
+                                     interpret=True))
+    prev = pk.AA_MODE
+    try:
+        pk.AA_MODE = "probe_nofilter"
+        jax.clear_caches()
+        probe = np.asarray(fused_aa_snake(x, alpha, beta, t_tile=64,
+                                          interpret=True))
+    finally:
+        pk.AA_MODE = prev
+        jax.clear_caches()
+    assert probe.shape == full.shape
+    assert not np.allclose(probe, full, rtol=1e-3, atol=1e-3)
