@@ -476,6 +476,29 @@ def bench_extras(synth, args, frames, n_tok):
         print(note, file=sys.stderr)
         return {"finetune_500iter_s": r["value"]}
 
+    def _server():
+        # serving-daemon throughput under concurrent load (serve.py dynamic
+        # batching through the HTTP front-end). Ladder [1, 4] keeps the
+        # warmup to two switch executables; both land in the persistent
+        # compile cache.
+        bs = _load_tool(os.path.join(root, "tools", "bench_server.py"))
+        ns = _ap.Namespace(
+            smoke=False, clients=8, requests=24, max_batch=4,
+            batch_ladder="1,4", max_wait_ms=40.0, steps=args.steps,
+            sampler="ddpm", frames=frames,
+        )
+        r = bs.run_bench(ns, synth=synth)
+        print(f"# server: {r['value']}x realtime/chip "
+              f"p50={r['p50_latency_s']}s p95={r['p95_latency_s']}s",
+              file=sys.stderr)
+        return {
+            "server_throughput_x_realtime": r["value"],
+            "server_p50_latency_s": r["p50_latency_s"],
+            "server_p95_latency_s": r["p95_latency_s"],
+            "server_clients": r["clients"],
+            "server_max_batch": r["max_batch"],
+        }
+
     _section("rtf_500step", _rtf_500step)
     _section("dpm2_25", lambda: _rtf_dpm2(25))
     _section("dpm2_16", lambda: _rtf_dpm2(16))
@@ -487,6 +510,7 @@ def bench_extras(synth, args, frames, n_tok):
     _section("train_step1", lambda: _train(False))
     _section("train_step2", lambda: _train(True))
     _section("finetune", _finetune)
+    _section("server", _server)
     return extras
 
 

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from unitspeech_tpu.cli import main_finetune, main_inference
+from unitspeech_tpu.cli import main_finetune, main_inference, main_serve
 from unitspeech_tpu.config import (
     DataConfig,
     DecoderConfig,
@@ -154,3 +154,24 @@ def test_cli_finetune_then_inference(tiny_artifacts):
     assert sr == 22050
     assert len(wav) > 0
     assert np.abs(wav).max() <= 1.0
+
+
+def test_cli_serve_dry_run(tiny_artifacts, capsys):
+    """`serve --dry-run` must load the checkpoints, build the batcher,
+    precompile the serving grid, and report the serving config."""
+    a = tiny_artifacts
+    rc = main_serve([
+        "--config", a["cfg"], "--decoder", a["dec"],
+        "--text-encoder", a["te"], "--duration-predictor", a["dp"],
+        "--vocoder", a["voc"], "--spk-emb", a["spk"],
+        "--switch-buckets", "32,64", "--max-batch", "2",
+        "--warmup-token-lengths", "12", "--diffusion-steps", "2",
+        "--text-gradient-scale", "0", "--spk-gradient-scale", "0",
+        "--fp32", "--dry-run",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["warmed"] is True
+    assert out["serving_config"]["switch_buckets"] == [32, 64]
+    assert out["serving_config"]["batch_ladder"] == [1, 2]
+    assert out["serving_config"]["default_steps"] == 2

@@ -1,0 +1,239 @@
+"""Serving daemon tests: dynamic batching over the bucket-switch executable
+plus the HTTP front-end (unitspeech_tpu/serve.py). The reference has no
+serving layer (its inference.py is a one-shot CLI); these lock the scheduling
+semantics — batching, grouping, padding, overflow fallback, compile warmup —
+on the tiny CPU config."""
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+import wave
+
+import jax
+import numpy as np
+import pytest
+
+from unitspeech_tpu.config import (
+    DataConfig,
+    DecoderConfig,
+    DurationPredictorConfig,
+    EncoderConfig,
+    MainConfig,
+    VocoderConfig,
+)
+from unitspeech_tpu.infer.tts import Synthesizer, TTSModels
+from unitspeech_tpu.serve import (
+    DynamicBatcher,
+    build_batcher,
+    encode_wav_bytes,
+    make_http_server,
+)
+
+
+def _tiny_synth():
+    cfg = MainConfig(
+        data=DataConfig(n_feats=16, hop_length=4),
+        text_encoder=EncoderConfig(
+            n_vocab=40, n_feats=16, n_channels=16, filter_channels=32,
+            n_layers=1, n_heads=2,
+        ),
+        duration_predictor=DurationPredictorConfig(
+            in_channels=16, filter_channels=16, spk_emb_dim=8
+        ),
+        decoder=DecoderConfig(n_feats=16, dim=8, dim_mults=(1, 2), groups=4,
+                              spk_emb_dim=8),
+        vocoder=VocoderConfig(
+            num_mels=16, upsample_rates=(2, 2), upsample_kernel_sizes=(4, 4),
+            upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),),
+        ),
+    )
+    models = TTSModels.random_init(cfg, jax.random.PRNGKey(0))
+    return Synthesizer(models)
+
+
+@pytest.fixture(scope="module")
+def batcher():
+    rng = np.random.default_rng(0)
+    texts = [list(rng.integers(1, 39, (8,))) for _ in range(8)]
+    b = build_batcher(
+        _tiny_synth(), calibration_texts=texts, max_batch=4,
+        max_wait_ms=300.0, warmup_token_lengths=(8,),
+        default_steps=2, text_gradient_scale=0.0, spk_gradient_scale=0.0,
+    )
+    yield b
+    b.shutdown()
+
+
+def test_single_request_roundtrip(batcher):
+    wav, sr = batcher.submit([3, 1, 4, 1, 5]).result(timeout=60)
+    assert sr == 22050
+    assert wav.ndim == 1 and wav.shape[0] % 4 == 0  # hop_length=4
+    assert np.isfinite(wav).all()
+
+
+def test_concurrent_requests_batch_together(batcher):
+    """Requests queued inside the wait window must ride ONE dispatch."""
+    before = batcher.stats.batches
+    futs = [batcher.submit([1 + i, 5, 9, 2]) for i in range(4)]
+    outs = [f.result(timeout=60) for f in futs]
+    assert all(np.isfinite(w).all() and w.shape[0] > 0 for w, _ in outs)
+    made = batcher.stats.batches - before
+    # all 4 arrived within max_wait of the head: at most 2 dispatches, and
+    # at least one of them carried multiple requests
+    assert made <= 2
+    assert max(batcher.stats.batch_sizes) >= 2
+
+
+def test_partial_batch_pads_with_repeat_rows(batcher):
+    """3 requests on a {1,2,4} ladder pad to 4 with repeated real rows —
+    every real request still gets a valid, finite waveform."""
+    futs = [batcher.submit([2, 4, 6, 8]) for _ in range(3)]
+    outs = [f.result(timeout=60) for f in futs]
+    assert len(outs) == 3
+    for w, sr in outs:
+        assert sr == 22050 and w.shape[0] > 0 and np.isfinite(w).all()
+
+
+def test_sampler_groups_never_mix(batcher):
+    """steps/sampler are static argnames of the switch executable: mixed
+    submissions must partition into per-(steps, sampler) batches."""
+    before_b = batcher.stats.batches
+    futs_a = [batcher.submit([1, 2, 3]) for _ in range(2)]
+    futs_b = [batcher.submit([1, 2, 3], sampler="dpm2", steps=2)
+              for _ in range(2)]
+    outs = [f.result(timeout=120) for f in futs_a + futs_b]
+    assert all(np.isfinite(w).all() for w, _ in outs)
+    assert batcher.stats.batches - before_b >= 2  # one per group at least
+
+
+def test_serving_grid_warm_no_new_compiles(batcher):
+    """After build_batcher's warmup, requests inside the warmed grid must
+    not trigger a compile (the serving guarantee warmup exists for)."""
+    from unitspeech_tpu.infer import tts as tts_mod
+
+    n_before = tts_mod._synthesize_bucket_switch._cache_size()
+    futs = [batcher.submit([7, 7, 7]) for _ in range(4)]
+    for f in futs:
+        f.result(timeout=60)
+    assert tts_mod._synthesize_bucket_switch._cache_size() == n_before
+
+
+def test_overflow_falls_back_to_correct_length():
+    """A request overflowing the switch window must still synthesize at its
+    true (unclamped) length via the batched fallback dispatch."""
+    import dataclasses as dc
+
+    synth = _tiny_synth()
+    # probe the true length of a long request (length_scale inflates the
+    # predicted durations past the smallest ladder buckets), then pick a
+    # window BELOW it
+    _, y_len, _ = synth.synthesize_mel(
+        [1] * 12, jax.random.PRNGKey(0), diffusion_steps=2, length_scale=8.0,
+        text_gradient_scale=0.0, spk_gradient_scale=0.0,
+    )
+    below = [b for b in synth.frame_buckets if b < y_len]
+    assert below, "tiny request too short to overflow any bucket"
+    synth = dc.replace(synth, switch_buckets=(below[-1],))
+    b = DynamicBatcher(synth, max_batch=2, max_wait_ms=5.0, default_steps=2,
+                       length_scale=8.0,
+                       text_gradient_scale=0.0, spk_gradient_scale=0.0)
+    try:
+        wav, _sr = b.submit([1] * 12).result(timeout=120)
+        hop = synth.models.cfg.data.hop_length
+        assert wav.shape[0] == y_len * hop  # NOT clamped to the window
+        assert b.stats.overflows >= 1
+    finally:
+        b.shutdown()
+
+
+def test_submit_rejects_empty_and_after_shutdown():
+    import dataclasses as dc
+
+    synth = _tiny_synth()
+    synth = dc.replace(synth, switch_buckets=(synth.frame_buckets[2],))
+    b = DynamicBatcher(synth, max_batch=1, max_wait_ms=1.0, default_steps=2,
+                       text_gradient_scale=0.0, spk_gradient_scale=0.0)
+    with pytest.raises(ValueError):
+        b.submit([])
+    b.shutdown()
+    with pytest.raises(RuntimeError):
+        b.submit([1, 2])
+
+
+def test_encode_wav_bytes_roundtrip():
+    wav = np.sin(np.linspace(0, 40, 400)).astype(np.float32) * 0.5
+    blob = encode_wav_bytes(wav, 22050)
+    with wave.open(__import__("io").BytesIO(blob)) as w:
+        assert w.getframerate() == 22050
+        assert w.getnchannels() == 1
+        pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    assert pcm.shape[0] == 400
+    np.testing.assert_allclose(pcm / 32767.0, wav, atol=1e-4)
+
+
+# -- HTTP front-end -----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def http_server(batcher):
+    srv = make_http_server(
+        batcher, port=0,
+        text_to_ids=lambda s: [1 + (ord(c) % 38) for c in s.strip() or "a"],
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/synthesize", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, r.headers.get("Content-Type"), r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type"), e.read()
+
+
+def test_http_synthesize_wav(http_server):
+    code, ctype, body = _post(http_server, {"token_ids": [3, 1, 4, 1]})
+    assert code == 200 and ctype == "audio/wav"
+    with wave.open(__import__("io").BytesIO(body)) as w:
+        assert w.getframerate() == 22050
+        assert w.getnframes() > 0
+
+
+def test_http_synthesize_json_and_text(http_server):
+    code, ctype, body = _post(
+        http_server, {"text": "hello", "format": "json"}
+    )
+    assert code == 200 and ctype == "application/json"
+    payload = json.loads(body)
+    assert payload["sr"] == 22050 and payload["n_samples"] > 0
+    import base64
+
+    blob = base64.b64decode(payload["wav_base64"])
+    with wave.open(__import__("io").BytesIO(blob)) as w:
+        assert w.getnframes() == payload["n_samples"]
+
+
+def test_http_rejects_bad_requests(http_server):
+    code, _, body = _post(http_server, {})
+    assert code == 400 and b"token_ids or text" in body
+    code, _, _ = _post(http_server, {"token_ids": [1], "sampler": "euler"})
+    assert code == 400
+
+
+def test_http_health_and_stats(http_server):
+    with urllib.request.urlopen(http_server + "/healthz", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+    with urllib.request.urlopen(http_server + "/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    assert stats["requests"] >= 1 and stats["batches"] >= 1
+    assert stats["mean_latency_s"] >= 0.0

@@ -1063,8 +1063,143 @@ def main_train_vocoder(argv=None):
     return 0
 
 
+def main_serve(argv=None):
+    """Production TTS serving daemon (capability beyond the reference, whose
+    inference.py is a one-shot CLI): dynamic batching over the bucket-switch
+    executable + an HTTP front-end (unitspeech_tpu/serve.py). One process
+    per chip; warmup compiles the whole serving grid before the port opens."""
+    ap = argparse.ArgumentParser("unitspeech-tpu serve")
+    _common(ap)
+    ap.add_argument("--decoder", required=True)
+    ap.add_argument("--text-encoder", required=True)
+    ap.add_argument("--duration-predictor", required=True)
+    ap.add_argument("--vocoder", required=True)
+    ap.add_argument("--spk-emb", default=None,
+                    help=".npy speaker embedding override")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8777)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--max-wait-ms", type=float, default=20.0,
+                    help="dynamic-batching wait window (latency traded for "
+                         "aggregate throughput)")
+    ap.add_argument("--diffusion-steps", type=int, default=None)
+    ap.add_argument("--sampler", default="ddpm", choices=["ddpm", "dpm2"],
+                    help="default sampler: reference-parity DDPM or the "
+                         "quality-gated DPM-Solver++(2M) fast mode "
+                         "(DPM2_GATE.json)")
+    ap.add_argument("--length-scale", type=float, default=None)
+    ap.add_argument("--text-gradient-scale", type=float, default=None)
+    ap.add_argument("--spk-gradient-scale", type=float, default=None)
+    ap.add_argument("--language", default=None,
+                    help="espeak language for text payloads (token_ids "
+                         "payloads always work)")
+    ap.add_argument("--calibration-file", default=None,
+                    help="one utterance per line; phonemized (or read as "
+                         "IPA with --ipa-calibration) at startup to derive "
+                         "the bucket-switch window from the corpus' length "
+                         "distribution")
+    ap.add_argument("--ipa-calibration", action="store_true",
+                    help="calibration file lines are pre-phonemized IPA")
+    ap.add_argument("--switch-buckets", default=None,
+                    help="comma-separated frame buckets (skips calibration; "
+                         "e.g. 344,384,432)")
+    ap.add_argument("--warmup-token-lengths", default="64",
+                    help="comma-separated token lengths whose buckets are "
+                         "precompiled across the batch ladder")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="build + calibrate + warm up, print the serving "
+                         "config JSON, and exit without opening the port")
+    ap.add_argument("--fp32", dest="bf16", action="store_false")
+    args = ap.parse_args(argv)
+    cfg = _setup(args)
+
+    import dataclasses as dc
+
+    from unitspeech_tpu import text as text_frontend
+    from unitspeech_tpu.infer.tts import Synthesizer
+    from unitspeech_tpu.serve import build_batcher, make_http_server
+
+    models = _load_tts_models(args, cfg)
+    synth = Synthesizer(models)
+    if args.switch_buckets:
+        window = tuple(sorted(int(b) for b in args.switch_buckets.split(",")))
+        synth = dc.replace(synth, switch_buckets=window)
+        calibration_texts = None
+    elif args.calibration_file:
+        lang = args.language or cfg.inference.language
+        ph = None if args.ipa_calibration else text_frontend.get_phonemizer(lang)
+        if ph is None and not args.ipa_calibration:
+            raise SystemExit(
+                "espeak-ng not installed: use --ipa-calibration or "
+                "--switch-buckets"
+            )
+        with open(args.calibration_file, encoding="utf-8") as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        calibration_texts = [
+            text_frontend.phonemes_to_sequence(ln) if args.ipa_calibration
+            else text_frontend.text_to_sequence(ln, ph)
+            for ln in lines
+        ]
+    else:
+        raise SystemExit("pass --calibration-file or --switch-buckets")
+
+    kw = {}
+    if args.diffusion_steps is not None:
+        kw["default_steps"] = args.diffusion_steps
+    if args.length_scale is not None:
+        kw["length_scale"] = args.length_scale
+    if args.text_gradient_scale is not None:
+        kw["text_gradient_scale"] = args.text_gradient_scale
+    if args.spk_gradient_scale is not None:
+        kw["spk_gradient_scale"] = args.spk_gradient_scale
+    warmup_lengths = tuple(
+        int(t) for t in args.warmup_token_lengths.split(",")
+    )
+    batcher = build_batcher(
+        synth, calibration_texts=calibration_texts,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        warmup_token_lengths=warmup_lengths,
+        default_sampler=args.sampler, **kw,
+    )
+    serving_cfg = {
+        "switch_buckets": list(batcher.synth.switch_buckets),
+        "batch_ladder": batcher.batch_ladder,
+        "default_steps": batcher.default_steps,
+        "default_sampler": batcher.default_sampler,
+        "length_scale": batcher.length_scale,
+        "cfg_scales": [batcher.tg, batcher.sg],
+        "max_wait_ms": args.max_wait_ms,
+    }
+    if args.dry_run:
+        batcher.shutdown()
+        print(json.dumps({"serving_config": serving_cfg, "warmed": True}))
+        return 0
+
+    lang = args.language or cfg.inference.language
+    ph = text_frontend.get_phonemizer(lang)
+    text_to_ids = (
+        None if ph is None
+        else (lambda s: text_frontend.text_to_sequence(s, ph))
+    )
+    srv = make_http_server(batcher, host=args.host, port=args.port,
+                           text_to_ids=text_to_ids)
+    print(json.dumps({
+        "serving_config": serving_cfg,
+        "listening": f"http://{args.host}:{srv.server_address[1]}",
+    }), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+        batcher.shutdown()
+    return 0
+
+
 COMMANDS = {
     "inference": main_inference,
+    "serve": main_serve,
     "evaluate": main_evaluate,
     "finetune": main_finetune,
     "voice-conversion": main_voice_conversion,

@@ -1,0 +1,496 @@
+"""Production TTS serving: request queue + dynamic batching + HTTP front-end.
+
+The reference ships a one-shot CLI (/root/reference/inference.py:34-160) and
+no serving story; this subsystem is the deployment layer the task's
+"large-scale production serving" goal asks for, shaped by how TPUs actually
+serve:
+
+  * XLA executables are static-shape, so a request is never allowed to
+    dictate shapes. The batcher packs requests onto a precompiled grid:
+    batch size from a power-of-two ladder (padded with REPEATS of real rows,
+    so the on-device bucket choice is unchanged), token axis from the
+    Synthesizer's token buckets, and the frame bucket chosen ON DEVICE by
+    the bucket-switch executable (infer/tts.py) — one dispatch, no host
+    length sync.
+  * One dispatcher thread owns the chip. Device dispatches serialize anyway
+    (and on the tunneled dev setup a second client wedges the server), so
+    concurrency lives in the HTTP threads and the queue, not in device use.
+  * Dynamic batching trades a bounded wait (`max_wait_ms`) for aggregate
+    throughput: the 3x-batched CFG sampler is compute-dominant, so batch-B
+    synthesis costs ~B/chip-throughput, not B dispatch round-trips
+    (measured: batch-8 forced 0.0919 RTF/utt vs 0.099 single — ROADMAP.md).
+
+Synthesis semantics (samplers, CFG, calibration, overflow fallback) are the
+Synthesizer's; this module only schedules. Noise is drawn per batch, so a
+request's waveform depends on its batch companions' shapes — per-request
+bit-reproducibility is deliberately NOT a serving guarantee (the exact CLI
+path provides it when needed).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import time
+import wave
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def encode_wav_bytes(wav: np.ndarray, sr: int) -> bytes:
+    """float32 [-1, 1] mono -> 16-bit PCM RIFF bytes (data/dataset.write_wav
+    semantics, in memory)."""
+    pcm = (np.clip(wav, -1.0, 1.0) * 32767.0).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(int(sr))
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+@dataclass
+class _Request:
+    token_ids: List[int]
+    steps: int
+    sampler: str
+    future: "Future"
+    enqueued_at: float
+
+    @property
+    def group_key(self) -> Tuple[int, str]:
+        # steps/sampler are static argnames of the switch executable: mixing
+        # them in one batch is impossible, so they partition the queue
+        return (self.steps, self.sampler)
+
+
+class Future:
+    """Minimal thread-safe future (concurrent.futures without the executor)."""
+
+    def __init__(self):
+        self._ev = threading.Event()
+        self._result = None
+        self._exc: Optional[BaseException] = None
+
+    def set_result(self, value):
+        self._result = value
+        self._ev.set()
+
+    def set_exception(self, exc: BaseException):
+        self._exc = exc
+        self._ev.set()
+
+    def result(self, timeout: Optional[float] = None):
+        if not self._ev.wait(timeout):
+            raise TimeoutError("request timed out")
+        if self._exc is not None:
+            raise self._exc
+        return self._result
+
+
+@dataclass
+class BatcherStats:
+    requests: int = 0
+    batches: int = 0
+    overflows: int = 0
+    errors: int = 0
+    batch_sizes: Dict[int, int] = field(default_factory=dict)
+    total_latency_s: float = 0.0
+    total_speech_s: float = 0.0
+
+    def snapshot(self) -> Dict[str, Any]:
+        mean_lat = self.total_latency_s / self.requests if self.requests else 0.0
+        rtf = (self.total_latency_s / self.total_speech_s
+               if self.total_speech_s else 0.0)
+        return {
+            "requests": self.requests,
+            "batches": self.batches,
+            "overflows": self.overflows,
+            "errors": self.errors,
+            "batch_sizes": dict(sorted(self.batch_sizes.items())),
+            "mean_latency_s": round(mean_lat, 4),
+            "mean_request_rtf": round(rtf, 4),
+        }
+
+
+class DynamicBatcher:
+    """Collects requests for up to `max_wait_ms`, packs same-(steps, sampler)
+    requests into one bucket-switch dispatch, and fans results back out.
+
+    The synthesizer must have `switch_buckets` set (see `build_batcher` for
+    the calibrate -> make_switch_buckets startup flow)."""
+
+    def __init__(self, synth, max_batch: int = 8, max_wait_ms: float = 20.0,
+                 default_steps: Optional[int] = None,
+                 default_sampler: str = "ddpm",
+                 length_scale: Optional[float] = None,
+                 text_gradient_scale: Optional[float] = None,
+                 spk_gradient_scale: Optional[float] = None,
+                 batch_ladder: Optional[Sequence[int]] = None):
+        if synth.switch_buckets is None:
+            raise ValueError(
+                "DynamicBatcher needs a bucket-switch synthesizer "
+                "(set switch_buckets, e.g. via make_switch_buckets)"
+            )
+        icfg = synth.models.cfg.inference
+        self.synth = synth
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self.default_steps = int(default_steps if default_steps is not None
+                                 else icfg.diffusion_steps)
+        self.default_sampler = str(default_sampler)
+        self.length_scale = float(length_scale if length_scale is not None
+                                  else icfg.length_scale)
+        self.tg = float(text_gradient_scale if text_gradient_scale is not None
+                        else icfg.text_gradient_scale)
+        self.sg = float(spk_gradient_scale if spk_gradient_scale is not None
+                        else icfg.spk_gradient_scale)
+        # batch ladder: each size is one compiled executable, so the grid
+        # stays small and fully warmable. Default: powers of two up to
+        # max_batch; override to trade padding waste for fewer compiles
+        # (full-size switch executables compile slowly on remote toolchains).
+        if batch_ladder is not None:
+            self.batch_ladder = sorted(int(b) for b in batch_ladder)
+            if self.batch_ladder[-1] != self.max_batch:
+                raise ValueError("batch_ladder must end at max_batch")
+        else:
+            self.batch_ladder = []
+            b = 1
+            while b < self.max_batch:
+                self.batch_ladder.append(b)
+                b *= 2
+            self.batch_ladder.append(self.max_batch)
+
+        self.stats = BatcherStats()
+        self._queue: deque = deque()
+        self._lock = threading.Condition()
+        self._stop = False
+        self._key_counter = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="tts-dispatcher")
+        self._thread.start()
+
+    # -- client side -----------------------------------------------------
+
+    def submit(self, token_ids: Sequence[int], steps: Optional[int] = None,
+               sampler: Optional[str] = None) -> Future:
+        """Enqueue one request; resolves to (wav float32 np.ndarray, sr)."""
+        if self._stop:
+            raise RuntimeError("batcher is shut down")
+        if not token_ids:
+            raise ValueError("empty token sequence")
+        req = _Request(
+            token_ids=list(int(t) for t in token_ids),
+            steps=int(steps if steps is not None else self.default_steps),
+            sampler=str(sampler if sampler is not None
+                        else self.default_sampler),
+            future=Future(),
+            enqueued_at=time.monotonic(),
+        )
+        with self._lock:
+            self._queue.append(req)
+            self._lock.notify()
+        return req.future
+
+    def shutdown(self, timeout: float = 30.0):
+        with self._lock:
+            self._stop = True
+            self._lock.notify()
+        self._thread.join(timeout)
+        # fail anything still queued rather than hanging its client
+        while self._queue:
+            req = self._queue.popleft()
+            req.future.set_exception(RuntimeError("server shut down"))
+
+    # -- dispatcher side ---------------------------------------------------
+
+    def _take_batch(self) -> List[_Request]:
+        """Block for the first request, then collect same-group requests
+        until max_batch or the head request's wait budget runs out."""
+        with self._lock:
+            while not self._queue and not self._stop:
+                self._lock.wait(timeout=0.1)
+            if self._stop and not self._queue:
+                return []
+            head = self._queue.popleft()
+        batch = [head]
+        deadline = head.enqueued_at + self.max_wait_s
+        while len(batch) < self.max_batch and not self._stop:
+            with self._lock:
+                # take every compatible request already waiting
+                taken, kept = [], deque()
+                while self._queue and len(batch) + len(taken) < self.max_batch:
+                    r = self._queue.popleft()
+                    (taken if r.group_key == head.group_key else kept).append(r)
+                for r in kept:
+                    self._queue.append(r)
+                batch.extend(taken)
+                remaining = deadline - time.monotonic()
+                if len(batch) >= self.max_batch or remaining <= 0:
+                    return batch
+                self._lock.wait(timeout=min(remaining, 0.005))
+        return batch
+
+    def _loop(self):
+        while True:
+            batch = self._take_batch()
+            if not batch:
+                return
+            try:
+                self._dispatch(batch)
+            except BaseException as e:  # noqa: BLE001 — fan the error out
+                self.stats.errors += len(batch)
+                for req in batch:
+                    req.future.set_exception(e)
+
+    def _next_key(self):
+        import jax
+
+        self._key_counter += 1
+        return jax.random.PRNGKey(self._key_counter)
+
+    def _dispatch(self, batch: List[_Request]):
+        import jax
+
+        from unitspeech_tpu.infer.tts import _align_sample_vocode
+        from unitspeech_tpu.ops.masking import (
+            choose_bucket,
+            fix_len_compatibility,
+        )
+
+        synth, m = self.synth, self.synth.models
+        hop = m.cfg.data.hop_length
+        sr = m.cfg.data.sampling_rate
+        steps, sampler = batch[0].steps, batch[0].sampler
+
+        n = len(batch)
+        b = next(s for s in self.batch_ladder if s >= n)
+        tok_bucket = choose_bucket(
+            max(len(r.token_ids) for r in batch), synth.token_buckets
+        )
+        tokens = np.zeros((b, tok_bucket), np.int32)
+        lengths = np.zeros((b,), np.int32)
+        for i, r in enumerate(batch):
+            tokens[i, : len(r.token_ids)] = r.token_ids
+            lengths[i] = len(r.token_ids)
+        for i in range(n, b):
+            # pad rows REPEAT real requests: a zero-row's unconstrained
+            # predicted duration could inflate the on-device y_max and push
+            # the whole batch into a larger frame bucket
+            tokens[i] = tokens[i % n]
+            lengths[i] = lengths[i % n]
+
+        key = self._next_key()
+        wav, _mel, y_lengths, fits, mu_x, x_mask, w_ceil = (
+            synth._switch_dispatch(
+                tokens, lengths, key, steps, self.length_scale, self.tg,
+                self.sg, sampler=sampler,
+            )
+        )
+        wav, y_len, fits = jax.device_get((wav, y_lengths, fits))
+        if not bool(fits):
+            # some row overflowed the switch window: one batched fallback at
+            # the right bucket, reusing the device-resident encoder outputs
+            # (same policy as Synthesizer.__call__'s switch branch)
+            self.stats.overflows += 1
+            num_down = m.cfg.decoder.num_downsamplings
+            y_pad = choose_bucket(
+                fix_len_compatibility(int(y_len.max()), num_down),
+                synth.frame_buckets,
+            )
+            import jax.numpy as jnp
+
+            spk = jnp.broadcast_to(m.spk_emb, (b, m.spk_emb.shape[-1]))
+            wav, _mel, _attn = _align_sample_vocode(
+                m.decoder.apply, m.decoder_params, m.vocoder,
+                m.vocoder_params, mu_x, x_mask, w_ceil, None, spk, key,
+                m.mel_min, m.mel_max, n_timesteps=int(steps),
+                text_gradient_scale=self.tg, spk_gradient_scale=self.sg,
+                beta_min=m.cfg.decoder.beta_min,
+                beta_max=m.cfg.decoder.beta_max, y_pad=int(y_pad),
+                sampler=sampler,
+            )
+            wav = np.asarray(wav)
+        wav = np.asarray(wav)
+
+        now = time.monotonic()
+        self.stats.batches += 1
+        self.stats.requests += n
+        self.stats.batch_sizes[n] = self.stats.batch_sizes.get(n, 0) + 1
+        for i, req in enumerate(batch):
+            n_samples = max(int(y_len[i]), 1) * hop
+            out = wav[i, :n_samples].astype(np.float32)
+            self.stats.total_latency_s += now - req.enqueued_at
+            self.stats.total_speech_s += n_samples / sr
+            if synth.calibrator is not None:
+                synth.calibrator.observe_total(
+                    req.token_ids, float(y_len[i]) / self.length_scale
+                )
+            req.future.set_result((out, sr))
+
+    # -- startup ---------------------------------------------------------
+
+    def warmup(self, token_lengths: Sequence[int] = (64,)):
+        """Compile the (batch ladder x token bucket) serving grid before
+        opening the port, so no live request pays a compile. Drives the REAL
+        dispatch path with repeat-padded batches, exactly like serving."""
+        from unitspeech_tpu.ops.masking import choose_bucket
+
+        buckets = sorted({
+            choose_bucket(t, self.synth.token_buckets) for t in token_lengths
+        })
+        for bsz in self.batch_ladder:
+            for tb in buckets:
+                reqs = [
+                    _Request(list(range(1, min(tb, 8) + 1)),
+                             self.default_steps, self.default_sampler,
+                             Future(), time.monotonic())
+                    for _ in range(bsz)
+                ]
+                # pad rows up to tb tokens so the warmed bucket is tb itself
+                reqs[0].token_ids = [1] * tb
+                self._dispatch(reqs)
+                for r in reqs:
+                    r.future.result(timeout=0)
+        # warmup traffic must not read as served load in /stats
+        self.stats = BatcherStats()
+
+
+def build_batcher(
+    synth,
+    calibration_texts: Optional[Sequence[Sequence[int]]] = None,
+    max_batch: int = 8,
+    max_wait_ms: float = 20.0,
+    warmup_token_lengths: Sequence[int] = (64,),
+    **batcher_kwargs,
+) -> DynamicBatcher:
+    """Startup flow: calibrate the duration surrogate on a token corpus,
+    derive the bucket-switch window from the observed length distribution,
+    then warm the serving grid. `synth.calibrator` must be set when
+    `calibration_texts` is given; otherwise `synth.switch_buckets` must
+    already be configured."""
+    import dataclasses as dc
+
+    if calibration_texts is not None:
+        if synth.calibrator is None:
+            from unitspeech_tpu.infer.calibration import DurationCalibrator
+
+            synth = dc.replace(
+                synth,
+                calibrator=DurationCalibrator(
+                    n_vocab=synth.models.cfg.text_encoder.n_vocab,
+                    min_samples=4,
+                ),
+            )
+        synth.calibrate(calibration_texts)
+        lscale = batcher_kwargs.get(
+            "length_scale", synth.models.cfg.inference.length_scale
+        )
+        window = synth.make_switch_buckets(length_scale=float(lscale))
+        synth = dc.replace(synth, switch_buckets=window)
+    batcher = DynamicBatcher(synth, max_batch=max_batch,
+                             max_wait_ms=max_wait_ms, **batcher_kwargs)
+    batcher.warmup(warmup_token_lengths)
+    return batcher
+
+
+# -- HTTP front-end ----------------------------------------------------------
+
+
+def make_http_server(
+    batcher: DynamicBatcher,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    text_to_ids: Optional[Callable[[str], Sequence[int]]] = None,
+    request_timeout_s: float = 300.0,
+):
+    """stdlib ThreadingHTTPServer over the batcher.
+
+    Endpoints:
+      POST /synthesize  {"token_ids": [...]} or {"text": "..."} (+ optional
+                        "steps", "sampler", "format": "wav"|"json")
+                        -> audio/wav bytes, or JSON {sr, n_samples,
+                        wav_base64} when format=json
+      GET  /healthz     -> {"status": "ok"}
+      GET  /stats       -> batcher statistics snapshot
+
+    Concurrency: HTTP threads block on their request's Future; the batcher's
+    single dispatcher thread is the only device user."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, payload: Dict[str, Any]):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok"})
+            elif self.path == "/stats":
+                self._json(200, batcher.stats.snapshot())
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                token_ids = req.get("token_ids")
+                if token_ids is None and "text" in req:
+                    if text_to_ids is None:
+                        self._json(400, {"error": "server has no text "
+                                                  "frontend; send token_ids"})
+                        return
+                    token_ids = list(text_to_ids(req["text"]))
+                if not token_ids:
+                    self._json(400, {"error": "token_ids or text required"})
+                    return
+                sampler = req.get("sampler")
+                if sampler is not None and sampler not in ("ddpm", "dpm2"):
+                    self._json(400, {"error": f"unknown sampler {sampler!r}"})
+                    return
+                steps = req.get("steps")
+                fut = batcher.submit(token_ids, steps=steps, sampler=sampler)
+                wav, sr = fut.result(timeout=request_timeout_s)
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            except TimeoutError:
+                self._json(504, {"error": "synthesis timed out"})
+                return
+            except Exception as e:  # noqa: BLE001 — surface, don't crash
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            if req.get("format") == "json":
+                self._json(200, {
+                    "sr": sr,
+                    "n_samples": int(wav.shape[0]),
+                    "wav_base64": base64.b64encode(
+                        encode_wav_bytes(wav, sr)
+                    ).decode(),
+                })
+            else:
+                body = encode_wav_bytes(wav, sr)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+    return ThreadingHTTPServer((host, port), Handler)
