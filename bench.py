@@ -102,10 +102,12 @@ def main():
     ap.add_argument("--smoke", action="store_true", help="tiny config, CPU-friendly")
     ap.add_argument("--frames", type=int, default=344, help="synthesized mel frames")
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--sampler", default="ddpm", choices=["ddpm", "dpm2"],
-                    help="forced-path sampler: reference-parity DDPM or the "
-                         "deterministic DPM-Solver++(2M) fast mode (labeled "
-                         "separately; never the parity headline)")
+    ap.add_argument("--sampler", default="ddpm",
+                    help="forced-path sampler spec: reference-parity 'ddpm' "
+                         "or the deterministic DPM-Solver++(2M) fast mode "
+                         "'dpm2' (labeled separately; never the parity "
+                         "headline); optional ':cs<k>' CFG-delta-caching "
+                         "stride suffix, e.g. 'dpm2:cs2'")
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--batch", type=int, default=1,
                     help="utterances per batched synthesis (throughput mode)")
@@ -208,9 +210,14 @@ def main():
     speech_s = frames * hop / m.cfg.data.sampling_rate if not args.smoke else frames * hop / SR
     speech_s *= b  # throughput mode: RTF per chip across the batch
     rtf_forced = proc / speech_s
+    from unitspeech_tpu.models.diffusion import parse_sampler_spec
+
+    s_name, s_stride = parse_sampler_spec(args.sampler)
+    label = ("rtf_50step_synthesis" if args.sampler == "ddpm"
+             else f"rtf_{s_name}_{args.steps}step_forced"
+                  + (f"_cs{s_stride}" if s_stride > 1 else ""))
     result = {
-        "metric": ("rtf_50step_synthesis" if args.sampler == "ddpm"
-                   else f"rtf_dpm2_{args.steps}step_forced"),
+        "metric": label,
         "value": round(rtf_forced, 5),
         "unit": "rtf",
         "vs_baseline": round(BASELINE_RTF / rtf_forced, 2),

@@ -346,3 +346,34 @@ def test_dpm2_sampler_through_serving_paths(tiny_synth):
         tokens, jax.random.PRNGKey(5), _forced_total_frames=y_len, **kw
     )
     assert np.isfinite(wav_forced).all() and len(wav_forced) == y_len * 4
+
+
+def test_cfg_stride_spec_through_serving_paths(tiny_synth):
+    """The ':cs<k>' CFG-delta-caching suffix (models/diffusion.
+    parse_sampler_spec) must ride the serving paths: ':cs1' is bit-identical
+    to the bare spec, ':cs2' runs end to end deterministically with dual CFG
+    on, and a malformed spec fails eagerly (before any trace)."""
+    tokens = [1, 5, 9, 3, 7]
+    kw = dict(diffusion_steps=4, text_gradient_scale=1.0,
+              spk_gradient_scale=1.0)
+    wav_base, _ = tiny_synth(tokens, jax.random.PRNGKey(5), _exact=True,
+                             sampler="dpm2", **kw)
+    wav_cs1, _ = tiny_synth(tokens, jax.random.PRNGKey(5), _exact=True,
+                            sampler="dpm2:cs1", **kw)
+    np.testing.assert_array_equal(wav_cs1, wav_base)
+
+    wav_cs2, _ = tiny_synth(tokens, jax.random.PRNGKey(5), _exact=True,
+                            sampler="dpm2:cs2", **kw)
+    assert np.isfinite(wav_cs2).all() and len(wav_cs2) == len(wav_base)
+    wav_cs2b, _ = tiny_synth(tokens, jax.random.PRNGKey(5), _exact=True,
+                             sampler="dpm2:cs2", **kw)
+    np.testing.assert_array_equal(wav_cs2, wav_cs2b)
+
+    # the stochastic sampler takes the suffix too (fold_in noise indices are
+    # global step numbers, aligned with the stride-1 path)
+    wav_ddpm_cs2, _ = tiny_synth(tokens, jax.random.PRNGKey(5), _exact=True,
+                                 sampler="ddpm:cs2", **kw)
+    assert np.isfinite(wav_ddpm_cs2).all()
+
+    with pytest.raises(ValueError):
+        tiny_synth(tokens, jax.random.PRNGKey(5), sampler="dpm2:cs0", **kw)

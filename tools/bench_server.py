@@ -47,7 +47,8 @@ def main():
                     help="comma list ending at max-batch (fewer compiles)")
     ap.add_argument("--max-wait-ms", type=float, default=40.0)
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--sampler", default="ddpm", choices=["ddpm", "dpm2"])
+    ap.add_argument("--sampler", default="ddpm",
+                    help="sampler spec ('ddpm'/'dpm2', optional ':cs<k>')")
     ap.add_argument("--frames", type=int, default=344,
                     help="target mean synthesized frames (baseline protocol)")
     args = ap.parse_args()

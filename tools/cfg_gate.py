@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""CFG delta-caching quality gate (sampler-spec ':cs<k>' suffix).
+
+With stride k the sampler recomputes the two unconditional guidance rows
+only every k-th step and reuses their eps-space deltas in between
+(models/diffusion.reverse_diffusion docstring). Unlike dpm2's
+discretization gate there IS a like-for-like reference here: the SAME
+sampler at the SAME steps with the SAME noise keys at stride 1 — the only
+difference is the guidance approximation. This tool measures, at FULL
+reference size with random weights and identical priors:
+
+    mel-L1( sampler@N:csK , sampler@N ) / mel dynamic range
+
+for the serving-relevant configs (ddpm@50, dpm2@25, dpm2@16) x strides
+(2, 3), across weight seeds x noise keys, with the bf16-vs-f32 numerics
+band for scale context. Gate: stride-2 deviation <= 2% of the mel dynamic
+range on every gated config (same perceptual-insignificance proxy as
+DPM2_GATE; re-validate against real weights when egress exists). Writes
+CFG_GATE.json.
+
+Run on the real TPU:  python tools/cfg_gate.py     (or --smoke on CPU)
+"""
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import json
+
+import numpy as np
+
+SMOKE = False
+FRAMES, N_TOK, WEIGHT_SEEDS, NOISE_KEYS = 344, 140, (0, 1), (0, 1, 2)
+# (sampler, steps) configs the serving modes actually use
+CONFIGS = (("ddpm", 50), ("dpm2", 25), ("dpm2", 16))
+STRIDES = (2, 3)
+
+import jax
+
+
+def main():
+    global SMOKE, FRAMES, N_TOK, WEIGHT_SEEDS, CONFIGS
+    if "--smoke" in sys.argv:
+        SMOKE, FRAMES, N_TOK, WEIGHT_SEEDS = True, 48, 12, (0,)
+        CONFIGS = (("ddpm", 6), ("dpm2", 4))
+        jax.config.update("jax_platforms", "cpu")
+
+    import tools.int8_gate as int8_gate
+
+    # propagate smoke into the shared builders: int8_gate.make_cfg sizes the
+    # model from ITS module global (a full-size build on CPU otherwise)
+    int8_gate.SMOKE = SMOKE
+    build, make_cfg = int8_gate.build, int8_gate.make_cfg
+    from unitspeech_tpu.infer.tts import TTSModels
+
+    rng = np.random.default_rng(0)
+    tokens_np = rng.integers(1, 179, (1, N_TOK)).astype(np.int32)
+    w = np.full((1, N_TOK), FRAMES // N_TOK, np.float32)
+    w[0, 0] += FRAMES - (FRAMES // N_TOK) * N_TOK
+
+    def run_mel(synth, steps, nk, sampler):
+        _wav, mel, *_ = synth._single_dispatch(
+            tokens_np, [N_TOK], w, FRAMES, jax.random.PRNGKey(nk),
+            steps, 1.0, 1.0, 1.0, sampler=sampler,
+        )
+        return np.asarray(mel, np.float32)[0]
+
+    synths = {m: build(WEIGHT_SEEDS[0], m) for m in ("f32", "bf16")}
+    report = {"frames": FRAMES, "configs": [f"{s}@{n}" for s, n in CONFIGS],
+              "strides": list(STRIDES), "runs": []}
+    fracs = {(f"{s}@{n}", k): [] for s, n in CONFIGS for k in STRIDES}
+    for ws in WEIGHT_SEEDS:
+        if ws != WEIGHT_SEEDS[0]:
+            for m in synths.values():
+                fresh = TTSModels.random_init(make_cfg(), jax.random.PRNGKey(ws))
+                m.models.text_encoder_params = fresh.text_encoder_params
+                m.models.duration_predictor_params = fresh.duration_predictor_params
+                m.models.decoder_params = fresh.decoder_params
+                m.models.vocoder_params = fresh.vocoder_params
+                m.models.spk_emb = fresh.spk_emb
+        for nk in NOISE_KEYS[: 1 if SMOKE else len(NOISE_KEYS)]:
+            # numerics yardstick: bf16-vs-f32 band of the DDPM default
+            ddpm_steps = CONFIGS[0][1]
+            with jax.default_matmul_precision("float32"):
+                m_f32 = run_mel(synths["f32"], ddpm_steps, nk, "ddpm")
+            m_b16 = run_mel(synths["bf16"], ddpm_steps, nk, "ddpm")
+            band = float(np.abs(m_b16 - m_f32).mean())
+            mel_range = float(m_f32.max() - m_f32.min())
+            row = {"weight_seed": ws, "noise_key": nk,
+                   "bf16_band_l1": band, "mel_range": mel_range}
+            for sampler, steps in CONFIGS:
+                ref = run_mel(synths["bf16"], steps, nk, sampler)
+                for k in STRIDES:
+                    got = run_mel(synths["bf16"], steps, nk,
+                                  f"{sampler}:cs{k}")
+                    l1 = float(np.abs(got - ref).mean())
+                    cfg_key = f"{sampler}@{steps}"
+                    row[f"l1_{cfg_key}_cs{k}"] = l1
+                    row[f"frac_{cfg_key}_cs{k}"] = l1 / max(mel_range, 1e-9)
+                    fracs[(cfg_key, k)].append(l1 / max(mel_range, 1e-9))
+            report["runs"].append(row)
+            print(row, flush=True)
+
+    report["max_frac_of_range"] = {
+        f"{c}_cs{k}": float(np.max(v)) for (c, k), v in fracs.items()
+    }
+    # gate: stride-2 deviation <= 2% of mel range on EVERY gated config
+    gate = [float(np.max(fracs[(f"{s}@{n}", 2)])) for s, n in CONFIGS]
+    report["gate_stride"] = 2
+    report["pass"] = bool(max(gate) <= 0.02)
+    out = "CFG_GATE.json" if not SMOKE else "/tmp/CFG_GATE_smoke.json"
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote", out, "pass:", report["pass"])
+
+
+if __name__ == "__main__":
+    main()

@@ -46,7 +46,12 @@ def main():
         SMOKE, FRAMES, N_TOK, WEIGHT_SEEDS = True, 48, 12, (0,)
         jax.config.update("jax_platforms", "cpu")
 
-    from tools.int8_gate import build, make_cfg  # same model/builders
+    import tools.int8_gate as int8_gate
+
+    # propagate smoke into the shared builders: int8_gate.make_cfg sizes the
+    # model from ITS module global (a full-size build on CPU otherwise)
+    int8_gate.SMOKE = SMOKE
+    build, make_cfg = int8_gate.build, int8_gate.make_cfg
     from unitspeech_tpu.infer.tts import TTSModels
 
     rng = np.random.default_rng(0)

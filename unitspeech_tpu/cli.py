@@ -1083,10 +1083,12 @@ def main_serve(argv=None):
                     help="dynamic-batching wait window (latency traded for "
                          "aggregate throughput)")
     ap.add_argument("--diffusion-steps", type=int, default=None)
-    ap.add_argument("--sampler", default="ddpm", choices=["ddpm", "dpm2"],
-                    help="default sampler: reference-parity DDPM or the "
-                         "quality-gated DPM-Solver++(2M) fast mode "
-                         "(DPM2_GATE.json)")
+    ap.add_argument("--sampler", default="ddpm",
+                    help="default sampler spec: reference-parity 'ddpm' or "
+                         "the quality-gated DPM-Solver++(2M) fast mode "
+                         "'dpm2' (DPM2_GATE.json), optionally with a "
+                         "':cs<k>' CFG-delta-caching stride suffix, e.g. "
+                         "'dpm2:cs2' (CFG_GATE.json)")
     ap.add_argument("--length-scale", type=float, default=None)
     ap.add_argument("--text-gradient-scale", type=float, default=None)
     ap.add_argument("--spk-gradient-scale", type=float, default=None)
@@ -1117,7 +1119,10 @@ def main_serve(argv=None):
 
     from unitspeech_tpu import text as text_frontend
     from unitspeech_tpu.infer.tts import Synthesizer
+    from unitspeech_tpu.models.diffusion import parse_sampler_spec
     from unitspeech_tpu.serve import build_batcher, make_http_server
+
+    parse_sampler_spec(args.sampler)  # fail a typo'd spec at startup
 
     models = _load_tts_models(args, cfg)
     synth = Synthesizer(models)

@@ -28,6 +28,7 @@ import numpy as np
 from unitspeech_tpu.config import MainConfig
 from unitspeech_tpu.models.diffusion import (
     UnitSpeech,
+    parse_sampler_spec,
     reverse_diffusion,
     reverse_diffusion_ode,
 )
@@ -202,7 +203,12 @@ def _align_and_sample(
         z = jax.random.normal(jax.random.fold_in(key, 0), cond_y.shape)
     else:
         z = noise_z
-    if sampler == "dpm2":
+    # `sampler` is a SPEC string (models/diffusion.parse_sampler_spec):
+    # "ddpm"/"dpm2" with an optional ":cs<k>" CFG-delta-caching stride —
+    # parsed here, the single sampler dispatch point every serving path
+    # funnels through
+    sampler_name, cfg_stride = parse_sampler_spec(sampler)
+    if sampler_name == "dpm2":
         # deterministic DPM-Solver++(2M) probability-flow sampler: the
         # fast serving mode (reaches comparable quality at roughly half
         # the DDPM step count; reported under its own benchmark label)
@@ -211,7 +217,7 @@ def _align_and_sample(
             n_timesteps=n_timesteps,
             text_gradient_scale=text_gradient_scale,
             spk_gradient_scale=spk_gradient_scale,
-            beta_min=beta_min, beta_max=beta_max,
+            beta_min=beta_min, beta_max=beta_max, cfg_stride=cfg_stride,
             mesh=mesh, sample_spec=sample_spec,
         )
     else:
@@ -228,6 +234,7 @@ def _align_and_sample(
             spk_gradient_scale=spk_gradient_scale,
             beta_min=beta_min,
             beta_max=beta_max,
+            cfg_stride=cfg_stride,
             mesh=mesh,
             sample_spec=sample_spec,
             noises=noises,
@@ -762,9 +769,12 @@ class Synthesizer:
         sg = kwargs.get("spk_gradient_scale")
         sg = icfg.spk_gradient_scale if sg is None else sg
         forced_frames = kwargs.get("_forced_total_frames")
-        # "ddpm" (reference parity, default) or "dpm2" (deterministic
-        # DPM-Solver++(2M) fast mode — fewer estimator calls per sample)
+        # sampler SPEC: "ddpm" (reference parity, default) or "dpm2"
+        # (deterministic DPM-Solver++(2M) fast mode), each with an optional
+        # ":cs<k>" CFG-delta-caching stride suffix (e.g. "dpm2:cs2").
+        # Validate eagerly so a malformed spec fails here, not mid-trace.
         sampler = str(kwargs.get("sampler", "ddpm"))
+        parse_sampler_spec(sampler)
 
         hop = m.cfg.data.hop_length
         sr = m.cfg.data.sampling_rate

@@ -123,6 +123,32 @@ def _uncond_embeddings(params):
     return p["text_uncon"], p["spk_uncon"]
 
 
+def parse_sampler_spec(spec: str) -> Tuple[str, int]:
+    """Parse a sampler spec string: `"ddpm"` / `"dpm2"`, optionally with a
+    guidance-stride suffix `":cs<k>"` (e.g. `"dpm2:cs2"`).
+
+    The suffix enables CFG delta caching (see `reverse_diffusion`'s
+    `cfg_stride`): the two unconditional guidance rows are recomputed only
+    every k-th step and their epsilon-space deltas reused in between — the
+    estimator runs 3x-batched on 1/k of the steps and 1x-batched on the
+    rest. Encoding it in the sampler string lets the stride ride every
+    serving path (exact/forced/speculative/bucket-switch/daemon) whose
+    static `sampler` argument and batch group keys already exist.
+
+    Returns (name, cfg_stride); raises ValueError on a malformed spec."""
+    name, _, opt = str(spec).partition(":")
+    stride = 1
+    if opt:
+        if not (opt.startswith("cs") and opt[2:].isdigit() and int(opt[2:]) >= 1):
+            raise ValueError(
+                f"bad sampler option {opt!r} in {spec!r} (expected 'cs<k>')"
+            )
+        stride = int(opt[2:])
+    if name not in ("ddpm", "dpm2"):
+        raise ValueError(f"unknown sampler {name!r} (expected 'ddpm' or 'dpm2')")
+    return name, stride
+
+
 def build_cfg_rows(
     params, mask, cond, spk_emb,
     text_gradient_scale: float, spk_gradient_scale: float,
@@ -212,6 +238,7 @@ def cfg_score(
         "spk_gradient_scale",
         "beta_min",
         "beta_max",
+        "cfg_stride",
         "mesh",
         "sample_spec",
     ),
@@ -229,6 +256,7 @@ def reverse_diffusion(
     spk_gradient_scale: float = 0.0,
     beta_min: float = 0.05,
     beta_max: float = 20.0,
+    cfg_stride: int = 1,
     mesh=None,
     sample_spec=None,
     noises=None,
@@ -246,7 +274,17 @@ def reverse_diffusion(
     and XLA keeps the diffusion state sharded across chips for every step,
     inserting the collectives the linear attention's global softmax needs.
     Both are hashable and static.
-    """
+
+    `cfg_stride > 1` enables CFG DELTA CACHING: the unconditional guidance
+    rows are evaluated only on every `cfg_stride`-th step; in-between steps
+    run the estimator on the conditional row alone and reuse the cached
+    guidance delta. The delta is cached in EPSILON space (delta * std_t) and
+    rescaled by 1/std_t at reuse — the score-space delta diverges as 1/std
+    at small t, so the eps-space parameterization is the one that changes
+    smoothly along the trajectory (the estimator is trained so that
+    score*std approximates -noise, `diffusion_loss_t`). Numerics change vs
+    stride 1 (quality-gated at full size like the dpm2 fast mode:
+    tools/cfg_gate.py); stride 1 is the exact reference algebra."""
     sched = make_reverse_schedule(n_timesteps, beta_min, beta_max)
     coeffs = sched.stacked()  # (N, 4): t, c_x, c_score, c_noise
 
@@ -265,6 +303,17 @@ def reverse_diffusion(
     cond_c, spk_c, mask_c, n_rows, combine = build_cfg_rows(
         params, mask, cond, spk_emb, text_gradient_scale, spk_gradient_scale
     )
+
+    if cfg_stride > 1 and n_rows > 1:
+        if noises is not None:
+            raise ValueError(
+                "noises injection (reference-parity path) requires cfg_stride=1"
+            )
+        return _reverse_diffusion_strided(
+            apply_fn, params, xt, mask, cond, spk_emb, key, coeffs,
+            n_timesteps, cfg_stride, beta_min, beta_max,
+            cond_c, spk_c, mask_c, n_rows, combine, mask3, constrain,
+        )
 
     def step(carry, inp):
         xt = carry
@@ -286,6 +335,61 @@ def reverse_diffusion(
     return xt * mask3
 
 
+def _reverse_diffusion_strided(
+    apply_fn, params, xt, mask, cond, spk_emb, key, coeffs,
+    n_timesteps, cfg_stride, beta_min, beta_max,
+    cond_c, spk_c, mask_c, n_rows, combine, mask3, constrain,
+):
+    """CFG-delta-cached DDPM sampling: scan over groups of `cfg_stride`
+    steps — the group's first substep runs the full `n_rows`-batched
+    guidance call and refreshes the cached eps-space delta; the remaining
+    substeps (statically unrolled inside the body) run the 1-row
+    conditional estimator and reuse it. Trailing `n % stride` steps run
+    full, unrolled after the scan (the final small-t steps set fine detail,
+    so the remainder is spent where caching error would matter most).
+    No lax.cond: the group structure is static, which keeps the scan body
+    a straight-line program for the TPU compiler."""
+    b = mask.shape[0]
+    groups = n_timesteps // cfg_stride
+    rem = n_timesteps - groups * cfg_stride
+
+    def full_step(xt, sc, i):
+        noise = jax.random.normal(jax.random.fold_in(key, i), xt.shape)
+        xt_c = jnp.concatenate([xt] * n_rows, axis=0)
+        t_c = jnp.full((xt_c.shape[0],), sc[0], dtype=jnp.float32)
+        s_all = apply_fn(params, xt_c, mask_c, cond_c, t_c, spk_c)
+        guided = combine(s_all)
+        _, std = forward_diffusion_coefficients(sc[0], beta_min, beta_max)
+        delta_eps = (guided - s_all[-b:]) * std
+        xt = constrain((sc[1] * xt + sc[2] * guided + sc[3] * noise) * mask3)
+        return xt, delta_eps
+
+    def cheap_step(xt, delta_eps, sc, i):
+        noise = jax.random.normal(jax.random.fold_in(key, i), xt.shape)
+        t_1 = jnp.full((b,), sc[0], dtype=jnp.float32)
+        s = apply_fn(params, xt, mask, cond, t_1, spk_emb)
+        _, std = forward_diffusion_coefficients(sc[0], beta_min, beta_max)
+        guided = s + delta_eps / std
+        return constrain((sc[1] * xt + sc[2] * guided + sc[3] * noise) * mask3)
+
+    if groups > 0:
+        coeffs_g = coeffs[: groups * cfg_stride].reshape(groups, cfg_stride, -1)
+
+        def group(xt, inp):
+            g, sc_g = inp
+            i0 = g * cfg_stride
+            xt, delta_eps = full_step(xt, sc_g[0], i0)
+            for j in range(1, cfg_stride):
+                xt = cheap_step(xt, delta_eps, sc_g[j], i0 + j)
+            return xt, None
+
+        xt, _ = lax.scan(group, xt, (jnp.arange(groups), coeffs_g))
+    for j in range(rem):
+        xt, _ = full_step(xt, coeffs[groups * cfg_stride + j],
+                          groups * cfg_stride + j)
+    return xt * mask3
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -296,6 +400,7 @@ def reverse_diffusion(
         "beta_min",
         "beta_max",
         "t_end",
+        "cfg_stride",
         "mesh",
         "sample_spec",
     ),
@@ -313,6 +418,7 @@ def reverse_diffusion_ode(
     beta_min: float = 0.05,
     beta_max: float = 20.0,
     t_end: float = 0.01,
+    cfg_stride: int = 1,
     mesh=None,
     sample_spec=None,
 ):
@@ -348,6 +454,13 @@ def reverse_diffusion_ode(
         params, mask, cond, spk_emb, text_gradient_scale, spk_gradient_scale
     )
 
+    if cfg_stride > 1 and n_rows > 1:
+        return _reverse_diffusion_ode_strided(
+            apply_fn, params, xt, mask, cond, spk_emb, coeffs,
+            n_timesteps, cfg_stride,
+            cond_c, spk_c, mask_c, n_rows, combine, mask3, constrain,
+        )
+
     def step(carry, sc):
         xt, x0_prev = carry
         t_eval, a, b, c1, c2, inv_alpha, sigma2 = (
@@ -363,6 +476,58 @@ def reverse_diffusion_ode(
 
     # first step's c2 is 0, so the x0_prev seed value never contributes
     (xt, _), _ = lax.scan(step, (xt, jnp.zeros_like(xt)), coeffs)
+    return xt * mask3
+
+
+def _reverse_diffusion_ode_strided(
+    apply_fn, params, xt, mask, cond, spk_emb, coeffs,
+    n_timesteps, cfg_stride,
+    cond_c, spk_c, mask_c, n_rows, combine, mask3, constrain,
+):
+    """CFG-delta-cached DPM-Solver++(2M) sampling — same grouped-scan
+    structure and eps-space delta parameterization as the DDPM variant
+    (`_reverse_diffusion_strided`); the ODE schedule carries sigma^2 in its
+    coefficients, so std_t = sqrt(sc[6]). The 2M multistep history (x0_prev)
+    threads through full and cheap substeps identically."""
+    b = mask.shape[0]
+    groups = n_timesteps // cfg_stride
+    rem = n_timesteps - groups * cfg_stride
+
+    def advance(xt, x0_prev, sc, guided):
+        x0 = (xt + sc[6] * guided) * sc[5]
+        d = sc[3] * x0 + sc[4] * x0_prev
+        xt = constrain((sc[1] * xt + sc[2] * d) * mask3)
+        return xt, x0
+
+    def full_step(xt, x0_prev, sc):
+        xt_c = jnp.concatenate([xt] * n_rows, axis=0)
+        t_c = jnp.full((xt_c.shape[0],), sc[0], dtype=jnp.float32)
+        s_all = apply_fn(params, xt_c, mask_c, cond_c, t_c, spk_c)
+        guided = combine(s_all)
+        delta_eps = (guided - s_all[-b:]) * jnp.sqrt(sc[6])
+        xt, x0 = advance(xt, x0_prev, sc, guided)
+        return xt, x0, delta_eps
+
+    def cheap_step(xt, x0_prev, delta_eps, sc):
+        t_1 = jnp.full((b,), sc[0], dtype=jnp.float32)
+        s = apply_fn(params, xt, mask, cond, t_1, spk_emb)
+        guided = s + delta_eps / jnp.sqrt(sc[6])
+        return advance(xt, x0_prev, sc, guided)
+
+    x0_prev = jnp.zeros_like(xt)
+    if groups > 0:
+        coeffs_g = coeffs[: groups * cfg_stride].reshape(groups, cfg_stride, -1)
+
+        def group(carry, sc_g):
+            xt, x0_prev = carry
+            xt, x0_prev, delta_eps = full_step(xt, x0_prev, sc_g[0])
+            for j in range(1, cfg_stride):
+                xt, x0_prev = cheap_step(xt, x0_prev, delta_eps, sc_g[j])
+            return (xt, x0_prev), None
+
+        (xt, x0_prev), _ = lax.scan(group, (xt, x0_prev), coeffs_g)
+    for j in range(rem):
+        xt, x0_prev, _ = full_step(xt, x0_prev, coeffs[groups * cfg_stride + j])
     return xt * mask3
 
 

@@ -462,9 +462,17 @@ def make_http_server(
                     self._json(400, {"error": "token_ids or text required"})
                     return
                 sampler = req.get("sampler")
-                if sampler is not None and sampler not in ("ddpm", "dpm2"):
-                    self._json(400, {"error": f"unknown sampler {sampler!r}"})
-                    return
+                if sampler is not None:
+                    try:
+                        # full spec grammar: "ddpm"/"dpm2" + optional ":cs<k>"
+                        from unitspeech_tpu.models.diffusion import (
+                            parse_sampler_spec,
+                        )
+
+                        parse_sampler_spec(sampler)
+                    except ValueError as e:
+                        self._json(400, {"error": str(e)})
+                        return
                 steps = req.get("steps")
                 fut = batcher.submit(token_ids, steps=steps, sampler=sampler)
                 wav, sr = fut.result(timeout=request_timeout_s)
