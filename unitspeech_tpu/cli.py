@@ -425,6 +425,9 @@ def main_voice_conversion(argv=None):
     ap.add_argument("--spk-emb", default=None)
     ap.add_argument("--output", default="converted.wav")
     ap.add_argument("--diffusion-steps", type=int, default=50)
+    ap.add_argument("--sampler", default="ddpm",
+                    help="sampler spec: 'ddpm'/'dpm2' + optional ':cs<k>' "
+                         "CFG-delta-caching stride (e.g. 'dpm2:cs2')")
     ap.add_argument("--text-gradient-scale", type=float, default=1.0)
     ap.add_argument("--spk-gradient-scale", type=float, default=1.0)
     ap.add_argument("--no-sv56", action="store_true")
@@ -475,6 +478,7 @@ def main_voice_conversion(argv=None):
         spk_gradient_scale=args.spk_gradient_scale,
         beta_min=cfg.decoder.beta_min, beta_max=cfg.decoder.beta_max,
         num_downsamplings=cfg.decoder.num_downsamplings,
+        sampler=args.sampler,
     )
     vocoder = BigVGAN.from_config(cfg.vocoder, dtype=dtype)
     voc_params = artifacts.load_vocoder_params(args.vocoder, cfg.vocoder)
