@@ -336,22 +336,43 @@ def bench_serving_modes(synth, args, frames, n_tok, hop, sr):
     # deterministic DPM-Solver++(2M) sampler (labeled separately; the
     # parity headline stays the 50-step DDPM above). Both step counts are
     # full-size quality-gated on-chip (DPM2_GATE.json: max deviation from
-    # the converged ODE solution 0.27% of mel range @25, 0.42% @16).
+    # the converged ODE solution 0.27% of mel range @25, 0.42% @16). When
+    # the CFG-delta-caching gate passed (CFG_GATE.json), the fastest mode
+    # is also measured with stride 2 — guidance rows recomputed every other
+    # step (models/diffusion.parse_sampler_spec).
     if not args.smoke:
-        for fast_steps in (25, 16):
-            key = f"rtf_serving_dpm2_{fast_steps}step"
+        fast_specs = [(25, "dpm2"), (16, "dpm2")]
+        if _cfg_gate_passed():
+            fast_specs.append((16, "dpm2:cs2"))
+        for fast_steps, spec in fast_specs:
+            suffix = spec.replace("dpm2", "").replace(":", "_")
+            key = f"rtf_serving_dpm2_{fast_steps}step{suffix}"
             try:
-                kw_fast = dict(kw, diffusion_steps=fast_steps,
-                               sampler="dpm2")
+                kw_fast = dict(kw, diffusion_steps=fast_steps, sampler=spec)
                 rtf_fast, _sp = timed(lambda r, k: sw(r, k, **kw_fast), reqs)
-                print(f"# serving dpm2@{fast_steps}: rtf={rtf_fast:.4f}",
+                print(f"# serving {spec}@{fast_steps}: rtf={rtf_fast:.4f}",
                       file=sys.stderr)
                 out[key] = round(rtf_fast, 5)
             except Exception as e:  # pragma: no cover - environment-specific
                 out[key + "_error"] = f"{type(e).__name__}: {e}"
-                print(f"# serving dpm2@{fast_steps} failed: {e}",
+                print(f"# serving {spec}@{fast_steps} failed: {e}",
                       file=sys.stderr)
     return out
+
+
+def _cfg_gate_passed() -> bool:
+    """True when the full-size CFG-delta-caching quality gate has passed on
+    this machine (tools/cfg_gate.py -> CFG_GATE.json); gates which serving
+    variants the bench measures, mirroring how INT8_GATE flipped defaults."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "CFG_GATE.json")
+    try:
+        with open(path) as f:
+            return bool(json.load(f).get("pass"))
+    except (OSError, ValueError):
+        return False
 
 
 def bench_extras(synth, args, frames, n_tok):
@@ -404,18 +425,19 @@ def bench_extras(synth, args, frames, n_tok):
         return {"rtf_500step": round(rtf, 5),
                 "vs_baseline_500step": round(8.4981 / rtf, 2)}
 
-    def _rtf_dpm2(steps):
+    def _rtf_fast(steps, spec="dpm2"):
         # deterministic DPM-Solver++(2M) fast serving mode (NOT the
         # reference-parity number — the reference has no ODE sampler; its
         # Grad-TTS lineage samples with coarse ODE solvers). Reported under
         # its own label; quality bound vs the 50-step DDPM output in
-        # tests/test_ode_sampler.py + tools/dpm2_gate.py.
+        # tests/test_ode_sampler.py + tools/dpm2_gate.py. `spec` may carry
+        # the ':cs<k>' CFG-delta-caching stride (tools/cfg_gate.py).
         toks = list(rng.integers(1, 179, (n_tok,)).astype(np.int32))
 
         def once():
             wav, _sr = synth(
                 toks, key, _forced_total_frames=frames,
-                diffusion_steps=steps, sampler="dpm2",
+                diffusion_steps=steps, sampler=spec,
                 text_gradient_scale=tg, spk_gradient_scale=sg,
             )
             return np.asarray(wav)
@@ -428,8 +450,10 @@ def bench_extras(synth, args, frames, n_tok):
             once()
             times.append(time.perf_counter() - t0)
         rtf = float(np.median(times)) / speech_s
-        print(f"# dpm2-{steps}step: rtf={rtf:.4f}", file=sys.stderr)
-        return {f"rtf_dpm2_{steps}step": round(rtf, 5)}
+        print(f"# {spec}-{steps}step: rtf={rtf:.4f}", file=sys.stderr)
+        name, _, opt = spec.partition(":")
+        label = f"rtf_{name}_{steps}step" + (f"_{opt}" if opt else "")
+        return {label: round(rtf, 5)}
 
     def _throughput(bsz):
         def once():
@@ -507,11 +531,16 @@ def bench_extras(synth, args, frames, n_tok):
         }
 
     _section("rtf_500step", _rtf_500step)
-    _section("dpm2_25", lambda: _rtf_dpm2(25))
-    _section("dpm2_16", lambda: _rtf_dpm2(16))
+    _section("dpm2_25", lambda: _rtf_fast(25))
+    _section("dpm2_16", lambda: _rtf_fast(16))
     # @10 also passes the full-size discretization gate (DPM2_GATE.json:
     # 0.73% of mel range vs the converged 200-step solution)
-    _section("dpm2_10", lambda: _rtf_dpm2(10))
+    _section("dpm2_10", lambda: _rtf_fast(10))
+    if _cfg_gate_passed():
+        # CFG-delta-caching variants (CFG_GATE.json passed at full size):
+        # the fastest gated mode plus the 50-step DDPM family for scale
+        _section("dpm2_16_cs2", lambda: _rtf_fast(16, "dpm2:cs2"))
+        _section("ddpm_50_cs2", lambda: _rtf_fast(50, "ddpm:cs2"))
     _section("batch8", _throughput(8))
     _section("batch32", _throughput(32))
     _section("train_step1", lambda: _train(False))
