@@ -1,0 +1,153 @@
+"""Tests for the pure-Python rule-G2P fallback (text/g2p.py).
+
+The fallback replaces the espeak-ng binary (which the reference shells
+into, /root/reference/unitspeech/util.py:154-172) on air-gapped hosts; it
+must emit only symbols the model vocabulary knows and honor the same
+.phonemize contract as the espeak wrapper.
+"""
+
+import pytest
+
+from unitspeech_tpu.text import (
+    get_phonemizer,
+    phonemize_chunks,
+    text_to_sequence,
+)
+from unitspeech_tpu.text.g2p import (
+    RuleG2P,
+    _ARPA_TO_IPA,
+    _LEXICON,
+    expand_numbers,
+    word_to_arpabet,
+    word_to_ipa,
+)
+from unitspeech_tpu.text.symbols import BLANK_ID, symbols
+
+_SYMBOL_SET = frozenset(symbols)
+
+
+def test_output_alphabet_is_symbol_subset():
+    """Every IPA character the module can ever emit has a symbol ID —
+    otherwise text_to_sequence would KeyError at runtime."""
+    for phone, ipa in _ARPA_TO_IPA.items():
+        for ch in ipa:
+            assert ch in _SYMBOL_SET, (phone, ch)
+    for word, ipa in _LEXICON.items():
+        for ch in ipa:
+            assert ch in _SYMBOL_SET, (word, ch)
+    assert "ˈ" in _SYMBOL_SET and "ˌ" in _SYMBOL_SET
+
+
+@pytest.mark.parametrize(
+    "word,ipa",
+    [
+        # lexicon hits
+        ("women", "wˈɪmᵻn"),
+        ("sure", "ʃˈʊɹ"),
+        # rule-derived words locking the matcher semantics:
+        ("people", "pˈiːpəl"),   # '#^:' left context needs backtracking
+        ("table", "tˈeɪbəl"),    # 'ABLE' after consonant cluster
+        ("little", "lˈɪtəl"),    # doubled-consonant collapse
+        ("judge", "dʒˈʌdʒ"),     # DG -> affricate
+        ("station", "stˈeɪʃən"),  # TI+O -> SH
+        ("speech", "spˈiːtʃ"),
+        ("walked", "wˈɔːkt"),    # '#^:E'D -> T devoicing
+        ("wanted", "wˈæntɪd"),   # '#:'TED -> T IH D
+        ("lazy", "lˈeɪzi"),      # final -y is short i, like espeak
+        ("around", "əɹˈaʊnd"),   # stress skips the initial schwa
+        ("light", "lˈaɪt"),      # IGH -> AY
+        ("quick", "kwˈɪk"),
+        ("king", "kˈɪŋ"),
+        ("chair", "tʃˈɛɹ"),
+    ],
+)
+def test_word_pronunciations(word, ipa):
+    assert word_to_ipa(word) == ipa
+
+
+def test_every_letter_produces_output():
+    """The per-letter default rules guarantee the scanner always advances
+    and any letters-only word yields phones."""
+    import string
+
+    for ch in string.ascii_lowercase:
+        word_to_arpabet(ch)  # must not raise or loop
+    assert word_to_arpabet("zzyzx")  # pathological but terminates
+
+
+def test_stress_rules():
+    assert "ˈ" not in word_to_ipa("the")  # function word: unstressed
+    assert "ˈ" in word_to_ipa("table")
+    assert word_to_ipa("table", stress=False) == "teɪbəl"
+    # lexicon entries also honor stress=False
+    assert "ˈ" not in word_to_ipa("women", stress=False)
+
+
+def test_expand_numbers():
+    assert expand_numbers("42") == "forty two"
+    assert expand_numbers("1,234") == "one thousand two hundred thirty four"
+    assert expand_numbers("3rd") == "third"
+    assert expand_numbers("21st") == "twenty first"
+    assert expand_numbers("2.5") == "two point five"
+    assert expand_numbers("-7") == "minus seven"
+    assert (
+        expand_numbers("1900")
+        == "one thousand nine hundred"
+    )
+    # embedded in text, punctuation untouched
+    assert expand_numbers("buy 2, get 1!") == "buy two, get one!"
+
+
+def test_phonemize_contract_matches_espeak_wrapper():
+    """Same list-in/list-out + punctuation-preserved-in-place contract as
+    EspeakPhonemizer (both route through phonemize_chunks)."""
+    g2p = RuleG2P("en-us")
+    out = g2p.phonemize(["Hello, world!", "One."])
+    assert len(out) == 2
+    assert "," in out[0] and out[0].endswith("!")
+    assert out[1].endswith(".")
+    # strip=True trims outer whitespace
+    assert out[0] == out[0].strip()
+    # the IPA between marks contains only known symbols
+    for ph in out:
+        for ch in ph:
+            assert ch in _SYMBOL_SET, ch
+
+
+def test_text_to_sequence_integration():
+    """Raw text -> IDs through the standard frontend path with the G2P as
+    the phonemizer (the exact call the CLI makes with fallback=True)."""
+    g2p = RuleG2P("en-us")
+    ids = text_to_sequence("Speak 2 me, friend!", g2p)
+    assert len(ids) > 0
+    # interspersed blanks: odd positions are BLANK_ID
+    assert ids[0] == BLANK_ID and ids[-1] == BLANK_ID
+    assert all(i == BLANK_ID for i in ids[::2])
+
+
+def test_non_english_raises():
+    with pytest.raises(ValueError):
+        RuleG2P("ro")
+
+
+def test_get_phonemizer_fallback(monkeypatch):
+    """Without an espeak binary on PATH: default None, fallback=True gives
+    the rule G2P for English and None for Romanian."""
+    import shutil as _shutil
+
+    monkeypatch.setattr(_shutil, "which", lambda *_a, **_k: None)
+    assert get_phonemizer("en-us") is None
+    ph = get_phonemizer("en-us", fallback=True)
+    assert isinstance(ph, RuleG2P)
+    assert get_phonemizer("ro", fallback=True) is None
+
+
+def test_phonemize_chunks_no_preserve():
+    seen = []
+
+    def fake_ipa(chunk):
+        seen.append(chunk)
+        return "X"
+
+    out = phonemize_chunks(fake_ipa, "a, b! c", preserve_punctuation=False)
+    assert out == "X" and seen == ["a, b! c"]

@@ -154,10 +154,11 @@ def main_inference(argv=None):
         token_ids = text_frontend.phonemes_to_sequence(args.text)
     else:
         lang = args.language or cfg.inference.language
-        ph = text_frontend.get_phonemizer(lang)
+        ph = text_frontend.get_phonemizer(lang, fallback=True)
         if ph is None:
             raise SystemExit(
-                "espeak-ng not installed: pass pre-phonemized IPA via --ipa"
+                "espeak-ng not installed and no G2P fallback for "
+                f"{lang!r}: pass pre-phonemized IPA via --ipa"
             )
         token_ids = text_frontend.text_to_sequence(args.text, ph)
 
@@ -1136,11 +1137,12 @@ def main_serve(argv=None):
         calibration_texts = None
     elif args.calibration_file:
         lang = args.language or cfg.inference.language
-        ph = None if args.ipa_calibration else text_frontend.get_phonemizer(lang)
+        ph = (None if args.ipa_calibration
+              else text_frontend.get_phonemizer(lang, fallback=True))
         if ph is None and not args.ipa_calibration:
             raise SystemExit(
-                "espeak-ng not installed: use --ipa-calibration or "
-                "--switch-buckets"
+                "espeak-ng not installed and no G2P fallback for "
+                f"{lang!r}: use --ipa-calibration or --switch-buckets"
             )
         with open(args.calibration_file, encoding="utf-8") as f:
             lines = [ln.strip() for ln in f if ln.strip()]
@@ -1185,7 +1187,7 @@ def main_serve(argv=None):
         return 0
 
     lang = args.language or cfg.inference.language
-    ph = text_frontend.get_phonemizer(lang)
+    ph = text_frontend.get_phonemizer(lang, fallback=True)
     text_to_ids = (
         None if ph is None
         else (lambda s: text_frontend.text_to_sequence(s, ph))

@@ -85,36 +85,65 @@ class EspeakPhonemizer:
         return ph.strip()
 
     def phonemize(self, texts: Sequence[str], strip: bool = True) -> List[str]:
-        out = []
-        for text in texts:
-            if not self.preserve_punctuation:
-                ph = self._espeak_ipa(text)
-            else:
-                # split into text chunks and punctuation marks (marks keep
-                # their surrounding whitespace, like phonemizer's restore)
-                parts: List[str] = []
-                pos = 0
-                for m in _marks_re.finditer(text):
-                    chunk = text[pos:m.start()]
-                    if chunk.strip():
-                        parts.append(self._espeak_ipa(chunk))
-                    parts.append(m.group())
-                    pos = m.end()
-                tail = text[pos:]
-                if tail.strip():
-                    parts.append(self._espeak_ipa(tail))
-                ph = "".join(parts)
-            if strip:
-                ph = ph.strip()
-            out.append(ph)
-        return out
+        return [
+            phonemize_chunks(self._espeak_ipa, t, self.preserve_punctuation,
+                             strip=strip)
+            for t in texts
+        ]
 
 
-def get_phonemizer(language: str) -> Optional[EspeakPhonemizer]:
-    """Returns an espeak-backed phonemizer, or None if espeak is absent."""
+def phonemize_chunks(ipa_fn, text: str, preserve_punctuation: bool = True,
+                     strip: bool = True) -> str:
+    """Apply a chunk IPA function with punctuation preserved in place: marks
+    keep their surrounding whitespace and the text between them is
+    phonemized separately (the `phonemizer` package's Punctuation
+    preserve/restore contract the reference relies on, util.py:154-172).
+    Shared by the espeak backend and the rule-G2P fallback (text/g2p.py)."""
+    if not preserve_punctuation:
+        ph = ipa_fn(text)
+    else:
+        parts: List[str] = []
+        pos = 0
+        for m in _marks_re.finditer(text):
+            chunk = text[pos:m.start()]
+            if chunk.strip():
+                parts.append(ipa_fn(chunk))
+            parts.append(m.group())
+            pos = m.end()
+        tail = text[pos:]
+        if tail.strip():
+            parts.append(ipa_fn(tail))
+        ph = "".join(parts)
+    return ph.strip() if strip else ph
+
+
+def get_phonemizer(language: str, fallback: bool = False):
+    """Returns an espeak-backed phonemizer; when espeak is absent, either
+    None (default — callers then require pre-phonemized IPA) or, with
+    `fallback=True`, the pure-Python English rule G2P (text/g2p.py) so raw
+    text stays usable on air-gapped hosts. The fallback raises ValueError
+    for non-English languages (no rule set)."""
     try:
         return EspeakPhonemizer(language)
     except RuntimeError:
+        if fallback:
+            import logging
+
+            from unitspeech_tpu.text.g2p import RuleG2P
+
+            try:
+                g2p = RuleG2P(language)
+            except ValueError as e:  # non-English: no rule set
+                logging.getLogger(__name__).warning(
+                    "espeak-ng not found and no G2P fallback: %s", e
+                )
+                return None
+            logging.getLogger(__name__).warning(
+                "espeak-ng not found: falling back to the built-in rule "
+                "G2P (text/g2p.py) — best-effort English phonemization; "
+                "install espeak-ng for reference-parity output"
+            )
+            return g2p
         return None
 
 
