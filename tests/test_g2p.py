@@ -128,18 +128,88 @@ def test_text_to_sequence_integration():
 def test_non_english_raises():
     with pytest.raises(ValueError):
         RuleG2P("ro")
+    from unitspeech_tpu.text.g2p_ro import RomanianG2P
+
+    with pytest.raises(ValueError):
+        RomanianG2P("en-us")
 
 
 def test_get_phonemizer_fallback(monkeypatch):
     """Without an espeak binary on PATH: default None, fallback=True gives
-    the rule G2P for English and None for Romanian."""
+    the English rule G2P for en-us and the Romanian one for ro."""
     import shutil as _shutil
+
+    from unitspeech_tpu.text.g2p_ro import RomanianG2P
 
     monkeypatch.setattr(_shutil, "which", lambda *_a, **_k: None)
     assert get_phonemizer("en-us") is None
     ph = get_phonemizer("en-us", fallback=True)
     assert isinstance(ph, RuleG2P)
-    assert get_phonemizer("ro", fallback=True) is None
+    assert isinstance(get_phonemizer("ro", fallback=True), RomanianG2P)
+
+
+# --- Romanian (text/g2p_ro.py) ----------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,ipa",
+    [
+        ("bună", "bˈunə"),
+        ("mulțumesc", "multsumˈesk"),   # final c stays /k/ (no '' in 'ei' bug)
+        ("cinci", "tʃˈintʃʲ"),          # ce/ci palatalization + final -i -> ʲ
+        ("unchi", "ˈunkʲ"),             # chi -> /k/
+        ("gheață", "ɡeˈatsə"),          # ghe -> /ɡ/, ț -> ts
+        ("iarnă", "jˈarnə"),            # initial i glide
+        ("mai", "maj"),                 # post-vocalic i glide (function word)
+        ("copii", "kopˈij"),
+        ("codri", "kˈodri"),            # muta-cum-liquida keeps -i syllabic
+        ("lupi", "lˈupʲ"),
+        ("ziua", "zˈiwa"),              # intervocalic u glides, i stays
+        ("și", "ʃi"),                   # vowel-less stem keeps -i syllabic
+        ("este", "jˈeste"),             # iotized initial e
+        ("românia", "romˈɨnja"),        # â/î -> ɨ
+        ("vorbește", "vorbˈeʃte"),      # ș -> ʃ; penultimate stress
+    ],
+)
+def test_romanian_pronunciations(word, ipa):
+    from unitspeech_tpu.text.g2p_ro import word_to_ipa_ro
+
+    assert word_to_ipa_ro(word) == ipa
+
+
+def test_romanian_output_alphabet_is_symbol_subset():
+    from unitspeech_tpu.text.g2p_ro import _MAP, word_to_ipa_ro
+
+    for ipa in _MAP.values():
+        for ch in ipa:
+            assert ch in _SYMBOL_SET, ch
+    for w in ["gheorghe", "știință", "douăzeci", "mâine", "țățică"]:
+        for ch in word_to_ipa_ro(w):
+            assert ch in _SYMBOL_SET, (w, ch)
+
+
+def test_romanian_numbers():
+    from unitspeech_tpu.text.g2p_ro import expand_numbers_ro
+
+    assert expand_numbers_ro("21") == "douăzeci și unu"
+    assert expand_numbers_ro("100") == "o sută"
+    assert expand_numbers_ro("235") == "două sute treizeci și cinci"
+    assert expand_numbers_ro("1.234") == "o mie două sute treizeci și patru"
+    assert expand_numbers_ro("20000") == "douăzeci de mii"
+    assert expand_numbers_ro("2,5") == "doi virgulă cinci"
+    assert expand_numbers_ro("1000000") == "un milion"
+    assert expand_numbers_ro("2000000") == "două milioane"
+
+
+def test_romanian_phonemize_contract():
+    from unitspeech_tpu.text.g2p_ro import RomanianG2P
+
+    g = RomanianG2P("ro")
+    out = g.phonemize(["Bună ziua, ce mai faci?"])
+    assert len(out) == 1
+    assert "," in out[0] and out[0].endswith("?")
+    for ch in out[0]:
+        assert ch in _SYMBOL_SET, ch
 
 
 def test_phonemize_chunks_no_preserve():

@@ -130,18 +130,21 @@ def get_phonemizer(language: str, fallback: bool = False):
             import logging
 
             from unitspeech_tpu.text.g2p import RuleG2P
+            from unitspeech_tpu.text.g2p_ro import RomanianG2P
 
             try:
-                g2p = RuleG2P(language)
-            except ValueError as e:  # non-English: no rule set
+                g2p = (RomanianG2P(language) if language.startswith("ro")
+                       else RuleG2P(language))
+            except ValueError as e:  # no rule set for this language
                 logging.getLogger(__name__).warning(
                     "espeak-ng not found and no G2P fallback: %s", e
                 )
                 return None
             logging.getLogger(__name__).warning(
                 "espeak-ng not found: falling back to the built-in rule "
-                "G2P (text/g2p.py) — best-effort English phonemization; "
-                "install espeak-ng for reference-parity output"
+                "G2P (text/g2p%s.py) — best-effort phonemization; install "
+                "espeak-ng for reference-parity output",
+                "_ro" if language.startswith("ro") else "",
             )
             return g2p
         return None
