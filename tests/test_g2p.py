@@ -221,3 +221,42 @@ def test_phonemize_chunks_no_preserve():
 
     out = phonemize_chunks(fake_ipa, "a, b! c", preserve_punctuation=False)
     assert out == "X" and seen == ["a, b! c"]
+
+
+def test_numbers_survive_punctuation_chunking():
+    """'.'/',' are punctuation marks, so expansion must run BEFORE the
+    chunk split — '1,000' must not become 'one, zero zero zero'."""
+    g2p = RuleG2P("en-us", with_stress=False)
+    out = g2p.phonemize(["it costs 1,000 dollars"])[0]
+    assert "wʌn θaʊz" in out and "," not in out
+    out = g2p.phonemize(["pi is 3.14, roughly."])[0]
+    # 'three point one four' — the decimal point is consumed, the clause
+    # comma and final period are preserved
+    assert "θɹiː pɔɪnt wʌn fɔːɹ" in out
+    assert out.count(",") == 1 and out.endswith(".")
+
+    from unitspeech_tpu.text.g2p_ro import RomanianG2P
+
+    ro = RomanianG2P("ro", with_stress=False)
+    out = ro.phonemize(["am 1.000 de lei, mersi"])[0]
+    assert "o mje" in out  # "o mie" phonemized, not split at the '.'
+    assert out.count(",") == 1 and "." not in out
+
+
+def test_huge_integers_read_digit_by_digit():
+    from unitspeech_tpu.text.g2p import _int_to_words
+
+    assert _int_to_words(10**15) == ("one " + "zero " * 15).strip()
+    assert _int_to_words(999 * 10**12).startswith("nine hundred ninety nine")
+
+
+def test_get_phonemizer_unsupported_language(monkeypatch):
+    """Languages with no espeak support and no rule set: ValueError when
+    strict (fallback=False, reference dispatch behavior), warning + None
+    with fallback=True."""
+    import shutil as _shutil
+
+    monkeypatch.setattr(_shutil, "which", lambda *_a, **_k: None)
+    with pytest.raises(ValueError):
+        get_phonemizer("de")
+    assert get_phonemizer("de", fallback=True) is None

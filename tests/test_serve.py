@@ -237,3 +237,57 @@ def test_http_health_and_stats(http_server):
         stats = json.loads(r.read())
     assert stats["requests"] >= 1 and stats["batches"] >= 1
     assert stats["mean_latency_s"] >= 0.0
+
+
+def test_http_rejects_non_object_body_and_bad_types(http_server):
+    # JSON list body -> 400 (not a 500 from AttributeError)
+    code, _, body = _post(http_server, [1, 2, 3])
+    assert code == 400 and b"JSON object" in body
+    # token_ids of the wrong type -> 400
+    code, _, _ = _post(http_server, {"token_ids": 5})
+    assert code == 400
+    code, _, _ = _post(http_server, {"token_ids": [1], "steps": "soon"})
+    assert code == 400
+
+
+def test_sampler_spec_normalization():
+    """Equivalent specs ('ddpm' / 'ddpm:cs1') must share one batch group —
+    distinct groups would compile duplicate executables and split batches."""
+    from unitspeech_tpu.serve import _normalize_sampler_spec, _Request, Future
+
+    assert _normalize_sampler_spec("ddpm:cs1") == "ddpm"
+    assert _normalize_sampler_spec("dpm2:cs2") == "dpm2:cs2"
+    with pytest.raises(ValueError):
+        _normalize_sampler_spec("euler")
+    a = _Request([1], 2, _normalize_sampler_spec("ddpm"), Future(), 0.0)
+    b = _Request([1], 2, _normalize_sampler_spec("ddpm:cs1"), Future(), 0.0)
+    assert a.group_key == b.group_key
+
+
+def test_strict_grid_rejects_unwarmed():
+    """strict_grid=True: anything outside the warmed compile grid is a
+    client error, never a lazy compile on the dispatcher thread."""
+    import dataclasses as dc
+
+    rng = np.random.default_rng(0)
+    texts = [list(rng.integers(1, 39, (8,))) for _ in range(8)]
+    b = build_batcher(
+        _tiny_synth(), calibration_texts=texts, max_batch=2,
+        max_wait_ms=5.0, warmup_token_lengths=(8,),
+        default_steps=2, text_gradient_scale=0.0, spk_gradient_scale=0.0,
+        strict_grid=True,
+    )
+    try:
+        # the warmed configuration still serves
+        wav, _sr = b.submit([1, 2, 3]).result(timeout=120)
+        assert wav.shape[0] > 0
+        # non-default steps -> rejected at submit (client error)
+        with pytest.raises(ValueError, match="not.*warmed|warmed"):
+            b.submit([1, 2, 3], steps=7)
+        with pytest.raises(ValueError):
+            b.submit([1, 2, 3], sampler="dpm2")
+        # tokens beyond the warmed bucket ceiling -> rejected
+        with pytest.raises(ValueError, match="tokens exceeds"):
+            b.submit([1] * (b._warmed_max_tokens + 1))
+    finally:
+        b.shutdown()

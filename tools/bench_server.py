@@ -68,8 +68,8 @@ def run_bench(args, bench=None, synth=None):
     closed-loop clients, and return the result dict. bench.py's extras call
     this with the already-built serving synthesizer so the measured serving
     config is exactly the headline one."""
-    if bench is None:
-        bench = _load_bench()
+    if bench is None and synth is None:
+        bench = _load_bench()  # only needed to BUILD a synthesizer
     import numpy as np
 
     from unitspeech_tpu.serve import build_batcher, make_http_server
@@ -110,12 +110,20 @@ def run_bench(args, bench=None, synth=None):
     url = f"http://127.0.0.1:{srv.server_address[1]}/synthesize"
 
     latencies, speech, lock = [], [], threading.Lock()
-    per_client = args.requests // args.clients
+    if args.requests < args.clients:
+        raise SystemExit(
+            f"--requests {args.requests} < --clients {args.clients}: every "
+            "client must send at least one request"
+        )
+    # distribute the remainder so exactly args.requests are sent
+    base, extra = divmod(args.requests, args.clients)
+    per_client = [base + (1 if c < extra else 0) for c in range(args.clients)]
+    offsets = [sum(per_client[:c]) for c in range(args.clients)]
 
     def client(cid: int):
-        for i in range(per_client):
+        for i in range(per_client[cid]):
             body = json.dumps(
-                {"token_ids": reqs[(cid * per_client + i) % len(reqs)]}
+                {"token_ids": reqs[(offsets[cid] + i) % len(reqs)]}
             ).encode()
             t0 = time.perf_counter()
             with urllib.request.urlopen(

@@ -1087,6 +1087,11 @@ def main_serve(argv=None):
     ap.add_argument("--max-wait-ms", type=float, default=20.0,
                     help="dynamic-batching wait window (latency traded for "
                          "aggregate throughput)")
+    ap.add_argument("--strict-grid", action="store_true",
+                    help="reject requests outside the warmed compile grid "
+                         "(non-default steps/sampler, over-long tokens, "
+                         "frame-window overflows) instead of paying a lazy "
+                         "XLA compile on the dispatcher thread")
     ap.add_argument("--diffusion-steps", type=int, default=None)
     ap.add_argument("--sampler", default="ddpm",
                     help="default sampler spec: reference-parity 'ddpm' or "
@@ -1170,7 +1175,7 @@ def main_serve(argv=None):
         synth, calibration_texts=calibration_texts,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         warmup_token_lengths=warmup_lengths,
-        default_sampler=args.sampler, **kw,
+        default_sampler=args.sampler, strict_grid=args.strict_grid, **kw,
     )
     serving_cfg = {
         "switch_buckets": list(batcher.synth.switch_buckets),

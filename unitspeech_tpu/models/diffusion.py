@@ -309,9 +309,13 @@ def reverse_diffusion(
             raise ValueError(
                 "noises injection (reference-parity path) requires cfg_stride=1"
             )
+        # stride > n_timesteps would leave groups=0 and statically unroll
+        # EVERY step as a full guidance call (compile blowup, no caching
+        # win); stride == n_timesteps is the max meaningful value (one
+        # refresh, all later steps cached)
         return _reverse_diffusion_strided(
             apply_fn, params, xt, mask, cond, spk_emb, key, coeffs,
-            n_timesteps, cfg_stride, beta_min, beta_max,
+            n_timesteps, min(cfg_stride, n_timesteps), beta_min, beta_max,
             cond_c, spk_c, mask_c, n_rows, combine, mask3, constrain,
         )
 
@@ -455,9 +459,10 @@ def reverse_diffusion_ode(
     )
 
     if cfg_stride > 1 and n_rows > 1:
+        # clamp for the same unroll-blowup reason as the DDPM sampler
         return _reverse_diffusion_ode_strided(
             apply_fn, params, xt, mask, cond, spk_emb, coeffs,
-            n_timesteps, cfg_stride,
+            n_timesteps, min(cfg_stride, n_timesteps),
             cond_c, spk_c, mask_c, n_rows, combine, mask3, constrain,
         )
 

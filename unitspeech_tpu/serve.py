@@ -55,6 +55,16 @@ def encode_wav_bytes(wav: np.ndarray, sr: int) -> bytes:
     return buf.getvalue()
 
 
+def _normalize_sampler_spec(spec: str) -> str:
+    """Canonical sampler-spec string ('ddpm:cs1' -> 'ddpm') so equivalent
+    specs share one batch group and one compiled executable; raises
+    ValueError on malformed specs (client error)."""
+    from unitspeech_tpu.models.diffusion import parse_sampler_spec
+
+    name, stride = parse_sampler_spec(spec)
+    return name if stride == 1 else f"{name}:cs{stride}"
+
+
 @dataclass
 class _Request:
     token_ids: List[int]
@@ -132,7 +142,8 @@ class DynamicBatcher:
                  length_scale: Optional[float] = None,
                  text_gradient_scale: Optional[float] = None,
                  spk_gradient_scale: Optional[float] = None,
-                 batch_ladder: Optional[Sequence[int]] = None):
+                 batch_ladder: Optional[Sequence[int]] = None,
+                 strict_grid: bool = False):
         if synth.switch_buckets is None:
             raise ValueError(
                 "DynamicBatcher needs a bucket-switch synthesizer "
@@ -144,7 +155,17 @@ class DynamicBatcher:
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.default_steps = int(default_steps if default_steps is not None
                                  else icfg.diffusion_steps)
-        self.default_sampler = str(default_sampler)
+        self.default_sampler = _normalize_sampler_spec(str(default_sampler))
+        # strict_grid=True rejects anything the warmup did not compile
+        # (non-default steps/sampler, token lengths beyond the warmed
+        # buckets, frame-window overflows) instead of paying a lazy XLA
+        # compile on the single dispatcher thread — on remote-compile
+        # toolchains a mid-serving compile stalls ALL queued traffic for
+        # minutes, so production deployments should warm the full grid they
+        # accept and turn this on.
+        self.strict_grid = bool(strict_grid)
+        self._warmed_groups: set = set()
+        self._warmed_max_tokens = 0
         self.length_scale = float(length_scale if length_scale is not None
                                   else icfg.length_scale)
         self.tg = float(text_gradient_scale if text_gradient_scale is not None
@@ -180,20 +201,40 @@ class DynamicBatcher:
 
     def submit(self, token_ids: Sequence[int], steps: Optional[int] = None,
                sampler: Optional[str] = None) -> Future:
-        """Enqueue one request; resolves to (wav float32 np.ndarray, sr)."""
-        if self._stop:
-            raise RuntimeError("batcher is shut down")
+        """Enqueue one request; resolves to (wav float32 np.ndarray, sr).
+        ValueError = the request itself is invalid (client error)."""
         if not token_ids:
             raise ValueError("empty token sequence")
         req = _Request(
             token_ids=list(int(t) for t in token_ids),
             steps=int(steps if steps is not None else self.default_steps),
-            sampler=str(sampler if sampler is not None
-                        else self.default_sampler),
+            # normalized so equivalent specs ('ddpm' / 'ddpm:cs1') batch
+            # together and share one compiled executable
+            sampler=(_normalize_sampler_spec(str(sampler))
+                     if sampler is not None else self.default_sampler),
             future=Future(),
             enqueued_at=time.monotonic(),
         )
+        if self.strict_grid:
+            if req.group_key not in self._warmed_groups:
+                raise ValueError(
+                    f"(steps={req.steps}, sampler={req.sampler!r}) was not "
+                    "warmed and strict_grid is on; use the defaults "
+                    f"({self.default_steps}, {self.default_sampler!r}) or "
+                    "warm this combination at startup"
+                )
+            if len(req.token_ids) > self._warmed_max_tokens:
+                raise ValueError(
+                    f"{len(req.token_ids)} tokens exceeds the warmed "
+                    f"maximum ({self._warmed_max_tokens}) and strict_grid "
+                    "is on; raise --warmup-token-lengths or use the exact "
+                    "CLI path"
+                )
         with self._lock:
+            # checked under the lock: a submit racing shutdown's drain
+            # would otherwise enqueue a Future nobody ever resolves
+            if self._stop:
+                raise RuntimeError("batcher is shut down")
             self._queue.append(req)
             self._lock.notify()
         return req.future
@@ -203,10 +244,12 @@ class DynamicBatcher:
             self._stop = True
             self._lock.notify()
         self._thread.join(timeout)
-        # fail anything still queued rather than hanging its client
-        while self._queue:
-            req = self._queue.popleft()
-            req.future.set_exception(RuntimeError("server shut down"))
+        # fail anything still queued rather than hanging its client (under
+        # the lock: the dispatcher may still be draining if join timed out)
+        with self._lock:
+            while self._queue:
+                req = self._queue.popleft()
+                req.future.set_exception(RuntimeError("server shut down"))
 
     # -- dispatcher side ---------------------------------------------------
 
@@ -299,6 +342,13 @@ class DynamicBatcher:
             # the right bucket, reusing the device-resident encoder outputs
             # (same policy as Synthesizer.__call__'s switch branch)
             self.stats.overflows += 1
+            if self.strict_grid:
+                raise RuntimeError(
+                    "predicted length overflowed the switch window "
+                    f"{list(synth.switch_buckets)} and strict_grid is on "
+                    "(the fallback executable was not warmed); widen the "
+                    "window or serve this request via the exact CLI path"
+                )
             num_down = m.cfg.decoder.num_downsamplings
             y_pad = choose_bucket(
                 fix_len_compatibility(int(y_len.max()), num_down),
@@ -337,9 +387,15 @@ class DynamicBatcher:
     # -- startup ---------------------------------------------------------
 
     def warmup(self, token_lengths: Sequence[int] = (64,)):
-        """Compile the (batch ladder x token bucket) serving grid before
-        opening the port, so no live request pays a compile. Drives the REAL
-        dispatch path with repeat-padded batches, exactly like serving."""
+        """Compile the (batch ladder x token bucket) serving grid at the
+        default (steps, sampler) before opening the port. Drives the REAL
+        dispatch path with repeat-padded batches, exactly like serving.
+
+        Coverage caveat: a live request OUTSIDE this grid (non-default
+        steps/sampler, longer tokens, or a frame-window overflow hitting the
+        fallback executable) still pays a lazy XLA compile that stalls the
+        single dispatcher — minutes on remote-compile toolchains. Set
+        strict_grid=True to reject such requests instead."""
         from unitspeech_tpu.ops.masking import choose_bucket
 
         buckets = sorted({
@@ -358,6 +414,8 @@ class DynamicBatcher:
                 self._dispatch(reqs)
                 for r in reqs:
                     r.future.result(timeout=0)
+        self._warmed_groups.add((self.default_steps, self.default_sampler))
+        self._warmed_max_tokens = max(self._warmed_max_tokens, max(buckets))
         # warmup traffic must not read as served load in /stats
         self.stats = BatcherStats()
 
@@ -448,9 +506,15 @@ def make_http_server(
             if self.path != "/synthesize":
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
+            # request validation + submit: every failure here is the
+            # CLIENT's (400) — malformed JSON/body shape, bad spec, bad
+            # types, or a strict-grid rejection raised by submit()
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(req, dict):
+                    self._json(400, {"error": "body must be a JSON object"})
+                    return
                 token_ids = req.get("token_ids")
                 if token_ids is None and "text" in req:
                     if text_to_ids is None:
@@ -458,27 +522,20 @@ def make_http_server(
                                                   "frontend; send token_ids"})
                         return
                     token_ids = list(text_to_ids(req["text"]))
-                if not token_ids:
+                if not token_ids or not isinstance(token_ids, (list, tuple)):
                     self._json(400, {"error": "token_ids or text required"})
                     return
-                sampler = req.get("sampler")
-                if sampler is not None:
-                    try:
-                        # full spec grammar: "ddpm"/"dpm2" + optional ":cs<k>"
-                        from unitspeech_tpu.models.diffusion import (
-                            parse_sampler_spec,
-                        )
-
-                        parse_sampler_spec(sampler)
-                    except ValueError as e:
-                        self._json(400, {"error": str(e)})
-                        return
                 steps = req.get("steps")
-                fut = batcher.submit(token_ids, steps=steps, sampler=sampler)
-                wav, sr = fut.result(timeout=request_timeout_s)
-            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                fut = batcher.submit(token_ids, steps=steps,
+                                     sampler=req.get("sampler"))
+            except (ValueError, KeyError, TypeError,
+                    json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
                 return
+            # dispatch-side failures are the SERVER's (500/504): a
+            # ValueError from inside the batcher must not masquerade as 400
+            try:
+                wav, sr = fut.result(timeout=request_timeout_s)
             except TimeoutError:
                 self._json(504, {"error": "synthesis timed out"})
                 return

@@ -125,7 +125,12 @@ def get_phonemizer(language: str, fallback: bool = False):
     for non-English languages (no rule set)."""
     try:
         return EspeakPhonemizer(language)
-    except RuntimeError:
+    # ValueError = unsupported language (raised before the binary check);
+    # with fallback=False it propagates like the reference's strict dispatch,
+    # with fallback=True it routes to the same no-rule-set warning + None
+    except (RuntimeError, ValueError) as espeak_err:
+        if isinstance(espeak_err, ValueError) and not fallback:
+            raise
         if fallback:
             import logging
 

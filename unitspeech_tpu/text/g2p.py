@@ -507,13 +507,13 @@ def _int_to_words(n: int) -> str:
     if n < 1000:
         h, r = divmod(n, 100)
         return _ONES[h] + " hundred" + (" " + _int_to_words(r) if r else "")
+    if n >= 1000 * 10 ** (3 * (len(_SCALES) - 1)):
+        # beyond trillions: read the original digits one by one
+        return " ".join(_ONES[int(d)] for d in str(n))
     groups = []
     while n:
         n, g = divmod(n, 1000)
         groups.append(g)
-    if len(groups) > len(_SCALES):  # beyond trillions: read digit by digit
-        return " ".join(_ONES[int(d)] for d in str(n) + "".join(
-            f"{g:03d}" for g in reversed(groups)))
     parts = [
         _int_to_words(g) + _SCALES[i]
         for i, g in enumerate(groups) if g
@@ -753,8 +753,11 @@ class RuleG2P:
     def phonemize(self, texts: Sequence[str], strip: bool = True) -> List[str]:
         from unitspeech_tpu.text import phonemize_chunks
 
+        # numbers expand BEFORE punctuation chunking: '.'/',' are
+        # punctuation marks, so "1,000"/"3.14" would otherwise be split
+        # into digit fragments before expand_numbers could see them
         return [
-            phonemize_chunks(self._ipa, t, self.preserve_punctuation,
-                             strip=strip)
+            phonemize_chunks(self._ipa, expand_numbers(t.lower()),
+                             self.preserve_punctuation, strip=strip)
             for t in texts
         ]

@@ -251,8 +251,10 @@ class RomanianG2P:
     def phonemize(self, texts: Sequence[str], strip: bool = True) -> List[str]:
         from unitspeech_tpu.text import phonemize_chunks
 
+        # numbers expand BEFORE punctuation chunking ('.' thousands groups
+        # and ',' decimals are punctuation marks and would be split apart)
         return [
-            phonemize_chunks(self._ipa, t, self.preserve_punctuation,
-                             strip=strip)
+            phonemize_chunks(self._ipa, expand_numbers_ro(t.lower()),
+                             self.preserve_punctuation, strip=strip)
             for t in texts
         ]
