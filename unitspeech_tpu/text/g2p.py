@@ -472,6 +472,8 @@ _LEXICON = {
     "quality": "kwˈɑːlᵻɾi", "language": "lˈæŋɡwɪdʒ",
     "anything": "ˈɛnɪθˌɪŋ", "everything": "ˈɛvɹɪθˌɪŋ",
     "something": "sˈʌmθɪŋ", "nothing": "nˈʌθɪŋ",
+    "problem": "pɹˈɑːbləm", "company": "kˈʌmpəni",
+    "government": "ɡˈʌvɚnmənt", "boxes": "bˈɑːksᵻz",
 }
 
 # Function words espeak leaves unstressed.
