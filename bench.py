@@ -455,13 +455,15 @@ def bench_extras(synth, args, frames, n_tok):
         label = f"rtf_{name}_{steps}step" + (f"_{opt}" if opt else "")
         return {label: round(rtf, 5)}
 
-    def _throughput(bsz):
+    def _throughput(bsz, steps=None, spec="ddpm"):
+        steps = args.steps if steps is None else steps
+
         def once():
             toks = rng.integers(1, 179, (bsz, n_tok)).astype(np.int32)
             w = np.full((bsz, n_tok), frames / n_tok, np.float32)
             wav, *_rest = synth._single_dispatch(
                 toks, np.full((bsz,), n_tok), w, frames, key,
-                args.steps, 1.0, tg, sg,
+                steps, 1.0, tg, sg, sampler=spec,
             )
             return np.asarray(wav)
 
@@ -474,8 +476,10 @@ def bench_extras(synth, args, frames, n_tok):
                 once()
                 times.append(time.perf_counter() - t0)
             rtf = float(np.median(times)) / (speech_s * bsz)
-            print(f"# batch-{bsz}: rtf/utt={rtf:.4f}", file=sys.stderr)
-            return {f"rtf_batch{bsz}_per_utt": round(rtf, 5)}
+            suffix = ("" if spec == "ddpm" and steps == args.steps
+                      else f"_{spec.replace(':', '_')}_{steps}step")
+            print(f"# batch-{bsz}{suffix}: rtf/utt={rtf:.4f}", file=sys.stderr)
+            return {f"rtf_batch{bsz}{suffix}_per_utt": round(rtf, 5)}
 
         return run
 
@@ -543,6 +547,10 @@ def bench_extras(synth, args, frames, n_tok):
         _section("ddpm_50_cs2", lambda: _rtf_fast(50, "ddpm:cs2"))
     _section("batch8", _throughput(8))
     _section("batch32", _throughput(32))
+    if _cfg_gate_passed():
+        # the recommended production configuration's aggregate throughput
+        # (docs/SERVING.md: dpm2@16 + stride-2 CFG delta caching)
+        _section("batch8_fast", _throughput(8, steps=16, spec="dpm2:cs2"))
     _section("train_step1", lambda: _train(False))
     _section("train_step2", lambda: _train(True))
     _section("finetune", _finetune)
