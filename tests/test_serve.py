@@ -291,3 +291,30 @@ def test_strict_grid_rejects_unwarmed():
             b.submit([1] * (b._warmed_max_tokens + 1))
     finally:
         b.shutdown()
+
+
+def test_strict_grid_overflow_rejected_not_compiled():
+    """strict_grid: a frame-window overflow fails the request with a clear
+    error instead of lazily compiling the fallback executable."""
+    import dataclasses as dc
+
+    synth = _tiny_synth()
+    _, y_len, _ = synth.synthesize_mel(
+        [1] * 12, jax.random.PRNGKey(0), diffusion_steps=2, length_scale=8.0,
+        text_gradient_scale=0.0, spk_gradient_scale=0.0,
+    )
+    below = [b for b in synth.frame_buckets if b < y_len]
+    assert below, "tiny request too short to overflow any bucket"
+    synth = dc.replace(synth, switch_buckets=(below[-1],))
+    b = DynamicBatcher(synth, max_batch=2, max_wait_ms=5.0, default_steps=2,
+                       length_scale=8.0, strict_grid=True,
+                       text_gradient_scale=0.0, spk_gradient_scale=0.0)
+    # mark the default group warmed without running the (slow) full warmup
+    b._warmed_groups.add((b.default_steps, b.default_sampler))
+    b._warmed_max_tokens = 64
+    try:
+        with pytest.raises(RuntimeError, match="overflowed the switch"):
+            b.submit([1] * 12).result(timeout=120)
+        assert b.stats.overflows >= 1
+    finally:
+        b.shutdown()
