@@ -74,6 +74,10 @@ def main():
                     default=True,
                     help="profile the bf16 estimator instead of the int8 "
                          "serving default")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--sampler", default="ddpm",
+                    help="sampler spec to profile (e.g. 'dpm2:cs2' to "
+                         "attribute the fast serving mode)")
     args = ap.parse_args()
 
     if not args.parse_only:
@@ -93,7 +97,7 @@ def main():
         def run():
             wav, _sr = synth(
                 list(tokens_np[0]), key, _forced_total_frames=args.frames,
-                diffusion_steps=50,
+                diffusion_steps=args.steps, sampler=args.sampler,
                 text_gradient_scale=1.0, spk_gradient_scale=1.0,
             )
             return np.asarray(wav)
