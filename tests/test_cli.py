@@ -175,3 +175,36 @@ def test_cli_serve_dry_run(tiny_artifacts, capsys):
     assert out["serving_config"]["switch_buckets"] == [32, 64]
     assert out["serving_config"]["batch_ladder"] == [1, 2]
     assert out["serving_config"]["default_steps"] == 2
+
+
+def test_cli_inference_split_sentences(tiny_artifacts):
+    """Long-text mode: sentence chunks synthesized separately (one dispatch
+    each) and concatenated; raw text through the G2P fallback."""
+    a = tiny_artifacts
+    out_wav = str(a["tmp"] / "long.wav")
+    rc = main_inference([
+        "--config", a["cfg"], "--text", "Hello there. Hello again!",
+        "--split-sentences",
+        "--decoder", a["dec"], "--text-encoder", a["te"],
+        "--duration-predictor", a["dp"], "--vocoder", a["voc"],
+        "--output", out_wav, "--diffusion-steps", "2",
+        "--text-gradient-scale", "0", "--spk-gradient-scale", "0",
+        "--fp32",
+    ])
+    assert rc == 0
+    long_wav, sr = load_wav(out_wav)
+    assert sr == 22050 and len(long_wav) > 0
+
+    # single-chunk synthesis of just the first sentence must be shorter
+    out_one = str(a["tmp"] / "one.wav")
+    rc = main_inference([
+        "--config", a["cfg"], "--text", "Hello there.",
+        "--decoder", a["dec"], "--text-encoder", a["te"],
+        "--duration-predictor", a["dp"], "--vocoder", a["voc"],
+        "--output", out_one, "--diffusion-steps", "2",
+        "--text-gradient-scale", "0", "--spk-gradient-scale", "0",
+        "--fp32",
+    ])
+    assert rc == 0
+    one_wav, _ = load_wav(out_one)
+    assert len(long_wav) > len(one_wav)

@@ -318,3 +318,44 @@ def test_strict_grid_overflow_rejected_not_compiled():
         assert b.stats.overflows >= 1
     finally:
         b.shutdown()
+
+
+def test_split_sentences():
+    from unitspeech_tpu.text import split_sentences
+
+    assert split_sentences("One. Two! Three?") == ["One.", "Two!", "Three?"]
+    # single-word fragments merge (abbreviation oversplits)
+    assert split_sentences("U. S. economy grew. It did.") == [
+        "U. S. economy grew.", "It did."
+    ]
+    # run-ons split at clause punctuation under the word budget
+    long = " ".join(f"w{i}," if i % 7 == 6 else f"w{i}" for i in range(100))
+    parts = split_sentences(long, max_words=30)
+    assert all(len(p.split()) <= 30 for p in parts)
+    assert " ".join(parts).split() == long.split()  # nothing lost
+    assert split_sentences("") == []
+    assert split_sentences("no terminal punctuation") == [
+        "no terminal punctuation"
+    ]
+
+
+def test_http_long_text_split(http_server):
+    """split:true — sentence chunks ride the batcher as one batch and the
+    concatenated wav comes back as a single response."""
+    code, ctype, one = _post(http_server, {"text": "hello.", "format": "json"})
+    assert code == 200
+    n_one = json.loads(one)["n_samples"]
+    code, ctype, body = _post(
+        http_server,
+        {"text": "hello. hello there. hello again!", "split": True,
+         "format": "json"},
+    )
+    assert code == 200, body
+    payload = json.loads(body)
+    # three chunks concatenated: strictly longer than any single one
+    assert payload["n_samples"] > n_one
+    import base64
+
+    with wave.open(__import__("io").BytesIO(
+            base64.b64decode(payload["wav_base64"]))) as w:
+        assert w.getnframes() == payload["n_samples"]

@@ -121,6 +121,10 @@ def main_inference(argv=None):
     _common(ap)
     ap.add_argument("--text", required=True, help="input text (or IPA with --ipa)")
     ap.add_argument("--ipa", action="store_true", help="text is pre-phonemized IPA")
+    ap.add_argument("--split-sentences", action="store_true",
+                    help="long-text mode: split at sentence boundaries, "
+                         "synthesize each chunk, concatenate — input length "
+                         "is then not bounded by one frame bucket")
     ap.add_argument("--language", default=None, help="espeak language (en-us/ro)")
     ap.add_argument("--decoder", required=True)
     ap.add_argument("--text-encoder", required=True)
@@ -151,7 +155,7 @@ def main_inference(argv=None):
     synth = Synthesizer(models)
 
     if args.ipa:
-        token_ids = text_frontend.phonemes_to_sequence(args.text)
+        token_lists = [text_frontend.phonemes_to_sequence(args.text)]
     else:
         lang = args.language or cfg.inference.language
         ph = text_frontend.get_phonemizer(lang, fallback=True)
@@ -160,9 +164,36 @@ def main_inference(argv=None):
                 "espeak-ng not installed and no G2P fallback for "
                 f"{lang!r}: pass pre-phonemized IPA via --ipa"
             )
-        token_ids = text_frontend.text_to_sequence(args.text, ph)
+        chunks = (text_frontend.split_sentences(args.text)
+                  if args.split_sentences else [args.text])
+        token_lists = [
+            ids for c in chunks
+            if (ids := text_frontend.text_to_sequence(c, ph))
+        ]
+    if not token_lists:
+        raise SystemExit("text produced no tokens")
+    token_ids = token_lists[0]
 
     key = jax.random.PRNGKey(args.seed)
+    if len(token_lists) > 1 and not args.save_plot:
+        # long-text mode: one dispatch per sentence chunk, concatenated
+        pieces = []
+        for i, ids in enumerate(token_lists):
+            w, sr = synth(
+                ids, jax.random.fold_in(key, i),
+                diffusion_steps=args.diffusion_steps,
+                length_scale=args.length_scale,
+                text_gradient_scale=args.text_gradient_scale,
+                spk_gradient_scale=args.spk_gradient_scale,
+            )
+            pieces.append(np.asarray(w))
+        wav = np.concatenate(pieces)
+        if not args.no_sv56 and cfg.inference.with_sv56_normalization:
+            wav = sv56.normalize(wav, sr)
+        write_wav(args.output, wav, sr)
+        print(f"wrote {args.output} ({len(wav) / sr:.2f}s @ {sr} Hz, "
+              f"{len(token_lists)} chunks)")
+        return 0
     if args.save_plot:
         mel, y_length, _attn = synth.synthesize_mel(
             token_ids, key,

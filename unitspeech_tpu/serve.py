@@ -472,7 +472,11 @@ def make_http_server(
 
     Endpoints:
       POST /synthesize  {"token_ids": [...]} or {"text": "..."} (+ optional
-                        "steps", "sampler", "format": "wav"|"json")
+                        "steps", "sampler", "format": "wav"|"json",
+                        "split": true — long-text mode: the text is split
+                        into sentence chunks that ride the batcher as one
+                        parallel batch and are concatenated in order, so
+                        input length is not bounded by a frame bucket)
                         -> audio/wav bytes, or JSON {sr, n_samples,
                         wav_base64} when format=json
       GET  /healthz     -> {"status": "ok"}
@@ -515,19 +519,44 @@ def make_http_server(
                 if not isinstance(req, dict):
                     self._json(400, {"error": "body must be a JSON object"})
                     return
-                token_ids = req.get("token_ids")
-                if token_ids is None and "text" in req:
+                steps = req.get("steps")
+                sampler = req.get("sampler")
+                if req.get("split") and "text" in req:
+                    # LONG-TEXT mode: split into sentence chunks, submit
+                    # them all at once — they ride the dynamic batcher as
+                    # ONE batch (parallel synthesis), so a long text is not
+                    # bounded by any single frame bucket
                     if text_to_ids is None:
                         self._json(400, {"error": "server has no text "
                                                   "frontend; send token_ids"})
                         return
-                    token_ids = list(text_to_ids(req["text"]))
-                if not token_ids or not isinstance(token_ids, (list, tuple)):
-                    self._json(400, {"error": "token_ids or text required"})
-                    return
-                steps = req.get("steps")
-                fut = batcher.submit(token_ids, steps=steps,
-                                     sampler=req.get("sampler"))
+                    from unitspeech_tpu.text import split_sentences
+
+                    chunks = split_sentences(req["text"])
+                    id_lists = [
+                        ids for c in chunks if (ids := list(text_to_ids(c)))
+                    ]
+                    if not id_lists:
+                        self._json(400, {"error": "text produced no tokens"})
+                        return
+                    futs = [batcher.submit(ids, steps=steps, sampler=sampler)
+                            for ids in id_lists]
+                else:
+                    token_ids = req.get("token_ids")
+                    if token_ids is None and "text" in req:
+                        if text_to_ids is None:
+                            self._json(400, {"error": "server has no text "
+                                                      "frontend; send "
+                                                      "token_ids"})
+                            return
+                        token_ids = list(text_to_ids(req["text"]))
+                    if (not token_ids
+                            or not isinstance(token_ids, (list, tuple))):
+                        self._json(400, {"error": "token_ids or text "
+                                                  "required"})
+                        return
+                    futs = [batcher.submit(token_ids, steps=steps,
+                                           sampler=sampler)]
             except (ValueError, KeyError, TypeError,
                     json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
@@ -535,7 +564,13 @@ def make_http_server(
             # dispatch-side failures are the SERVER's (500/504): a
             # ValueError from inside the batcher must not masquerade as 400
             try:
-                wav, sr = fut.result(timeout=request_timeout_s)
+                deadline = time.monotonic() + request_timeout_s
+                outs = [f.result(timeout=max(deadline - time.monotonic(),
+                                             1e-3))
+                        for f in futs]
+                sr = outs[0][1]
+                wav = (outs[0][0] if len(outs) == 1
+                       else np.concatenate([o[0] for o in outs]))
             except TimeoutError:
                 self._json(504, {"error": "synthesis timed out"})
                 return

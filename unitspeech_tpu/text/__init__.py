@@ -186,3 +186,47 @@ def text_to_sequence(
 
 def sequence_to_text(seq: Sequence[int]) -> str:
     return "".join(_id_to_symbol.get(i, "") for i in seq)
+
+
+_sentence_split_re = re.compile(r"(?<=[.!?…])\s+")
+
+
+def split_sentences(text: str, max_words: int = 60) -> List[str]:
+    """Split raw text into synthesizable sentence chunks for long-text
+    synthesis (beyond the reference, whose inference.py is one-shot and
+    bounded by a single frame bucket).
+
+    Splits after sentence-final punctuation; abbreviation oversplits
+    (a chunk ending in a 1-2 letter word + period, like "U." / "Mr.")
+    merge into the following text, and run-on sentences longer than
+    `max_words` split again at clause commas so no chunk exceeds a frame
+    bucket. Heuristic by design — chunk boundaries only affect prosody at
+    the joins, never correctness."""
+
+    def _ends_with_abbrev(chunk: str) -> bool:
+        last = chunk.rsplit(None, 1)[-1]
+        return last.endswith(".") and len(last.rstrip(".")) <= 2
+
+    parts = [p.strip() for p in _sentence_split_re.split(text.strip())
+             if p.strip()]
+    merged: List[str] = []
+    for p in parts:
+        if merged and _ends_with_abbrev(merged[-1]):
+            merged[-1] += " " + p
+        else:
+            merged.append(p)
+    out: List[str] = []
+    for p in merged:
+        words = p.split()
+        while len(words) > max_words:
+            # prefer a comma near the budget, else a hard word split
+            cut = max_words
+            for k in range(max_words, max_words // 2, -1):
+                if words[k - 1].endswith((",", ";", ":")):
+                    cut = k
+                    break
+            out.append(" ".join(words[:cut]))
+            words = words[cut:]
+        if words:
+            out.append(" ".join(words))
+    return out or ([text.strip()] if text.strip() else [])
