@@ -107,6 +107,27 @@ def main():
     gate = [float(np.max(fracs[(f"{s}@{n}", 2)])) for s, n in CONFIGS]
     report["gate_stride"] = 2
     report["pass"] = bool(max(gate) <= 0.02)
+
+    # COMBO section: the serving default composes int8 deep convs with the
+    # cs stride; the bf16 measurement above gates the stride in isolation
+    # and INT8_GATE gates int8 in isolation, so measure the stride
+    # deviation ON the int8 config itself to close the composition
+    # question (cs2 vs exact CFG, both int8, identical noise)
+    synth_i8 = build(WEIGHT_SEEDS[0], "int8")
+    combo = {}
+    for sampler, steps in CONFIGS[-1:] if SMOKE else CONFIGS:
+        vals = []
+        for nk in NOISE_KEYS[: 1 if SMOKE else len(NOISE_KEYS)]:
+            ref = run_mel(synth_i8, steps, nk, sampler)
+            got = run_mel(synth_i8, steps, nk, f"{sampler}:cs2")
+            vals.append(float(np.abs(got - ref).mean())
+                        / max(float(ref.max() - ref.min()), 1e-9))
+        combo[f"{sampler}@{steps}_cs2_int8"] = float(np.max(vals))
+        print("combo", f"{sampler}@{steps}", combo[f"{sampler}@{steps}_cs2_int8"],
+              flush=True)
+    report["int8_combo_max_frac"] = combo
+    report["int8_combo_pass"] = bool(max(combo.values()) <= 0.02)
+    report["pass"] = bool(report["pass"] and report["int8_combo_pass"])
     out = "CFG_GATE.json" if not SMOKE else "/tmp/CFG_GATE_smoke.json"
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
