@@ -359,3 +359,67 @@ def test_http_long_text_split(http_server):
     with wave.open(__import__("io").BytesIO(
             base64.b64decode(payload["wav_base64"]))) as w:
         assert w.getnframes() == payload["n_samples"]
+
+
+def test_solo_request_never_batched(batcher):
+    """solo=True must dispatch alone (batch size 1) even with compatible
+    requests queued around it — the streaming mode's first-chunk latency
+    guarantee."""
+    before_ones = batcher.stats.batch_sizes.get(1, 0)
+    f0 = batcher.submit([9, 8, 7], solo=True)
+    rest = [batcher.submit([9, 8, 7]) for _ in range(3)]
+    outs = [f.result(timeout=60) for f in [f0] + rest]
+    assert all(np.isfinite(w).all() and w.shape[0] > 0 for w, _ in outs)
+    # the solo request was a size-1 dispatch; its 3 companions were free to
+    # pack together (they never absorbed the solo row)
+    assert batcher.stats.batch_sizes.get(1, 0) >= before_ones + 1
+
+
+def test_http_stream_long_text(http_server):
+    """stream:true — chunked audio/wav whose PCM matches the non-streaming
+    split response sample-for-sample count (durations are deterministic)."""
+    import struct
+
+    text = "hello there. how are you. fine thanks!"
+    code, _, body = _post(
+        http_server, {"text": text, "split": True, "format": "json"}
+    )
+    assert code == 200, body
+    n_ref = json.loads(body)["n_samples"]
+
+    req = urllib.request.Request(
+        http_server + "/synthesize",
+        data=json.dumps({"text": text, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.status == 200
+        assert r.headers.get("Content-Type") == "audio/wav"
+        assert r.headers.get("Transfer-Encoding") == "chunked"
+        header = r.read(44)  # RIFF header rides the FIRST chunk
+        pcm = r.read()
+    assert header[:4] == b"RIFF" and header[8:12] == b"WAVE"
+    # live-stream convention: unknown RIFF/data sizes
+    assert struct.unpack("<I", header[4:8])[0] == 0xFFFFFFFF
+    assert struct.unpack("<I", header[40:44])[0] == 0xFFFFFFFF
+    sr = struct.unpack("<I", header[24:28])[0]
+    assert sr == 22050
+    assert len(pcm) == 2 * n_ref  # 16-bit mono: every chunk arrived, in full
+    assert np.isfinite(
+        np.frombuffer(pcm, "<i2").astype(np.float32)
+    ).all()
+
+
+def test_http_stream_single_request(http_server):
+    """stream:true with token_ids — a one-chunk stream (header + PCM +
+    terminal chunk) is still a valid response."""
+    req = urllib.request.Request(
+        http_server + "/synthesize",
+        data=json.dumps({"token_ids": [2, 7, 1, 8], "stream": True}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.status == 200
+        body = r.read()
+    assert body[:4] == b"RIFF"
+    assert len(body) > 44 and (len(body) - 44) % 2 == 0

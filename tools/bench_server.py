@@ -51,6 +51,10 @@ def main():
                     help="sampler spec ('ddpm'/'dpm2', optional ':cs<k>')")
     ap.add_argument("--frames", type=int, default=344,
                     help="target mean synthesized frames (baseline protocol)")
+    ap.add_argument("--ttfa-sentences", type=int, default=0,
+                    help="also measure the streaming endpoint: one long "
+                         "text of N sentences, report time-to-first-audio "
+                         "vs total")
     args = ap.parse_args()
 
     bench = _load_bench()
@@ -105,7 +109,13 @@ def run_bench(args, bench=None, synth=None):
         default_sampler=args.sampler, length_scale=lscale,
         batch_ladder=ladder,
     )
-    srv = make_http_server(batcher, port=0)
+    srv = make_http_server(
+        batcher, port=0,
+        # deterministic char->id frontend (test_serve.py convention) so the
+        # streaming TTFA probe can exercise the text/split path
+        text_to_ids=lambda s: [1 + (ord(c) % (n_vocab - 2))
+                               for c in s.strip() or "a"],
+    )
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     url = f"http://127.0.0.1:{srv.server_address[1]}/synthesize"
 
@@ -148,6 +158,42 @@ def run_bench(args, bench=None, synth=None):
     for t in threads:
         t.join()
     wall = time.perf_counter() - t_start
+
+    # streaming TTFA probe: one long text on the QUIET daemon, so the
+    # number is the mode's intrinsic first-chunk latency (solo dispatch),
+    # not a load artifact
+    ttfa = None
+    if getattr(args, "ttfa_sentences", 0):
+        n_sent = int(args.ttfa_sentences)
+        word = "abcdef"
+        n_words = max((n_tok + 1) // (len(word) + 1), 1)
+        sent = " ".join(word for _ in range(n_words)) + "."
+        body = json.dumps(
+            {"text": " ".join(sent for _ in range(n_sent)), "stream": True}
+        ).encode()
+        t0 = time.perf_counter()
+        with urllib.request.urlopen(
+            urllib.request.Request(
+                url, data=body,
+                headers={"Content-Type": "application/json"},
+            ), timeout=600,
+        ) as r:
+            head = r.read(45)  # WAV header + first PCM byte of chunk 0
+            t_first = time.perf_counter() - t0
+            rest = r.read()
+            t_total = time.perf_counter() - t0
+        import struct
+
+        sr = struct.unpack("<I", head[24:28])[0]
+        ttfa = {
+            "stream_sentences": n_sent,
+            "stream_ttfa_s": round(t_first, 3),
+            "stream_total_s": round(t_total, 3),
+            "stream_speech_s": round(
+                (len(head) - 44 + len(rest)) / 2 / sr, 2
+            ),
+        }
+
     srv.shutdown()
     batcher.shutdown()
 
@@ -171,6 +217,8 @@ def run_bench(args, bench=None, synth=None):
         "switch_buckets": list(batcher.synth.switch_buckets),
         "batch_sizes": batcher.stats.batch_sizes,
     }
+    if ttfa:
+        result.update(ttfa)
     return result
 
 

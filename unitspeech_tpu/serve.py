@@ -42,17 +42,37 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 
+def pcm16_bytes(wav: np.ndarray) -> bytes:
+    """float32 [-1, 1] mono -> raw 16-bit little-endian PCM bytes."""
+    return (np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+
+
 def encode_wav_bytes(wav: np.ndarray, sr: int) -> bytes:
     """float32 [-1, 1] mono -> 16-bit PCM RIFF bytes (data/dataset.write_wav
     semantics, in memory)."""
-    pcm = (np.clip(wav, -1.0, 1.0) * 32767.0).astype(np.int16)
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(int(sr))
-        w.writeframes(pcm.tobytes())
+        w.writeframes(pcm16_bytes(wav))
     return buf.getvalue()
+
+
+def wav_stream_header(sr: int) -> bytes:
+    """RIFF/WAVE header for 16-bit mono PCM of UNKNOWN length: the RIFF and
+    data chunk sizes carry the live-stream convention 0xFFFFFFFF (what
+    icecast/ffmpeg emit for wav streams; decoders read until EOF). The
+    streaming endpoint sends this once, then appends raw PCM per resolved
+    chunk."""
+    import struct
+
+    return (
+        b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, int(sr),
+                                int(sr) * 2, 2, 16)
+        + b"data" + struct.pack("<I", 0xFFFFFFFF)
+    )
 
 
 def _normalize_sampler_spec(spec: str) -> str:
@@ -72,6 +92,10 @@ class _Request:
     sampler: str
     future: "Future"
     enqueued_at: float
+    # solo requests dispatch alone, never packed with others: the streaming
+    # front-end marks a long text's FIRST chunk solo so time-to-first-audio
+    # is single-utterance latency while the remaining chunks batch behind it
+    solo: bool = False
 
     @property
     def group_key(self) -> Tuple[int, str]:
@@ -200,9 +224,14 @@ class DynamicBatcher:
     # -- client side -----------------------------------------------------
 
     def submit(self, token_ids: Sequence[int], steps: Optional[int] = None,
-               sampler: Optional[str] = None) -> Future:
+               sampler: Optional[str] = None, solo: bool = False) -> Future:
         """Enqueue one request; resolves to (wav float32 np.ndarray, sr).
-        ValueError = the request itself is invalid (client error)."""
+        ValueError = the request itself is invalid (client error).
+
+        solo=True: dispatch this request ALONE (no wait window, never packed
+        with other requests) — latency-critical submissions like the
+        streaming mode's first chunk use it; everything else should leave it
+        off so the batcher can amortize."""
         if not token_ids:
             raise ValueError("empty token sequence")
         req = _Request(
@@ -214,6 +243,7 @@ class DynamicBatcher:
                      if sampler is not None else self.default_sampler),
             future=Future(),
             enqueued_at=time.monotonic(),
+            solo=bool(solo),
         )
         if self.strict_grid:
             if req.group_key not in self._warmed_groups:
@@ -262,6 +292,10 @@ class DynamicBatcher:
             if self._stop and not self._queue:
                 return []
             head = self._queue.popleft()
+        if head.solo:
+            # no wait window, no companions: the caller asked for pure
+            # single-request latency (streaming first chunk)
+            return [head]
         batch = [head]
         deadline = head.enqueued_at + self.max_wait_s
         while len(batch) < self.max_batch and not self._stop:
@@ -270,7 +304,8 @@ class DynamicBatcher:
                 taken, kept = [], deque()
                 while self._queue and len(batch) + len(taken) < self.max_batch:
                     r = self._queue.popleft()
-                    (taken if r.group_key == head.group_key else kept).append(r)
+                    take = r.group_key == head.group_key and not r.solo
+                    (taken if take else kept).append(r)
                 for r in kept:
                     self._queue.append(r)
                 batch.extend(taken)
@@ -476,7 +511,15 @@ def make_http_server(
                         "split": true — long-text mode: the text is split
                         into sentence chunks that ride the batcher as one
                         parallel batch and are concatenated in order, so
-                        input length is not bounded by a frame bucket)
+                        input length is not bounded by a frame bucket,
+                        "stream": true — STREAMING long-text mode: chunked
+                        audio/wav; the first sentence chunk is submitted
+                        solo (dispatches immediately, never batched) and its
+                        audio is on the wire while the remaining chunks
+                        synthesize as one parallel batch, so
+                        time-to-first-audio is single-sentence latency
+                        instead of whole-text latency. Implies split for
+                        text inputs; format is ignored (always wav))
                         -> audio/wav bytes, or JSON {sr, n_samples,
                         wav_base64} when format=json
       GET  /healthz     -> {"status": "ok"}
@@ -487,6 +530,10 @@ def make_http_server(
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
+        # 1.1 for chunked streaming responses; every non-chunked path sets
+        # Content-Length explicitly (required under keep-alive)
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
@@ -497,6 +544,45 @@ def make_http_server(
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _stream_wav(self, futs):
+            """Chunked audio/wav: emit each chunk's PCM as its Future
+            resolves, in order. The first chunk resolves BEFORE the status
+            line so a first-chunk failure still returns a clean JSON error;
+            a later failure truncates the chunked body (no terminal
+            0-chunk), which clients see as a protocol error."""
+            deadline = time.monotonic() + request_timeout_s
+            try:
+                wav0, sr = futs[0].result(
+                    timeout=max(deadline - time.monotonic(), 1e-3)
+                )
+            except TimeoutError:
+                self._json(504, {"error": "synthesis timed out"})
+                return
+            except Exception as e:  # noqa: BLE001 — surface, don't crash
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(data: bytes):
+                self.wfile.write(f"{len(data):X}\r\n".encode()
+                                 + data + b"\r\n")
+                self.wfile.flush()
+
+            chunk(wav_stream_header(sr) + pcm16_bytes(wav0))
+            for f in futs[1:]:
+                try:
+                    wav, _ = f.result(
+                        timeout=max(deadline - time.monotonic(), 1e-3)
+                    )
+                except Exception:  # noqa: BLE001 — truncate, don't crash
+                    self.close_connection = True
+                    return
+                chunk(pcm16_bytes(wav))
+            chunk(b"")  # terminal 0-length chunk: stream complete
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -521,7 +607,8 @@ def make_http_server(
                     return
                 steps = req.get("steps")
                 sampler = req.get("sampler")
-                if req.get("split") and "text" in req:
+                stream = bool(req.get("stream"))
+                if (req.get("split") or stream) and "text" in req:
                     # LONG-TEXT mode: split into sentence chunks, submit
                     # them all at once — they ride the dynamic batcher as
                     # ONE batch (parallel synthesis), so a long text is not
@@ -539,8 +626,12 @@ def make_http_server(
                     if not id_lists:
                         self._json(400, {"error": "text produced no tokens"})
                         return
-                    futs = [batcher.submit(ids, steps=steps, sampler=sampler)
-                            for ids in id_lists]
+                    # streaming: chunk 0 goes solo (single-utterance
+                    # latency); the rest are submitted in the same breath so
+                    # they pack into one batch right behind it
+                    futs = [batcher.submit(ids, steps=steps, sampler=sampler,
+                                           solo=(stream and i == 0))
+                            for i, ids in enumerate(id_lists)]
                 else:
                     token_ids = req.get("token_ids")
                     if token_ids is None and "text" in req:
@@ -560,6 +651,9 @@ def make_http_server(
             except (ValueError, KeyError, TypeError,
                     json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
+                return
+            if stream:
+                self._stream_wav(futs)
                 return
             # dispatch-side failures are the SERVER's (500/504): a
             # ValueError from inside the batcher must not masquerade as 400
