@@ -1149,6 +1149,11 @@ def main_serve(argv=None):
     ap.add_argument("--warmup-token-lengths", default="64",
                     help="comma-separated token lengths whose buckets are "
                          "precompiled across the batch ladder")
+    ap.add_argument("--voices", default=None,
+                    help="voice bank for multi-voice serving: a directory "
+                         "of <name>.npy speaker embeddings or one .npz "
+                         "keyed by name; requests select with "
+                         "{\"speaker\": \"<name>\"}")
     ap.add_argument("--dry-run", action="store_true",
                     help="build + calibrate + warm up, print the serving "
                          "config JSON, and exit without opening the port")
@@ -1202,6 +1207,10 @@ def main_serve(argv=None):
     warmup_lengths = tuple(
         int(t) for t in args.warmup_token_lengths.split(",")
     )
+    if args.voices:
+        from unitspeech_tpu.utils.artifacts import load_speaker_embs
+
+        kw["voices"] = load_speaker_embs(args.voices, int_keys=False)
     batcher = build_batcher(
         synth, calibration_texts=calibration_texts,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
@@ -1216,6 +1225,7 @@ def main_serve(argv=None):
         "length_scale": batcher.length_scale,
         "cfg_scales": [batcher.tg, batcher.sg],
         "max_wait_ms": args.max_wait_ms,
+        "voices": sorted(batcher.voices),
     }
     if args.dry_run:
         batcher.shutdown()

@@ -688,15 +688,23 @@ class Synthesizer:
         return tuple(window[-max_branches:])
 
     def _switch_dispatch(self, tokens, lengths, key, steps, lscale, tg, sg,
-                         sampler="ddpm"):
-        """Run _synthesize_bucket_switch over a (B, tok_bucket) batch."""
+                         sampler="ddpm", spk=None):
+        """Run _synthesize_bucket_switch over a (B, tok_bucket) batch.
+
+        spk: optional (B, spk_emb_dim) per-row speaker embeddings (the
+        serving daemon's multi-voice mode); defaults to the model's own
+        spk_emb broadcast to every row. Same shape either way, so voice
+        selection reuses the already-compiled executable."""
         m = self.models
         tokens_np = np.asarray(tokens, np.int32)
         packed = np.concatenate(
             [tokens_np, np.asarray(lengths, np.int32).reshape(-1, 1)], axis=1
         )
         b = tokens_np.shape[0]
-        spk = jnp.broadcast_to(m.spk_emb, (b, m.spk_emb.shape[-1]))
+        if spk is None:
+            spk = jnp.broadcast_to(m.spk_emb, (b, m.spk_emb.shape[-1]))
+        else:
+            spk = jnp.asarray(np.asarray(spk, np.float32).reshape(b, -1))
         upsample = int(np.prod(m.cfg.vocoder.upsample_rates))
         return _synthesize_bucket_switch(
             m.text_encoder, m.text_encoder_params,

@@ -96,6 +96,10 @@ class _Request:
     # front-end marks a long text's FIRST chunk solo so time-to-first-audio
     # is single-utterance latency while the remaining chunks batch behind it
     solo: bool = False
+    # multi-voice serving: name into the batcher's voice table (None = the
+    # synthesizer's own spk_emb). Speakers are per-ROW conditioning of the
+    # same executable, so mixed-voice batches pack together freely
+    speaker: Optional[str] = None
 
     @property
     def group_key(self) -> Tuple[int, str]:
@@ -167,7 +171,8 @@ class DynamicBatcher:
                  text_gradient_scale: Optional[float] = None,
                  spk_gradient_scale: Optional[float] = None,
                  batch_ladder: Optional[Sequence[int]] = None,
-                 strict_grid: bool = False):
+                 strict_grid: bool = False,
+                 voices: Optional[Dict[str, Any]] = None):
         if synth.switch_buckets is None:
             raise ValueError(
                 "DynamicBatcher needs a bucket-switch synthesizer "
@@ -212,6 +217,17 @@ class DynamicBatcher:
                 b *= 2
             self.batch_ladder.append(self.max_batch)
 
+        # voice bank for multi-voice serving: speaker name -> unit-normalized
+        # (spk_emb_dim,) embedding, conditioning the SAME one-decoder
+        # executable per row (the STEP1 model's native zero-shot capability;
+        # per-speaker FINETUNED decoders need one daemon per decoder since
+        # batches share decoder params). Load with
+        # utils.artifacts.load_speaker_embs(path, int_keys=False).
+        self.voices: Dict[str, np.ndarray] = {}
+        for name, v in (voices or {}).items():
+            v = np.asarray(v, np.float32).reshape(-1)
+            self.voices[str(name)] = v / max(float(np.linalg.norm(v)), 1e-12)
+
         self.stats = BatcherStats()
         self._queue: deque = deque()
         self._lock = threading.Condition()
@@ -224,16 +240,25 @@ class DynamicBatcher:
     # -- client side -----------------------------------------------------
 
     def submit(self, token_ids: Sequence[int], steps: Optional[int] = None,
-               sampler: Optional[str] = None, solo: bool = False) -> Future:
+               sampler: Optional[str] = None, solo: bool = False,
+               speaker: Optional[str] = None) -> Future:
         """Enqueue one request; resolves to (wav float32 np.ndarray, sr).
         ValueError = the request itself is invalid (client error).
 
         solo=True: dispatch this request ALONE (no wait window, never packed
         with other requests) — latency-critical submissions like the
         streaming mode's first chunk use it; everything else should leave it
-        off so the batcher can amortize."""
+        off so the batcher can amortize.
+
+        speaker: voice-bank name (see `voices`); None = the synthesizer's
+        default spk_emb. Voices mix freely within a batch."""
         if not token_ids:
             raise ValueError("empty token sequence")
+        if speaker is not None and speaker not in self.voices:
+            raise ValueError(
+                f"unknown speaker {speaker!r}; available: "
+                f"{sorted(self.voices) or '(no voice bank configured)'}"
+            )
         req = _Request(
             token_ids=list(int(t) for t in token_ids),
             steps=int(steps if steps is not None else self.default_steps),
@@ -244,6 +269,7 @@ class DynamicBatcher:
             future=Future(),
             enqueued_at=time.monotonic(),
             solo=bool(solo),
+            speaker=speaker,
         )
         if self.strict_grid:
             if req.group_key not in self._warmed_groups:
@@ -364,11 +390,23 @@ class DynamicBatcher:
             tokens[i] = tokens[i % n]
             lengths[i] = lengths[i % n]
 
+        # per-row voices (same executable shape as the broadcast default,
+        # so multi-voice batches pay no extra compile)
+        spk_rows = None
+        if any(r.speaker is not None for r in batch):
+            default = np.asarray(m.spk_emb, np.float32).reshape(-1)
+            spk_rows = np.empty((b, default.shape[0]), np.float32)
+            for i, r in enumerate(batch):
+                spk_rows[i] = (self.voices[r.speaker]
+                               if r.speaker is not None else default)
+            for i in range(n, b):
+                spk_rows[i] = spk_rows[i % n]
+
         key = self._next_key()
         wav, _mel, y_lengths, fits, mu_x, x_mask, w_ceil = (
             synth._switch_dispatch(
                 tokens, lengths, key, steps, self.length_scale, self.tg,
-                self.sg, sampler=sampler,
+                self.sg, sampler=sampler, spk=spk_rows,
             )
         )
         wav, y_len, fits = jax.device_get((wav, y_lengths, fits))
@@ -391,7 +429,8 @@ class DynamicBatcher:
             )
             import jax.numpy as jnp
 
-            spk = jnp.broadcast_to(m.spk_emb, (b, m.spk_emb.shape[-1]))
+            spk = (jnp.asarray(spk_rows) if spk_rows is not None
+                   else jnp.broadcast_to(m.spk_emb, (b, m.spk_emb.shape[-1])))
             wav, _mel, _attn = _align_sample_vocode(
                 m.decoder.apply, m.decoder_params, m.vocoder,
                 m.vocoder_params, mu_x, x_mask, w_ceil, None, spk, key,
@@ -508,6 +547,9 @@ def make_http_server(
     Endpoints:
       POST /synthesize  {"token_ids": [...]} or {"text": "..."} (+ optional
                         "steps", "sampler", "format": "wav"|"json",
+                        "speaker": "<name>" — multi-voice serving: condition
+                        on the named voice-bank embedding (batcher `voices`);
+                        unknown names are a 400,
                         "split": true — long-text mode: the text is split
                         into sentence chunks that ride the batcher as one
                         parallel batch and are concatenated in order, so
@@ -607,6 +649,10 @@ def make_http_server(
                     return
                 steps = req.get("steps")
                 sampler = req.get("sampler")
+                speaker = req.get("speaker")
+                if speaker is not None and not isinstance(speaker, str):
+                    self._json(400, {"error": "speaker must be a string"})
+                    return
                 stream = bool(req.get("stream"))
                 if (req.get("split") or stream) and "text" in req:
                     # LONG-TEXT mode: split into sentence chunks, submit
@@ -630,7 +676,8 @@ def make_http_server(
                     # latency); the rest are submitted in the same breath so
                     # they pack into one batch right behind it
                     futs = [batcher.submit(ids, steps=steps, sampler=sampler,
-                                           solo=(stream and i == 0))
+                                           solo=(stream and i == 0),
+                                           speaker=speaker)
                             for i, ids in enumerate(id_lists)]
                 else:
                     token_ids = req.get("token_ids")
@@ -647,7 +694,7 @@ def make_http_server(
                                                   "required"})
                         return
                     futs = [batcher.submit(token_ids, steps=steps,
-                                           sampler=sampler)]
+                                           sampler=sampler, speaker=speaker)]
             except (ValueError, KeyError, TypeError,
                     json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})

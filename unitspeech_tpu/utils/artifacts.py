@@ -139,18 +139,23 @@ def load_vocoder_params(path: str, cfg) -> Any:
     return load_checkpoint(path)
 
 
-def load_speaker_embs(path: str, normalize: bool = True) -> dict:
+def load_speaker_embs(path: str, normalize: bool = True,
+                      int_keys: bool = True) -> dict:
     """Per-speaker mean embeddings. Native format: one .npz with arrays named
     by speaker id (replaces the reference's directory of .pt files,
-    util.py:201-222). Also accepts a directory of <id>.npy files."""
+    util.py:201-222). Also accepts a directory of <id>.npy files.
+
+    int_keys=False keeps speaker names as strings (the serving daemon's
+    voice-bank format, where names like "alice.npy" are not numeric)."""
+    key = int if int_keys else str
     embs = {}
     if os.path.isdir(path):
         for name in sorted(os.listdir(path)):
             if name.endswith(".npy"):
-                embs[int(name.split(".")[0])] = np.load(os.path.join(path, name))
+                embs[key(name[:-4])] = np.load(os.path.join(path, name))
     else:
         z = np.load(path)
-        embs = {int(k): z[k] for k in z.files}
+        embs = {key(k): z[k] for k in z.files}
     if normalize:
         embs = {
             k: (v / max(np.linalg.norm(v), 1e-12)).astype(np.float32).reshape(-1)
