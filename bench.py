@@ -344,6 +344,8 @@ def bench_serving_modes(synth, args, frames, n_tok, hop, sr):
         fast_specs = [(25, "dpm2"), (16, "dpm2")]
         if _cfg_gate_passed():
             fast_specs.append((16, "dpm2:cs2"))
+        if _cfg_gate_fast10_passed():
+            fast_specs.append((10, "dpm2:cs2"))
         for fast_steps, spec in fast_specs:
             suffix = spec.replace("dpm2", "").replace(":", "_")
             key = f"rtf_serving_dpm2_{fast_steps}step{suffix}"
@@ -371,6 +373,20 @@ def _cfg_gate_passed() -> bool:
     try:
         with open(path) as f:
             return bool(json.load(f).get("pass"))
+    except (OSError, ValueError):
+        return False
+
+
+def _cfg_gate_fast10_passed() -> bool:
+    """True when the separately-judged max-speed dpm2@10:cs2 row of the CFG
+    gate passed (tools/cfg_gate.py pass_dpm2_10_cs2)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "CFG_GATE.json")
+    try:
+        with open(path) as f:
+            return bool(json.load(f).get("pass_dpm2_10_cs2"))
     except (OSError, ValueError):
         return False
 
@@ -545,6 +561,9 @@ def bench_extras(synth, args, frames, n_tok):
         # the fastest gated mode plus the 50-step DDPM family for scale
         _section("dpm2_16_cs2", lambda: _rtf_fast(16, "dpm2:cs2"))
         _section("ddpm_50_cs2", lambda: _rtf_fast(50, "ddpm:cs2"))
+    if _cfg_gate_fast10_passed():
+        # max-speed labeled mode (CFG_GATE.json pass_dpm2_10_cs2)
+        _section("dpm2_10_cs2", lambda: _rtf_fast(10, "dpm2:cs2"))
     _section("batch8", _throughput(8))
     _section("batch32", _throughput(32))
     if _cfg_gate_passed():
