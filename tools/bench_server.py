@@ -136,13 +136,23 @@ def run_bench(args, bench=None, synth=None):
                 {"token_ids": reqs[(offsets[cid] + i) % len(reqs)]}
             ).encode()
             t0 = time.perf_counter()
-            with urllib.request.urlopen(
-                urllib.request.Request(
-                    url, data=body,
-                    headers={"Content-Type": "application/json"},
-                ), timeout=600,
-            ) as r:
-                blob = r.read()
+            for attempt in range(3):
+                try:
+                    with urllib.request.urlopen(
+                        urllib.request.Request(
+                            url, data=body,
+                            headers={"Content-Type": "application/json"},
+                        ), timeout=600,
+                    ) as r:
+                        blob = r.read()
+                    break
+                except ConnectionError:
+                    # transient connect/reset under a thundering herd: retry
+                    # (latency still accounted from t0, so retries penalize
+                    # the measurement rather than silently dropping load)
+                    if attempt == 2:
+                        raise
+                    time.sleep(0.05 * (attempt + 1))
             dt = time.perf_counter() - t0
             with wave.open(__import__("io").BytesIO(blob)) as w:
                 s = w.getnframes() / w.getframerate()

@@ -575,6 +575,9 @@ def make_http_server(
         # 1.1 for chunked streaming responses; every non-chunked path sets
         # Content-Length explicitly (required under keep-alive)
         protocol_version = "HTTP/1.1"
+        # idle keep-alive connections release their handler thread instead
+        # of lingering forever on a client that never closes
+        timeout = 65
 
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -734,4 +737,10 @@ def make_http_server(
                 self.end_headers()
                 self.wfile.write(body)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # the stdlib default listen backlog (5) resets connections when many
+        # clients connect at once (observed at 24 concurrent closed-loop
+        # clients); a serving daemon needs a real accept queue
+        request_queue_size = 128
+
+    return Server((host, port), Handler)
