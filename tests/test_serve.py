@@ -461,3 +461,50 @@ def test_http_speaker_param(http_server):
     assert code == 400 and b"unknown speaker" in body
     code, _, _ = _post(http_server, {"text": "hi", "speaker": 3})
     assert code == 400
+
+
+def test_queue_backpressure_503():
+    """At max_queue pending requests submit() sheds load with Overloaded;
+    the HTTP layer maps it to 503 + Retry-After."""
+    import dataclasses as dc
+
+    from unitspeech_tpu.serve import Overloaded
+
+    synth = _tiny_synth()
+    synth = dc.replace(synth, switch_buckets=(synth.frame_buckets[2],))
+    b = DynamicBatcher(synth, max_batch=1, max_wait_ms=1.0, default_steps=2,
+                       text_gradient_scale=0.0, spk_gradient_scale=0.0,
+                       max_queue=2)
+    gate, entered = threading.Event(), threading.Event()
+    inner = b._dispatch
+    b._dispatch = lambda batch: (entered.set(), gate.wait(30),
+                                 inner(batch))[2]
+    try:
+        # head is popped by the dispatcher (blocked in _dispatch), then two
+        # fill the queue to max_queue; the fourth must be rejected
+        futs = [b.submit([1, 2, 3])]
+        assert entered.wait(30)  # head is OUT of the queue, dispatch blocked
+        futs += [b.submit([1, 2, 3]) for _ in range(2)]
+        with pytest.raises(Overloaded, match="queue full"):
+            b.submit([1, 2, 3])
+        assert b.stats.rejected == 1
+        gate.set()
+        for f in futs:
+            assert f.result(timeout=120)[0].shape[0] > 0
+    finally:
+        gate.set()
+        b.shutdown()
+
+    # HTTP mapping: a server over a saturated batcher returns 503
+    b2 = DynamicBatcher(synth, max_batch=1, max_wait_ms=1.0, default_steps=2,
+                        text_gradient_scale=0.0, spk_gradient_scale=0.0,
+                        max_queue=0)
+    srv = make_http_server(b2, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        code, _, body = _post(url, {"token_ids": [1, 2]})
+        assert code == 503 and b"queue full" in body
+    finally:
+        srv.shutdown()
+        b2.shutdown()

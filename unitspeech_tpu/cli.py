@@ -1118,6 +1118,10 @@ def main_serve(argv=None):
     ap.add_argument("--max-wait-ms", type=float, default=20.0,
                     help="dynamic-batching wait window (latency traded for "
                          "aggregate throughput)")
+    ap.add_argument("--max-queue", type=int, default=256,
+                    help="pending-request cap: submissions beyond it get "
+                         "503 (backpressure) instead of unbounded queueing; "
+                         "0 = unbounded")
     ap.add_argument("--strict-grid", action="store_true",
                     help="reject requests outside the warmed compile grid "
                          "(non-default steps/sampler, over-long tokens, "
@@ -1215,7 +1219,8 @@ def main_serve(argv=None):
         synth, calibration_texts=calibration_texts,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         warmup_token_lengths=warmup_lengths,
-        default_sampler=args.sampler, strict_grid=args.strict_grid, **kw,
+        default_sampler=args.sampler, strict_grid=args.strict_grid,
+        max_queue=args.max_queue or None, **kw,
     )
     serving_cfg = {
         "switch_buckets": list(batcher.synth.switch_buckets),

@@ -132,12 +132,18 @@ class Future:
         return self._result
 
 
+class Overloaded(RuntimeError):
+    """The batcher queue is at max_queue: shed load instead of growing an
+    unbounded backlog (the HTTP front-end maps this to 503)."""
+
+
 @dataclass
 class BatcherStats:
     requests: int = 0
     batches: int = 0
     overflows: int = 0
     errors: int = 0
+    rejected: int = 0
     batch_sizes: Dict[int, int] = field(default_factory=dict)
     total_latency_s: float = 0.0
     total_speech_s: float = 0.0
@@ -151,6 +157,7 @@ class BatcherStats:
             "batches": self.batches,
             "overflows": self.overflows,
             "errors": self.errors,
+            "rejected": self.rejected,
             "batch_sizes": dict(sorted(self.batch_sizes.items())),
             "mean_latency_s": round(mean_lat, 4),
             "mean_request_rtf": round(rtf, 4),
@@ -172,7 +179,8 @@ class DynamicBatcher:
                  spk_gradient_scale: Optional[float] = None,
                  batch_ladder: Optional[Sequence[int]] = None,
                  strict_grid: bool = False,
-                 voices: Optional[Dict[str, Any]] = None):
+                 voices: Optional[Dict[str, Any]] = None,
+                 max_queue: Optional[int] = None):
         if synth.switch_buckets is None:
             raise ValueError(
                 "DynamicBatcher needs a bucket-switch synthesizer "
@@ -227,6 +235,11 @@ class DynamicBatcher:
         for name, v in (voices or {}).items():
             v = np.asarray(v, np.float32).reshape(-1)
             self.voices[str(name)] = v / max(float(np.linalg.norm(v)), 1e-12)
+
+        # backpressure: at max_queue pending requests, submit() raises
+        # Overloaded (HTTP 503) instead of growing an unbounded backlog
+        # whose tail latency nobody will wait for. None = unbounded.
+        self.max_queue = None if max_queue is None else int(max_queue)
 
         self.stats = BatcherStats()
         self._queue: deque = deque()
@@ -291,6 +304,13 @@ class DynamicBatcher:
             # would otherwise enqueue a Future nobody ever resolves
             if self._stop:
                 raise RuntimeError("batcher is shut down")
+            if (self.max_queue is not None
+                    and len(self._queue) >= self.max_queue):
+                self.stats.rejected += 1
+                raise Overloaded(
+                    f"queue full ({self.max_queue} pending requests); "
+                    "retry later"
+                )
             self._queue.append(req)
             self._lock.notify()
         return req.future
@@ -698,6 +718,17 @@ def make_http_server(
                         return
                     futs = [batcher.submit(token_ids, steps=steps,
                                            sampler=sampler, speaker=speaker)]
+            except Overloaded as e:
+                # backpressure, not a client mistake: 503 + Retry-After so
+                # well-behaved clients back off
+                self.send_response(503)
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(body)
+                return
             except (ValueError, KeyError, TypeError,
                     json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
