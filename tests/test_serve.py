@@ -508,3 +508,18 @@ def test_queue_backpressure_503():
     finally:
         srv.shutdown()
         b2.shutdown()
+
+
+def test_stats_padding_and_dispatch(batcher):
+    """padding_waste and mean_dispatch_s expose batch-packing efficiency —
+    3 requests on the {1,2,4} ladder pad one row."""
+    base = batcher.stats
+    before_real, before_pad = base.real_rows, base.padded_rows
+    futs = [batcher.submit([6, 6, 6]) for _ in range(3)]
+    for f in futs:
+        f.result(timeout=60)
+    snap = batcher.stats.snapshot()
+    assert batcher.stats.real_rows - before_real == 3
+    assert batcher.stats.padded_rows >= before_pad  # ladder may pad
+    assert snap["mean_dispatch_s"] > 0.0
+    assert 0.0 <= snap["padding_waste"] < 1.0

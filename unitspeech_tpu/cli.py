@@ -1249,6 +1249,14 @@ def main_serve(argv=None):
         "serving_config": serving_cfg,
         "listening": f"http://{args.host}:{srv.server_address[1]}",
     }), flush=True)
+    import signal
+
+    def _sigterm(*_a):
+        # raise into serve_forever so the finally below drains the batcher
+        # (resolving queued futures) before the process exits
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

@@ -147,6 +147,12 @@ class BatcherStats:
     batch_sizes: Dict[int, int] = field(default_factory=dict)
     total_latency_s: float = 0.0
     total_speech_s: float = 0.0
+    # batch-packing efficiency: real vs ladder-padded rows, and time spent
+    # in device dispatches — the numbers that diagnose a mis-sized ladder
+    # (ROADMAP r4s4: ragged pad-to-16 batches cost 6x realtime/chip)
+    real_rows: int = 0
+    padded_rows: int = 0
+    total_dispatch_s: float = 0.0
 
     def snapshot(self) -> Dict[str, Any]:
         mean_lat = self.total_latency_s / self.requests if self.requests else 0.0
@@ -161,6 +167,12 @@ class BatcherStats:
             "batch_sizes": dict(sorted(self.batch_sizes.items())),
             "mean_latency_s": round(mean_lat, 4),
             "mean_request_rtf": round(rtf, 4),
+            "padding_waste": round(
+                self.padded_rows / (self.real_rows + self.padded_rows), 4
+            ) if self.real_rows else 0.0,
+            "mean_dispatch_s": round(
+                self.total_dispatch_s / self.batches, 4
+            ) if self.batches else 0.0,
         }
 
 
@@ -388,6 +400,7 @@ class DynamicBatcher:
             fix_len_compatibility,
         )
 
+        t_disp = time.monotonic()
         synth, m = self.synth, self.synth.models
         hop = m.cfg.data.hop_length
         sr = m.cfg.data.sampling_rate
@@ -467,6 +480,9 @@ class DynamicBatcher:
         self.stats.batches += 1
         self.stats.requests += n
         self.stats.batch_sizes[n] = self.stats.batch_sizes.get(n, 0) + 1
+        self.stats.real_rows += n
+        self.stats.padded_rows += b - n
+        self.stats.total_dispatch_s += now - t_disp
         for i, req in enumerate(batch):
             n_samples = max(int(y_len[i]), 1) * hop
             out = wav[i, :n_samples].astype(np.float32)
