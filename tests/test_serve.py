@@ -99,6 +99,41 @@ def test_partial_batch_pads_with_repeat_rows(batcher):
         assert sr == 22050 and w.shape[0] > 0 and np.isfinite(w).all()
 
 
+def test_stats_recent_frames_ring(batcher):
+    """Every served request records its resolved frame length in the stats
+    ring — the live traffic distribution tools/analyze_buckets.py consumes
+    to re-evaluate the bucket window."""
+    wav, _ = batcher.submit([7, 3, 2, 8]).result(timeout=60)
+    assert wav.shape[0] > 0
+    snap = batcher.stats.snapshot()
+    frames = snap["recent_frames"]
+    assert frames and all(isinstance(x, int) and x > 0 for x in frames)
+    # hop_length=4: the last entry matches the request we just served
+    assert frames[-1] * 4 >= wav.shape[0]
+
+
+def test_build_batcher_cost_policy():
+    """bucket_policy="cost" rides the startup flow: the window comes from
+    the measured cost model (infer/bucket_cost.py) at the batcher's default
+    (sampler, steps) price and serves end-to-end."""
+    rng = np.random.default_rng(1)
+    texts = [list(rng.integers(1, 39, (int(rng.integers(4, 10)),)))
+             for _ in range(8)]
+    b = build_batcher(
+        _tiny_synth(), calibration_texts=texts, max_batch=2,
+        warmup_token_lengths=(8,), default_steps=2, bucket_policy="cost",
+        text_gradient_scale=0.0, spk_gradient_scale=0.0,
+    )
+    try:
+        w = b.synth.switch_buckets
+        assert w is not None and 1 <= len(w) <= 3
+        assert tuple(sorted(w)) == tuple(w)
+        wav, sr = b.submit([3, 1, 4]).result(timeout=60)
+        assert sr == 22050 and wav.shape[0] > 0 and np.isfinite(wav).all()
+    finally:
+        b.shutdown()
+
+
 def test_sampler_groups_never_mix(batcher):
     """steps/sampler are static argnames of the switch executable: mixed
     submissions must partition into per-(steps, sampler) batches."""

@@ -302,6 +302,37 @@ def test_calibrate_and_switch_window_flow(tiny_synth):
     assert len(cal._totals) == n_tot + 1
 
 
+def test_cost_policy_switch_window(tiny_synth):
+    """make_switch_buckets(policy="cost"): the calibrated lengths feed the
+    measured cost model (infer/bucket_cost.py) and the returned window is a
+    valid ascending ladder span that serves requests end-to-end."""
+    import dataclasses as dc
+
+    from unitspeech_tpu.infer.calibration import DurationCalibrator
+
+    cal = DurationCalibrator(n_vocab=40, min_samples=2)
+    synth = dc.replace(tiny_synth, calibrator=cal)
+    rng = np.random.default_rng(7)
+    corpus = [list(rng.integers(1, 40, rng.integers(3, 8))) for _ in range(6)]
+    synth.calibrate(corpus)
+
+    window = synth.make_switch_buckets(max_branches=3, policy="cost")
+    assert 1 <= len(window) <= 3 and tuple(sorted(window)) == window
+    assert all(b in tiny_synth.frame_buckets for b in window)
+    # explicit per-frame override is accepted too
+    w2 = synth.make_switch_buckets(max_branches=2, policy="cost",
+                                   per_frame_ms=0.2)
+    assert 1 <= len(w2) <= 2
+
+    with pytest.raises(ValueError):
+        synth.make_switch_buckets(policy="nonsense")
+
+    synth = dc.replace(synth, switch_buckets=window)
+    wav, sr = synth(corpus[0], jax.random.PRNGKey(2), diffusion_steps=2,
+                    text_gradient_scale=0.0, spk_gradient_scale=0.0)
+    assert len(wav) > 0 and sr == 22050
+
+
 def test_dpm2_sampler_through_serving_paths(tiny_synth):
     """sampler="dpm2" (deterministic DPM-Solver++(2M) fast mode) must ride
     EVERY serving path: the exact two-dispatch path, forced-duration single

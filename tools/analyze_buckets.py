@@ -1,0 +1,169 @@
+"""Offline bucket-window policy analysis on a corpus length distribution.
+
+Closes the ROADMAP debt item "bucket-ladder tuning: measure padding waste
+on a real corpus length distribution". The serving deployment pads every
+request onto a precompiled frame-bucket window (infer/tts.py
+make_switch_buckets); this tool evaluates candidate windows AGAINST YOUR
+OWN traffic instead of the built-in quantile heuristic, using the cost
+model measured on the v5e (ROADMAP.md ledgers):
+
+  proc(request) = FIXED + PER_FRAME * padded_frames          (in window)
+  proc(overflow) = [FIXED + PER_FRAME * top_bucket]          (wasted run)
+                 + [FIXED + SYNC + PER_FRAME * ladder(L)]    (exact fallback)
+
+with FIXED ~= 61 ms (the steps=1 per-request floor: tunnel H2D + D2H +
+dispatch), SYNC ~= 25 ms (the exact path's host length sync, both from the
+bench.py --steps 1 decomposition) and PER_FRAME from the measured forced
+RTF at 344 frames (DDPM@50: ~0.93 ms/frame; dpm2@16:cs2: ~0.21). The
+window policy this validates was itself measured from both sides on-chip:
+[344,384,432] serves at 0.104 vs 0.142 for a no-headroom [344] (ROADMAP
+bucket-window entries) — this tool generalizes that A/B to any traffic.
+
+Input lengths (mel frames per request), one of:
+  --lengths FILE      one frame count per line (or a JSON list)
+  --stats FILE        a serve.py /stats snapshot containing recent_frames
+  --seconds FILE      speech seconds per line (converted via hop/sr)
+
+Usage:
+  python tools/analyze_buckets.py --lengths corpus_frames.txt \
+      --preset dpm2_16_cs2 --max-branches 3 --top 8
+
+The reference has no analogue: it pads per-sample and re-traces
+(/root/reference/inference.py runs eagerly per utterance), so bucket
+policy is a TPU-native concern.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from unitspeech_tpu.infer.bucket_cost import (  # noqa: E402
+    FIXED_MS,
+    PRESETS,
+    enumerate_windows,
+    window_cost,
+)
+from unitspeech_tpu.ops.masking import (  # noqa: E402
+    choose_bucket,
+    default_frame_buckets,
+    fix_len_compatibility,
+)
+
+
+def load_lengths(args) -> np.ndarray:
+    if args.stats:
+        with open(args.stats) as f:
+            snap = json.load(f)
+        frames = snap.get("recent_frames")
+        if not frames:
+            raise SystemExit("stats snapshot has no recent_frames "
+                             "(daemon too old or no traffic yet)")
+        return np.asarray(frames, np.float64)
+    path = args.lengths or args.seconds
+    with open(path) as f:
+        text = f.read().strip()
+    if text.startswith("["):
+        vals = np.asarray(json.loads(text), np.float64)
+    else:
+        vals = np.asarray([float(x) for x in text.split()], np.float64)
+    if args.seconds:
+        vals = vals * args.sr / args.hop
+    return vals
+
+
+def policy_window(lengths, ladder, max_branches=3, lo_q=0.05, num_down=3):
+    """The make_switch_buckets heuristic, replicated offline (infer/tts.py):
+    ladder span from ~P(lo_q) to the max plus one step of headroom, keeping
+    the largest max_branches branches."""
+    lo = float(np.quantile(lengths, lo_q))
+    hi = float(lengths.max())
+    lo_b = choose_bucket(fix_len_compatibility(int(lo), num_down), ladder)
+    hi_b = choose_bucket(fix_len_compatibility(int(np.ceil(hi)), num_down),
+                         ladder)
+    above = [b for b in ladder if b > hi_b]
+    if above:
+        hi_b = above[0]
+    window = [b for b in ladder if lo_b <= b <= hi_b]
+    if not window:
+        window = [hi_b]
+    return tuple(window[-max_branches:])
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--lengths", help="frame counts, one per line or JSON")
+    src.add_argument("--stats", help="serve.py /stats snapshot (JSON file)")
+    src.add_argument("--seconds", help="speech seconds, one per line")
+    ap.add_argument("--preset", default="ddpm50", choices=sorted(PRESETS),
+                    help="sampler cost preset (sets --per-frame-ms)")
+    ap.add_argument("--per-frame-ms", type=float, default=None,
+                    help="override the per-padded-frame device cost")
+    ap.add_argument("--max-branches", type=int, default=3,
+                    help="lax.switch branch budget (compile time scales "
+                         "with it; production default 3)")
+    ap.add_argument("--ladder-max", type=int, default=4096)
+    ap.add_argument("--hop", type=int, default=256)
+    ap.add_argument("--sr", type=int, default=22050)
+    ap.add_argument("--top", type=int, default=8, help="rows to print")
+    ap.add_argument("--json", action="store_true", help="one JSON line")
+    args = ap.parse_args()
+
+    lengths = load_lengths(args)
+    per_frame = args.per_frame_ms or PRESETS[args.preset]
+    ladder = default_frame_buckets(args.ladder_max)
+
+    rows = [window_cost(lengths, w, per_frame, ladder)
+            for w in enumerate_windows(lengths, ladder, args.max_branches)]
+    rows.sort(key=lambda r: r["mean_proc_ms"])
+    pol = policy_window(lengths, ladder, args.max_branches)
+    pol_row = window_cost(lengths, pol, per_frame, ladder)
+
+    speech_ms = float(lengths.mean()) * args.hop / args.sr * 1000.0
+    result = {
+        "n_requests": int(len(lengths)),
+        "frames_p50": float(np.median(lengths)),
+        "frames_p95": float(np.percentile(lengths, 95)),
+        "preset": args.preset,
+        "per_frame_ms": per_frame,
+        "best": {**rows[0], "expected_rtf":
+                 round(rows[0]["mean_proc_ms"] / speech_ms, 4)},
+        "policy": {**pol_row, "expected_rtf":
+                   round(pol_row["mean_proc_ms"] / speech_ms, 4)},
+        "policy_gap_pct": round(100.0 * (pol_row["mean_proc_ms"] /
+                                         rows[0]["mean_proc_ms"] - 1.0), 2),
+    }
+    if args.json:
+        print(json.dumps(result))
+        return
+
+    print(f"{len(lengths)} requests | frames p50 {result['frames_p50']:.0f} "
+          f"p95 {result['frames_p95']:.0f} max {lengths.max():.0f} | "
+          f"preset {args.preset} ({per_frame} ms/frame + {FIXED_MS} fixed)")
+    print(f"{'window':>28} {'ovfl%':>6} {'waste%':>7} "
+          f"{'mean ms':>8} {'p95 ms':>8} {'RTF':>7}")
+    for r in rows[:args.top]:
+        mark = " <- policy" if tuple(r["window"]) == pol else ""
+        print(f"{str(r['window']):>28} {r['overflow_pct']:>6} "
+              f"{r['padding_waste_pct']:>7} {r['mean_proc_ms']:>8} "
+              f"{r['p95_proc_ms']:>8} "
+              f"{r['mean_proc_ms'] / speech_ms:>7.4f}{mark}")
+    if tuple(pol_row["window"]) not in [tuple(r["window"]) for r in
+                                        rows[:args.top]]:
+        r = pol_row
+        print(f"{str(r['window']):>28} {r['overflow_pct']:>6} "
+              f"{r['padding_waste_pct']:>7} {r['mean_proc_ms']:>8} "
+              f"{r['p95_proc_ms']:>8} "
+              f"{r['mean_proc_ms'] / speech_ms:>7.4f} <- policy")
+    print(f"policy window {list(pol)} is within "
+          f"{result['policy_gap_pct']}% of the best enumerated window")
+
+
+if __name__ == "__main__":
+    main()

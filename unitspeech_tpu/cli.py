@@ -1150,6 +1150,14 @@ def main_serve(argv=None):
     ap.add_argument("--switch-buckets", default=None,
                     help="comma-separated frame buckets (skips calibration; "
                          "e.g. 344,384,432)")
+    ap.add_argument("--bucket-policy", default="quantile",
+                    choices=("quantile", "cost"),
+                    help="frame-window derivation from the calibrated "
+                         "length distribution: 'quantile' (P5..max "
+                         "heuristic) or 'cost' (minimize expected "
+                         "per-request cost under the measured serving "
+                         "cost model — wins on long-tail traffic; "
+                         "tools/analyze_buckets.py evaluates both offline)")
     ap.add_argument("--warmup-token-lengths", default="64",
                     help="comma-separated token lengths whose buckets are "
                          "precompiled across the batch ladder")
@@ -1220,7 +1228,8 @@ def main_serve(argv=None):
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         warmup_token_lengths=warmup_lengths,
         default_sampler=args.sampler, strict_grid=args.strict_grid,
-        max_queue=args.max_queue or None, **kw,
+        max_queue=args.max_queue or None,
+        bucket_policy=args.bucket_policy, **kw,
     )
     serving_cfg = {
         "switch_buckets": list(batcher.synth.switch_buckets),

@@ -81,6 +81,11 @@ class DurationCalibrator:
             return None
         return float(np.quantile(self._totals, q))
 
+    def observed_totals(self) -> list:
+        """The raw observed request lengths (frames, pre-length_scale) —
+        consumed by the cost-model bucket-window policy (infer/bucket_cost)."""
+        return list(self._totals)
+
     # -- estimation ----------------------------------------------------------
 
     @property

@@ -651,23 +651,51 @@ class Synthesizer:
         _ = length_scale  # durations are observed pre-scale by convention
 
     def make_switch_buckets(self, length_scale: float = 1.0, lo_q: float = 0.05,
-                            hi_q: float = 1.0, max_branches: int = 3):
+                            hi_q: float = 1.0, max_branches: int = 3,
+                            policy: str = "quantile",
+                            per_frame_ms: float | None = None):
         """Pick the bucket-switch window from the calibrator's observed
-        length distribution: every ladder bucket between ~P(lo_q) and
-        ~P(hi_q) of request lengths plus one ladder step of headroom. If
-        that needs more than `max_branches` branches, keep the LARGEST:
-        requests shorter than the first kept bucket pad up to it (bounded —
-        one ladder step ~12.5% for the minority below P(lo_q)), while an
-        overflow past the top costs a full wasted sampler run plus a
-        fallback dispatch (~2x). Returns an ascending tuple for
-        `switch_buckets`."""
+        length distribution.
+
+        policy="quantile" (default): every ladder bucket between ~P(lo_q)
+        and ~P(hi_q) of request lengths plus one ladder step of headroom,
+        keeping the LARGEST max_branches. Cheap, and near-optimal on tight
+        distributions (the bench's fixed-utterance traffic), but on
+        long-tail traffic the kept-largest rule can pay ~1.8x the optimum
+        (tools/analyze_buckets.py measurement) because most requests pad up
+        to buckets sized for the tail.
+
+        policy="cost": enumerate every contiguous ladder window of up to
+        max_branches buckets and keep the one minimizing expected
+        per-request cost under the measured serving cost model
+        (infer/bucket_cost.py: per-request FIXED floor, per-padded-frame
+        device time, overflow = wasted top-bucket run + exact-path
+        fallback). `per_frame_ms` defaults to the DDPM@50 preset; pass the
+        matching bucket_cost.PRESETS value for fast sampler modes.
+
+        Returns an ascending tuple for `switch_buckets`."""
         if self.calibrator is None:
             raise ValueError("Synthesizer has no calibrator attached.")
+        num_down = self.models.cfg.decoder.num_downsamplings
+        if policy == "cost":
+            from .bucket_cost import PRESETS, optimal_window
+            totals = self.calibrator.observed_totals()
+            if not totals:
+                raise ValueError("calibrator has no observed lengths yet")
+            lengths = np.asarray(totals, np.float64) * length_scale
+            window, _row = optimal_window(
+                lengths, self.frame_buckets,
+                per_frame_ms=(per_frame_ms if per_frame_ms is not None
+                              else PRESETS["ddpm50"]),
+                max_branches=max_branches, num_down=num_down,
+            )
+            return window
+        if policy != "quantile":
+            raise ValueError(f"unknown bucket policy {policy!r}")
         lo = self.calibrator.total_quantile(lo_q)
         hi = self.calibrator.total_quantile(hi_q)
         if lo is None:
             raise ValueError("calibrator has no observed lengths yet")
-        num_down = self.models.cfg.decoder.num_downsamplings
         lo_b = choose_bucket(
             fix_len_compatibility(int(lo * length_scale), num_down),
             self.frame_buckets,

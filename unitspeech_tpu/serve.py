@@ -153,6 +153,10 @@ class BatcherStats:
     real_rows: int = 0
     padded_rows: int = 0
     total_dispatch_s: float = 0.0
+    # per-request resolved frame lengths (bounded ring): the observed
+    # traffic distribution that tools/analyze_buckets.py consumes to
+    # re-evaluate the frame-bucket window against real load
+    recent_frames: deque = field(default_factory=lambda: deque(maxlen=4096))
 
     def snapshot(self) -> Dict[str, Any]:
         mean_lat = self.total_latency_s / self.requests if self.requests else 0.0
@@ -173,6 +177,7 @@ class BatcherStats:
             "mean_dispatch_s": round(
                 self.total_dispatch_s / self.batches, 4
             ) if self.batches else 0.0,
+            "recent_frames": list(self.recent_frames),
         }
 
 
@@ -488,6 +493,7 @@ class DynamicBatcher:
             out = wav[i, :n_samples].astype(np.float32)
             self.stats.total_latency_s += now - req.enqueued_at
             self.stats.total_speech_s += n_samples / sr
+            self.stats.recent_frames.append(int(y_len[i]))
             if synth.calibrator is not None:
                 synth.calibrator.observe_total(
                     req.token_ids, float(y_len[i]) / self.length_scale
@@ -536,13 +542,21 @@ def build_batcher(
     max_batch: int = 8,
     max_wait_ms: float = 20.0,
     warmup_token_lengths: Sequence[int] = (64,),
+    bucket_policy: str = "quantile",
     **batcher_kwargs,
 ) -> DynamicBatcher:
     """Startup flow: calibrate the duration surrogate on a token corpus,
     derive the bucket-switch window from the observed length distribution,
     then warm the serving grid. `synth.calibrator` must be set when
     `calibration_texts` is given; otherwise `synth.switch_buckets` must
-    already be configured."""
+    already be configured.
+
+    `bucket_policy` selects how the frame window is derived from the
+    calibrated lengths: "quantile" (the P5..max heuristic — near-optimal
+    on tight distributions) or "cost" (minimize expected per-request cost
+    under the measured serving cost model, infer/bucket_cost.py — wins on
+    long-tail traffic). The cost model's per-frame price is looked up for
+    the batcher's default (sampler, steps)."""
     import dataclasses as dc
 
     if calibration_texts is not None:
@@ -557,10 +571,20 @@ def build_batcher(
                 ),
             )
         synth.calibrate(calibration_texts)
-        lscale = batcher_kwargs.get(
-            "length_scale", synth.models.cfg.inference.length_scale
-        )
-        window = synth.make_switch_buckets(length_scale=float(lscale))
+        icfg = synth.models.cfg.inference
+        lscale = batcher_kwargs.get("length_scale", icfg.length_scale)
+        mk_kw = {}
+        if bucket_policy == "cost":
+            from unitspeech_tpu.infer.bucket_cost import preset_per_frame_ms
+
+            mk_kw["per_frame_ms"] = preset_per_frame_ms(
+                _normalize_sampler_spec(
+                    str(batcher_kwargs.get("default_sampler", "ddpm"))),
+                int(batcher_kwargs.get("default_steps",
+                                       icfg.diffusion_steps)),
+            )
+        window = synth.make_switch_buckets(
+            length_scale=float(lscale), policy=bucket_policy, **mk_kw)
         synth = dc.replace(synth, switch_buckets=window)
     batcher = DynamicBatcher(synth, max_batch=max_batch,
                              max_wait_ms=max_wait_ms, **batcher_kwargs)
