@@ -83,17 +83,26 @@ def test_window_cost_in_window_and_overflow():
     assert row2["padding_waste_pct"] > 0
 
 
-def test_enumerate_windows_contiguous_and_bounded():
+def test_enumerate_windows_pruned_and_bounded():
     ladder = default_frame_buckets(2048)
-    lengths = np.full(10, 340.0)
+    lengths = np.concatenate([np.full(10, 340.0), [500.0]])
     wins = enumerate_windows(lengths, ladder, max_branches=3)
     med = fix_len_compatibility(340, 3)
+    lo_b = fix_len_compatibility(340, 3)
+    hi_b = choose_bucket(fix_len_compatibility(500, 3), ladder)
+    headroom = [b for b in ladder if b > hi_b][0]
     for w in wins:
         assert 1 <= len(w) <= 3
         assert w[-1] >= med  # top must cover the median
-        # contiguous ladder span
-        i = ladder.index(w[0])
-        assert tuple(ladder[i : i + len(w)]) == w
+        assert tuple(sorted(w)) == w and len(set(w)) == len(w)
+        # span pruning: no dead branches below the smallest request, at
+        # most one ladder step of headroom past the largest
+        assert w[0] >= lo_b and w[-1] <= headroom
+    # non-contiguous subsets are candidates (skip a middle ladder bucket)
+    assert any(
+        len(w) == 2 and ladder.index(w[1]) - ladder.index(w[0]) > 1
+        for w in wins
+    )
 
 
 def test_optimal_window_tight_traffic_is_single_bucket():
@@ -126,6 +135,11 @@ def test_cost_policy_beats_quantile_on_long_tail():
     win, best_row = optimal_window(lengths, ladder, pf, max_branches=3)
     # optimal is a genuine improvement, not a tie
     assert best_row["mean_proc_ms"] < 0.9 * pol_row["mean_proc_ms"]
+    # bimodal traffic: the optimum serves BOTH modes — small branches for
+    # the short majority plus a tail branch, which no contiguous ladder
+    # span can do; check the window actually skips ladder rungs
+    assert win[0] <= choose_bucket(250, ladder)
+    assert win[-1] >= 1200
     # and by construction no enumerated window beats it
     for w in enumerate_windows(lengths, ladder, 3):
         assert (

@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""On-chip A/B of the bucket-window policies on long-tail traffic.
+
+tools/analyze_buckets.py predicts (from the measured per-request cost
+model, infer/bucket_cost.py) that on long-tail traffic the quantile
+window — which keeps the LARGEST ladder buckets, so the short majority
+pads up to tail-sized branches — costs multiples of the cost-optimal
+window. This tool MEASURES that on the real chip, at full reference size,
+through the production bucket-switch serving path (infer/tts.py
+`_switch_dispatch` + overflow fallback):
+
+  1. build the full-size serving-default synthesizer (int8 deep convs),
+  2. synthesize 90/10 long-tail traffic the way it arises in production —
+     short requests are short token sequences, tail requests are ~8x
+     longer ones — with REAL predicted durations (length_scale is a
+     static argname of the switch executable, so per-request scale
+     hacking would bill a compile per request; token length is the
+     honest variable),
+  3. derive window A (quantile policy) and window B (cost policy) from
+     the calibrated length distribution of that traffic,
+  4. serve the SAME requests through both windows (warm pass first so no
+     timed request is billed an XLA compile), and
+  5. report measured mean proc ms / RTF per window next to the cost
+     model's PREDICTION for both — one run validates the policy ranking
+     AND the model's constants.
+
+Writes BUCKET_AB.json. Run on the real TPU (background it: several
+full-size compiles, tens of minutes):  python tools/bucket_policy_ab.py
+CPU smoke:                             python tools/bucket_policy_ab.py --smoke
+
+The reference has no analogue: it pads per-sample and re-traces per
+utterance (/root/reference/inference.py), so window policy is a
+TPU-native serving concern.
+"""
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import json
+import time
+
+import numpy as np
+
+SMOKE = False
+# traffic shape: 90% short conversational turns, 10% long-form
+N_SHORT, N_LONG = 27, 3
+SHORT_FRAMES, LONG_FRAMES = 175, 1300  # targets; actuals come from the model
+SAMPLER, STEPS = "dpm2:cs2", 16
+PRESET = "dpm2_16_cs2"
+MAX_BRANCHES = 2
+PROBE_TOK = 48  # token count used to estimate frames-per-token
+
+import jax
+
+
+def measure(synth, reqs, label):
+    """Serve token-id requests through the current switch window: warm pass
+    (compiles + per-shape first runs), then the timed pass."""
+    kw = dict(diffusion_steps=STEPS, sampler=SAMPLER,
+              text_gradient_scale=1.0, spk_gradient_scale=1.0)
+    for i, toks in enumerate(reqs):
+        np.asarray(synth(toks, jax.random.PRNGKey(500 + i), **kw)[0])
+    procs, speech = [], []
+    for i, toks in enumerate(reqs):
+        t0 = time.perf_counter()
+        wav, sr = synth(toks, jax.random.PRNGKey(i), **kw)
+        wav = np.asarray(wav)
+        procs.append(time.perf_counter() - t0)
+        speech.append(wav.shape[0] / sr)
+    mean_ms = float(np.mean(procs) * 1000.0)
+    rtf = float(np.sum(procs) / np.sum(speech))
+    print(f"# {label}: mean={mean_ms:.1f}ms p95="
+          f"{np.percentile(procs, 95) * 1000:.1f}ms rtf={rtf:.4f}",
+          file=sys.stderr, flush=True)
+    return mean_ms, rtf
+
+
+def main():
+    global SMOKE, N_SHORT, N_LONG, SHORT_FRAMES, LONG_FRAMES
+    global SAMPLER, STEPS, PRESET, PROBE_TOK
+    if "--smoke" in sys.argv:
+        SMOKE = True
+        N_SHORT, N_LONG = 6, 2
+        SHORT_FRAMES, LONG_FRAMES = 44, 140
+        SAMPLER, STEPS, PRESET, PROBE_TOK = "ddpm", 2, "ddpm50", 12
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses as dc
+
+    import tools.int8_gate as int8_gate
+    from unitspeech_tpu.infer.bucket_cost import (
+        PRESETS, optimal_window, window_cost)
+    from unitspeech_tpu.infer.calibration import DurationCalibrator
+
+    int8_gate.SMOKE = SMOKE
+    synth = int8_gate.build(0, "int8" if not SMOKE else "f32")
+    num_down = synth.models.cfg.decoder.num_downsamplings
+    ladder = synth.frame_buckets
+    per_frame = PRESETS[PRESET]
+    rng = np.random.default_rng(0)
+    n_vocab = synth.models.cfg.text_encoder.n_vocab
+
+    def mk(n_tok):
+        return list(rng.integers(1, n_vocab - 1, (int(n_tok),))
+                    .astype(np.int32))
+
+    # probe the model's frames-per-token rate (encode-only, cheap)
+    cal = DurationCalibrator(n_vocab=n_vocab, min_samples=2)
+    synth = dc.replace(synth, calibrator=cal)
+    probes = [mk(PROBE_TOK) for _ in range(4)]
+    synth.calibrate(probes)
+    mu = float(np.mean(cal._totals[: len(probes)])) / PROBE_TOK
+    print(f"# frames/token = {mu:.2f}", file=sys.stderr, flush=True)
+
+    # long-tail traffic: token counts sized for the frame targets, jittered
+    # +-12%, clamped inside ONE token bucket per class so the A/B pays two
+    # switch compiles per window, not one per request
+    tb = sorted(synth.token_buckets)
+
+    def clamp_to_bucket(n):
+        b = next(x for x in tb if x >= n)
+        lo = ([x for x in tb if x < b][-1] + 1) if b != tb[0] else 1
+        return int(np.clip(n, lo, b))
+
+    reqs = []
+    for _ in range(N_SHORT):
+        n = clamp_to_bucket(round(SHORT_FRAMES / mu * rng.uniform(0.88, 1.12)))
+        reqs.append(mk(n))
+    for _ in range(N_LONG):
+        n = clamp_to_bucket(round(LONG_FRAMES / mu * rng.uniform(0.88, 1.12)))
+        reqs.append(mk(n))
+
+    # calibrate ON the traffic itself: the observed totals are the length
+    # distribution both policies see (same encode-only pass serving uses)
+    cal2 = DurationCalibrator(n_vocab=n_vocab, min_samples=2)
+    synth = dc.replace(synth, calibrator=cal2)
+    synth.calibrate(reqs)
+    lengths = np.asarray(cal2._totals[-len(reqs):], np.float64)
+    print(f"# traffic: {len(lengths)} reqs, frames p50="
+          f"{np.median(lengths):.0f} max={lengths.max():.0f}",
+          file=sys.stderr, flush=True)
+
+    from tools.analyze_buckets import policy_window
+
+    win_q = policy_window(lengths, ladder, MAX_BRANCHES, num_down=num_down)
+    win_c, row_c = optimal_window(lengths, ladder, per_frame,
+                                  MAX_BRANCHES, num_down)
+    row_q = window_cost(lengths, win_q, per_frame, ladder, num_down)
+    print(f"# quantile window {list(win_q)} predicted "
+          f"{row_q['mean_proc_ms']} ms | cost window {list(win_c)} "
+          f"predicted {row_c['mean_proc_ms']} ms", file=sys.stderr,
+          flush=True)
+
+    out = {"n_requests": len(reqs), "sampler": SAMPLER, "steps": STEPS,
+           "preset": PRESET, "smoke": SMOKE,
+           "frames_p50": float(np.median(lengths)),
+           "frames_max": float(lengths.max()),
+           "device": jax.devices()[0].platform}
+    for name, win, row in (("cost", win_c, row_c),
+                           ("quantile", win_q, row_q)):
+        sw = dc.replace(synth, switch_buckets=tuple(win), calibrator=None)
+        mean_ms, rtf = measure(sw, reqs, f"{name}{list(win)}")
+        out[name] = {
+            "window": list(win),
+            "predicted_mean_ms": row["mean_proc_ms"],
+            "measured_mean_ms": round(mean_ms, 1),
+            "model_error_pct": round(
+                100.0 * (row["mean_proc_ms"] / mean_ms - 1.0), 1),
+            "overflow_pct": row["overflow_pct"],
+            "rtf": round(rtf, 4),
+        }
+    out["measured_speedup"] = round(
+        out["quantile"]["measured_mean_ms"] / out["cost"]["measured_mean_ms"],
+        2)
+    out["predicted_speedup"] = round(
+        out["quantile"]["predicted_mean_ms"]
+        / out["cost"]["predicted_mean_ms"], 2)
+    path = "BUCKET_AB.json" if not SMOKE else "/tmp/BUCKET_AB_smoke.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

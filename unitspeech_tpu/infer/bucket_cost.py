@@ -31,8 +31,6 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from ..ops.masking import choose_bucket, fix_len_compatibility
-
 # Per-request cost constants, measured on one v5e via the axon tunnel
 # (bench.py --steps 1 decomposition, ROADMAP.md r4 ledger).
 FIXED_MS = 61.0  # per-request floor: H2D + D2H + dispatch + 1-step tail
@@ -73,6 +71,14 @@ def preset_per_frame_ms(sampler: str = "ddpm", steps: int = 50) -> float:
     return a_cost / a_steps * steps
 
 
+def _needs(lengths: np.ndarray, num_down: int) -> np.ndarray:
+    """Vectorized fix_len_compatibility: frame needs rounded up to the
+    U-Net's 2**num_down granularity."""
+    m = 2 ** num_down
+    return (np.ceil(np.ceil(np.asarray(lengths, np.float64)) / m) * m
+            ).astype(np.int64)
+
+
 def window_cost(
     lengths: np.ndarray,
     window: Sequence[int],
@@ -81,34 +87,36 @@ def window_cost(
     num_down: int = 3,
 ) -> Dict[str, object]:
     """Expected per-request proc cost (ms) of serving `lengths` (mel frames,
-    pre-rounding) on a bucket `window`, plus padding/overflow stats."""
+    pre-rounding) on a bucket `window`, plus padding/overflow stats.
+    Vectorized (one searchsorted per array) so enumerating ~1e3 candidate
+    windows over a 4096-entry /stats ring stays sub-second."""
     lengths = np.asarray(lengths, np.float64)
-    window = tuple(sorted(int(b) for b in window))
-    top = window[-1]
-    padded = np.empty_like(lengths)
-    cost = np.empty_like(lengths)
-    n_over = 0
-    for i, length in enumerate(lengths):
-        need = fix_len_compatibility(int(np.ceil(length)), num_down)
-        if need <= top:
-            b = choose_bucket(need, window)
-            padded[i] = b
-            cost[i] = FIXED_MS + per_frame_ms * b
-        else:
-            # overflow: wasted padded sampler run at the top branch, then
-            # the exact-path fallback at the global-ladder bucket
-            n_over += 1
-            b = choose_bucket(need, ladder)
-            padded[i] = top + b
-            cost[i] = (FIXED_MS + per_frame_ms * top) + (
-                FIXED_MS + SYNC_MS + per_frame_ms * b
-            )
-    # `padded` counts the overflow's wasted top-bucket run as waste
+    win = np.asarray(sorted(int(b) for b in window), np.int64)
+    top = int(win[-1])
+    need = _needs(lengths, num_down)
+    over = need > top
+    # in-window: smallest branch >= need (choose_bucket semantics)
+    in_b = win[np.minimum(np.searchsorted(win, need), len(win) - 1)]
+    in_cost = FIXED_MS + per_frame_ms * in_b
+    # overflow: wasted padded sampler run at the top branch, then the
+    # exact-path fallback at the global-ladder bucket (beyond the ladder,
+    # choose_bucket falls back to the rounded length itself)
+    lad = np.asarray(ladder, np.int64)
+    fb = np.where(
+        need > lad[-1], need,
+        lad[np.minimum(np.searchsorted(lad, need), len(lad) - 1)],
+    )
+    ov_cost = (FIXED_MS + per_frame_ms * top) + (
+        FIXED_MS + SYNC_MS + per_frame_ms * fb
+    )
+    cost = np.where(over, ov_cost, in_cost)
+    # overflow's wasted top-bucket run counts as padding waste
+    padded = np.where(over, top + fb, in_b).astype(np.float64)
     waste = float(padded.sum() / lengths.sum() - 1.0)
     return {
-        "window": list(window),
-        "branches": len(window),
-        "overflow_pct": round(100.0 * n_over / len(lengths), 2),
+        "window": [int(b) for b in win],
+        "branches": len(win),
+        "overflow_pct": round(100.0 * float(over.mean()), 2),
         "padding_waste_pct": round(100.0 * waste, 2),
         "mean_proc_ms": round(float(cost.mean()), 2),
         "p95_proc_ms": round(float(np.percentile(cost, 95)), 2),
@@ -121,19 +129,28 @@ def enumerate_windows(
     max_branches: int,
     num_down: int = 3,
 ) -> List[Tuple[int, ...]]:
-    """Every contiguous ladder span of 1..max_branches buckets whose top
-    covers at least the traffic median (narrower tops drown in overflow)."""
-    ladder = tuple(ladder)
-    med = fix_len_compatibility(int(np.median(lengths)), num_down)
+    """Candidate windows: every ascending subset of 1..max_branches ladder
+    buckets within the traffic's span whose top covers at least the traffic
+    median (narrower tops drown in overflow). Windows need NOT be
+    contiguous ladder spans — a lax.switch executable accepts any ascending
+    bucket tuple, and on bimodal traffic {short-bucket, tail-bucket} beats
+    every contiguous span. The span pruning (no branch below the smallest
+    request's bucket — it would never be chosen — and at most one ladder
+    step of headroom past the largest) keeps the subset count ~1e3 for a
+    typical 20-bucket traffic span at max_branches=3."""
+    from itertools import combinations
+
+    need = _needs(lengths, num_down)
+    med = int(_needs([float(np.median(lengths))], num_down)[0])
+    lo, hi = int(need.min()), int(need.max())
+    cands = [int(b) for b in ladder if b >= lo]
+    n_cover = sum(1 for b in cands if b < hi) + 1  # first bucket >= hi ...
+    cands = cands[: n_cover + 1]  # ... plus one ladder step of headroom
     out: List[Tuple[int, ...]] = []
-    for hi_i in range(len(ladder)):
-        if ladder[hi_i] < med:
-            continue
-        for n in range(1, max_branches + 1):
-            lo_i = hi_i - n + 1
-            if lo_i < 0:
-                continue
-            out.append(ladder[lo_i : hi_i + 1])
+    for n in range(1, max_branches + 1):
+        for c in combinations(cands, n):
+            if c[-1] >= med:
+                out.append(c)
     return out
 
 def optimal_window(
@@ -143,10 +160,10 @@ def optimal_window(
     max_branches: int = 3,
     num_down: int = 3,
 ) -> Tuple[Tuple[int, ...], Dict[str, object]]:
-    """The contiguous ladder window (<= max_branches branches) minimizing
-    expected per-request cost on the observed `lengths`. Returns
-    (window, cost_row). O(len(ladder) * max_branches) window candidates,
-    each scored in one vectorized-ish pass — fine for serving startup."""
+    """The ascending bucket subset (<= max_branches branches, see
+    enumerate_windows) minimizing expected per-request cost on the
+    observed `lengths`. Returns (window, cost_row). ~1e3 candidates x one
+    vectorized cost pass each — sub-second at serving startup."""
     lengths = np.asarray(lengths, np.float64)
     if lengths.size == 0:
         raise ValueError("optimal_window needs at least one observed length")

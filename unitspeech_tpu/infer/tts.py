@@ -665,9 +665,11 @@ class Synthesizer:
         (tools/analyze_buckets.py measurement) because most requests pad up
         to buckets sized for the tail.
 
-        policy="cost": enumerate every contiguous ladder window of up to
-        max_branches buckets and keep the one minimizing expected
-        per-request cost under the measured serving cost model
+        policy="cost": enumerate ascending ladder-bucket subsets of up to
+        max_branches branches (not necessarily contiguous — on bimodal
+        traffic {short-bucket, tail-bucket} beats every contiguous span)
+        and keep the one minimizing expected per-request cost under the
+        measured serving cost model
         (infer/bucket_cost.py: per-request FIXED floor, per-padded-frame
         device time, overflow = wasted top-bucket run + exact-path
         fallback). `per_frame_ms` defaults to the DDPM@50 preset; pass the
