@@ -91,7 +91,9 @@ def main():
     from unitspeech_tpu.infer.bucket_cost import (
         PRESETS, optimal_window, window_cost)
     from unitspeech_tpu.infer.calibration import DurationCalibrator
+    from unitspeech_tpu.utils import compile_cache
 
+    compile_cache.enable()  # restarts reuse the big switch executables
     int8_gate.SMOKE = SMOKE
     synth = int8_gate.build(0, "int8" if not SMOKE else "f32")
     num_down = synth.models.cfg.decoder.num_downsamplings
@@ -118,6 +120,9 @@ def main():
     tb = sorted(synth.token_buckets)
 
     def clamp_to_bucket(n):
+        # token counts are capped by the largest token bucket (a ~1.16
+        # frames/token random-init model tops out around 1190 frames)
+        n = min(int(n), tb[-1])
         b = next(x for x in tb if x >= n)
         lo = ([x for x in tb if x < b][-1] + 1) if b != tb[0] else 1
         return int(np.clip(n, lo, b))
