@@ -112,6 +112,85 @@ def test_stats_recent_frames_ring(batcher):
     assert frames[-1] * 4 >= wav.shape[0]
 
 
+def test_refresh_window_from_served_traffic():
+    """refresh_window: the served length distribution (stats ring) drives a
+    cost-model re-derivation and an atomic hot swap; serving continues on
+    the new window; guards (min_samples, unchanged, min_gain) hold."""
+    rng = np.random.default_rng(5)
+    texts = [list(rng.integers(1, 39, (6,))) for _ in range(8)]
+    b = build_batcher(
+        _tiny_synth(), calibration_texts=texts, max_batch=2,
+        warmup_token_lengths=(8,), default_steps=2,
+        text_gradient_scale=0.0, spk_gradient_scale=0.0,
+    )
+    try:
+        # not enough traffic yet
+        d = b.refresh_window(min_samples=4)
+        assert d["refreshed"] is False and "served lengths" in d["reason"]
+
+        # serve a bimodal load: short requests + one much longer one
+        futs = [b.submit(list(rng.integers(1, 39, (4,)))) for _ in range(5)]
+        futs.append(b.submit(list(rng.integers(1, 39, (30,)))))
+        for f in futs:
+            f.result(timeout=120)
+        assert len(b.stats.recent_frames) == 6
+
+        old = tuple(b.synth.switch_buckets)
+        d = b.refresh_window(policy="cost", min_samples=4, max_branches=3)
+        assert d["n_lengths"] == 6
+        if d["refreshed"]:
+            assert tuple(b.synth.switch_buckets) == tuple(d["window"])
+            assert b.stats.window_refreshes == 1
+        else:  # already optimal for this load
+            assert d["reason"] == "window unchanged"
+            assert tuple(b.synth.switch_buckets) == old
+        # serving still works on whatever window is live
+        wav, sr = b.submit([3, 1, 4]).result(timeout=120)
+        assert sr == 22050 and wav.shape[0] > 0 and np.isfinite(wav).all()
+
+        # an impossible gain bar never swaps
+        d2 = b.refresh_window(policy="cost", min_samples=4, min_gain=10.0)
+        assert d2["refreshed"] is False
+
+        with pytest.raises(ValueError):
+            b.refresh_window(policy="nonsense", min_samples=1)
+    finally:
+        b.shutdown()
+
+
+def test_refresh_window_http_endpoint(batcher):
+    """POST /refresh_window rides the HTTP front-end and /stats reports the
+    live window."""
+    srv = make_http_server(batcher, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        # serve one request so the ring has data
+        wav, _ = batcher.submit([5, 2, 7]).result(timeout=60)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/refresh_window",
+            json.dumps({"policy": "cost", "min_samples": 1}).encode(),
+            {"Content-Type": "application/json"})
+        d = json.loads(urllib.request.urlopen(req, timeout=120).read())
+        assert "refreshed" in d and "window" in d
+        stats = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30).read())
+        assert stats["switch_buckets"] == [
+            int(x) for x in batcher.synth.switch_buckets
+        ]
+        # bad policy is a client error
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/refresh_window",
+            json.dumps({"policy": "bogus", "min_samples": 1}).encode(),
+            {"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()
+
+
 def test_build_batcher_cost_policy():
     """bucket_policy="cost" rides the startup flow: the window comes from
     the measured cost model (infer/bucket_cost.py) at the batcher's default

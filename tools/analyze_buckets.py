@@ -47,12 +47,11 @@ from unitspeech_tpu.infer.bucket_cost import (  # noqa: E402
     FIXED_MS,
     PRESETS,
     enumerate_windows,
+    quantile_window,
     window_cost,
 )
 from unitspeech_tpu.ops.masking import (  # noqa: E402
-    choose_bucket,
     default_frame_buckets,
-    fix_len_compatibility,
 )
 
 
@@ -77,22 +76,9 @@ def load_lengths(args) -> np.ndarray:
     return vals
 
 
-def policy_window(lengths, ladder, max_branches=3, lo_q=0.05, num_down=3):
-    """The make_switch_buckets heuristic, replicated offline (infer/tts.py):
-    ladder span from ~P(lo_q) to the max plus one step of headroom, keeping
-    the largest max_branches branches."""
-    lo = float(np.quantile(lengths, lo_q))
-    hi = float(lengths.max())
-    lo_b = choose_bucket(fix_len_compatibility(int(lo), num_down), ladder)
-    hi_b = choose_bucket(fix_len_compatibility(int(np.ceil(hi)), num_down),
-                         ladder)
-    above = [b for b in ladder if b > hi_b]
-    if above:
-        hi_b = above[0]
-    window = [b for b in ladder if lo_b <= b <= hi_b]
-    if not window:
-        window = [hi_b]
-    return tuple(window[-max_branches:])
+# the make_switch_buckets(policy="quantile") heuristic, shared with the
+# live serving path (single source of truth in infer/bucket_cost.py)
+policy_window = quantile_window
 
 
 def main():
@@ -122,7 +108,7 @@ def main():
     rows = [window_cost(lengths, w, per_frame, ladder)
             for w in enumerate_windows(lengths, ladder, args.max_branches)]
     rows.sort(key=lambda r: r["mean_proc_ms"])
-    pol = policy_window(lengths, ladder, args.max_branches)
+    pol = policy_window(lengths, ladder, max_branches=args.max_branches)
     pol_row = window_cost(lengths, pol, per_frame, ladder)
 
     speech_ms = float(lengths.mean()) * args.hop / args.sr * 1000.0

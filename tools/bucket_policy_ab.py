@@ -147,7 +147,8 @@ def main():
 
     from tools.analyze_buckets import policy_window
 
-    win_q = policy_window(lengths, ladder, MAX_BRANCHES, num_down=num_down)
+    win_q = policy_window(lengths, ladder, max_branches=MAX_BRANCHES,
+                          num_down=num_down)
     win_c, row_c = optimal_window(lengths, ladder, per_frame,
                                   MAX_BRANCHES, num_down)
     row_q = window_cost(lengths, win_q, per_frame, ladder, num_down)

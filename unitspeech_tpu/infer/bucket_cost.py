@@ -79,6 +79,51 @@ def _needs(lengths: np.ndarray, num_down: int) -> np.ndarray:
             ).astype(np.int64)
 
 
+def _bucket(length: int, ladder: Sequence[int]) -> int:
+    """Smallest ladder bucket >= length (ops.masking.choose_bucket
+    semantics, re-stated here so this module stays numpy-only); beyond the
+    ladder, the 2**3-rounded length itself."""
+    for b in ladder:
+        if b >= length:
+            return int(b)
+    return int(-(-length // 8) * 8)
+
+
+def quantile_window(
+    lengths: Sequence[float],
+    ladder: Sequence[int],
+    lo_q: float = 0.05,
+    hi_q: float = 1.0,
+    max_branches: int = 3,
+    num_down: int = 3,
+) -> Tuple[int, ...]:
+    """The quantile bucket-window heuristic (the serving default,
+    Synthesizer.make_switch_buckets policy="quantile", which delegates
+    here): every ladder bucket between ~P(lo_q) and ~P(hi_q) of the
+    observed lengths plus one ladder step of headroom, keeping the LARGEST
+    max_branches. Cheap and near-optimal on tight distributions; on
+    long-tail traffic prefer `optimal_window` (measured 2.31x faster on
+    chip, BUCKET_AB.json). `lengths` are post-length_scale mel frames."""
+    lengths = np.asarray(lengths, np.float64)
+    if lengths.size == 0:
+        raise ValueError("quantile_window needs at least one length")
+    m = 2 ** num_down
+    lo = float(np.quantile(lengths, lo_q))
+    hi = float(np.quantile(lengths, hi_q))
+    lo_b = _bucket(int(-(-int(lo) // m) * m), ladder)
+    hi_b = _bucket(int(-(-int(np.ceil(hi)) // m) * m), ladder)
+    # one ladder step of headroom above the observed hi_q: an overflow
+    # costs ~2x (wasted sampler + fallback dispatch) while the extra
+    # branch only costs compile time, so err on covering the tail
+    above = [b for b in ladder if b > hi_b]
+    if above:
+        hi_b = above[0]
+    window = [b for b in ladder if lo_b <= b <= hi_b]
+    if not window:
+        window = [hi_b]
+    return tuple(window[-max_branches:])
+
+
 def window_cost(
     lengths: np.ndarray,
     window: Sequence[int],

@@ -694,28 +694,16 @@ class Synthesizer:
             return window
         if policy != "quantile":
             raise ValueError(f"unknown bucket policy {policy!r}")
-        lo = self.calibrator.total_quantile(lo_q)
-        hi = self.calibrator.total_quantile(hi_q)
-        if lo is None:
+        from .bucket_cost import quantile_window
+
+        totals = self.calibrator.observed_totals()
+        if not totals:
             raise ValueError("calibrator has no observed lengths yet")
-        lo_b = choose_bucket(
-            fix_len_compatibility(int(lo * length_scale), num_down),
-            self.frame_buckets,
+        return quantile_window(
+            np.asarray(totals, np.float64) * length_scale,
+            self.frame_buckets, lo_q=lo_q, hi_q=hi_q,
+            max_branches=max_branches, num_down=num_down,
         )
-        hi_b = choose_bucket(
-            fix_len_compatibility(int(np.ceil(hi * length_scale)), num_down),
-            self.frame_buckets,
-        )
-        # one ladder step of headroom above the observed hi_q: an overflow
-        # costs ~2x (wasted sampler + fallback dispatch) while the extra
-        # branch only costs compile time, so err on covering the tail
-        above = [b for b in self.frame_buckets if b > hi_b]
-        if above:
-            hi_b = above[0]
-        window = [b for b in self.frame_buckets if lo_b <= b <= hi_b]
-        if not window:
-            window = [hi_b]
-        return tuple(window[-max_branches:])
 
     def _switch_dispatch(self, tokens, lengths, key, steps, lscale, tg, sg,
                          sampler="ddpm", spk=None):

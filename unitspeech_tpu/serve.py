@@ -153,6 +153,7 @@ class BatcherStats:
     real_rows: int = 0
     padded_rows: int = 0
     total_dispatch_s: float = 0.0
+    window_refreshes: int = 0
     # per-request resolved frame lengths (bounded ring): the observed
     # traffic distribution that tools/analyze_buckets.py consumes to
     # re-evaluate the frame-bucket window against real load
@@ -177,6 +178,7 @@ class BatcherStats:
             "mean_dispatch_s": round(
                 self.total_dispatch_s / self.batches, 4
             ) if self.batches else 0.0,
+            "window_refreshes": self.window_refreshes,
             "recent_frames": list(self.recent_frames),
         }
 
@@ -220,6 +222,9 @@ class DynamicBatcher:
         self.strict_grid = bool(strict_grid)
         self._warmed_groups: set = set()
         self._warmed_max_tokens = 0
+        self._warmed_token_buckets: set = set()
+        # serializes refresh_window callers (one compile pass at a time)
+        self._refresh_lock = threading.Lock()
         self.length_scale = float(length_scale if length_scale is not None
                                   else icfg.length_scale)
         self.tg = float(text_gradient_scale if text_gradient_scale is not None
@@ -532,8 +537,121 @@ class DynamicBatcher:
                     r.future.result(timeout=0)
         self._warmed_groups.add((self.default_steps, self.default_sampler))
         self._warmed_max_tokens = max(self._warmed_max_tokens, max(buckets))
+        self._warmed_token_buckets.update(buckets)
         # warmup traffic must not read as served load in /stats
         self.stats = BatcherStats()
+
+    # -- live window refresh ----------------------------------------------
+
+    def _warm_synth(self, synth):
+        """Compile the (batch ladder x warmed token buckets) grid of a NEW
+        switch window on `synth` without touching the serving path: direct
+        _switch_dispatch calls at the default (steps, sampler). Voice-bank
+        batches share these executables (per-row spk has the same shape as
+        the broadcast default)."""
+        import jax
+
+        buckets = sorted(self._warmed_token_buckets) or [
+            int(self.synth.token_buckets[0])
+        ]
+        for bsz in self.batch_ladder:
+            for tb in buckets:
+                tokens = np.ones((bsz, tb), np.int32)
+                lengths = np.full((bsz,), min(tb, 8), np.int32)
+                out = synth._switch_dispatch(
+                    tokens, lengths, jax.random.PRNGKey(0),
+                    self.default_steps, self.length_scale, self.tg, self.sg,
+                    sampler=self.default_sampler,
+                )
+                np.asarray(out[0])
+
+    def refresh_window(self, policy: str = "cost", min_gain: float = 0.0,
+                       per_frame_ms: Optional[float] = None,
+                       max_branches: Optional[int] = None,
+                       min_samples: int = 32, warm: bool = True
+                       ) -> Dict[str, Any]:
+        """Re-derive the switch window from the SERVED length distribution
+        (the stats recent_frames ring) and hot-swap it — the traffic-drift
+        answer: the startup window reflects the calibration corpus, this
+        reflects live load. An operator (or a cron hitting POST
+        /refresh_window) gets self-tuning serving.
+
+        Runs on the CALLER's thread: the new window's executables compile
+        here (minutes on remote-compile toolchains) while the dispatcher
+        keeps serving on the OLD window; the swap is one attribute
+        assignment picked up at the next batch. In-flight latency degrades
+        while warm-up dispatches share the chip. Concurrent refreshes are
+        rejected, not queued.
+
+        policy/min_gain: the new window comes from the cost model
+        (infer/bucket_cost.py; "cost" = optimal_window, "quantile" = the
+        startup heuristic) and is only adopted when its predicted mean
+        per-request cost beats the CURRENT window's by at least `min_gain`
+        (fraction, e.g. 0.1 = 10%) — compiles aren't free, so require a
+        real predicted win. Returns a decision dict (refreshed: bool,
+        windows, predicted gain)."""
+        import dataclasses as dc
+
+        from unitspeech_tpu.infer.bucket_cost import (
+            optimal_window,
+            preset_per_frame_ms,
+            quantile_window,
+            window_cost,
+        )
+
+        if not self._refresh_lock.acquire(blocking=False):
+            return {"refreshed": False,
+                    "reason": "refresh already in progress"}
+        try:
+            cur = tuple(int(b) for b in self.synth.switch_buckets)
+            frames = list(self.stats.recent_frames)
+            if len(frames) < min_samples:
+                return {"refreshed": False, "window": list(cur),
+                        "reason": f"only {len(frames)} served lengths "
+                                  f"observed (need {min_samples})"}
+            num_down = self.synth.models.cfg.decoder.num_downsamplings
+            ladder = self.synth.frame_buckets
+            if per_frame_ms is None:
+                per_frame_ms = preset_per_frame_ms(
+                    self.default_sampler, self.default_steps
+                )
+            nb = int(max_branches) if max_branches is not None else len(cur)
+            lengths = np.asarray(frames, np.float64)
+            if policy == "cost":
+                new, row = optimal_window(lengths, ladder, per_frame_ms,
+                                          nb, num_down)
+            elif policy == "quantile":
+                new = quantile_window(lengths, ladder, max_branches=nb,
+                                      num_down=num_down)
+                row = window_cost(lengths, new, per_frame_ms, ladder,
+                                  num_down)
+            else:
+                raise ValueError(f"unknown bucket policy {policy!r}")
+            cur_row = window_cost(lengths, cur, per_frame_ms, ladder,
+                                  num_down)
+            gain = 1.0 - row["mean_proc_ms"] / cur_row["mean_proc_ms"]
+            decision = {
+                "window": list(new), "current": list(cur),
+                "policy": policy, "n_lengths": len(frames),
+                "predicted_mean_ms": row["mean_proc_ms"],
+                "current_mean_ms": cur_row["mean_proc_ms"],
+                "predicted_gain_pct": round(100.0 * gain, 1),
+            }
+            if tuple(new) == cur:
+                return {**decision, "refreshed": False,
+                        "reason": "window unchanged"}
+            if gain < min_gain:
+                return {**decision, "refreshed": False,
+                        "reason": f"predicted gain {100 * gain:.1f}% below "
+                                  f"min_gain {100 * min_gain:.1f}%"}
+            new_synth = dc.replace(self.synth, switch_buckets=tuple(new))
+            if warm:
+                self._warm_synth(new_synth)
+            self.synth = new_synth
+            self.stats.window_refreshes += 1
+            return {**decision, "refreshed": True}
+        finally:
+            self._refresh_lock.release()
 
 
 def build_batcher(
@@ -624,8 +742,14 @@ def make_http_server(
                         text inputs; format is ignored (always wav))
                         -> audio/wav bytes, or JSON {sr, n_samples,
                         wav_base64} when format=json
+      POST /refresh_window  admin: re-derive the frame-bucket window from
+                        the served length distribution and hot-swap it
+                        (DynamicBatcher.refresh_window; optional JSON
+                        {"policy": "cost"|"quantile", "min_gain": 0.1,
+                        "max_branches": N, "min_samples": N}) -> decision
       GET  /healthz     -> {"status": "ok"}
-      GET  /stats       -> batcher statistics snapshot
+      GET  /stats       -> batcher statistics snapshot (+ the live
+                        switch_buckets window)
 
     Concurrency: HTTP threads block on their request's Future; the batcher's
     single dispatcher thread is the only device user."""
@@ -693,11 +817,45 @@ def make_http_server(
             if self.path == "/healthz":
                 self._json(200, {"status": "ok"})
             elif self.path == "/stats":
-                self._json(200, batcher.stats.snapshot())
+                snap = batcher.stats.snapshot()
+                # the LIVE window (refresh_window may have swapped it since
+                # the startup config line was printed)
+                snap["switch_buckets"] = [
+                    int(b) for b in batcher.synth.switch_buckets
+                ]
+                self._json(200, snap)
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            if self.path == "/refresh_window":
+                # admin op: re-derive the frame window from served traffic
+                # and hot-swap it (DynamicBatcher.refresh_window). Runs on
+                # THIS handler thread — compiles happen here while the
+                # dispatcher keeps serving; the client waits.
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                    if not isinstance(req, dict):
+                        raise ValueError("body must be a JSON object")
+                    kw = {}
+                    if "policy" in req:
+                        kw["policy"] = str(req["policy"])
+                    if "min_gain" in req:
+                        kw["min_gain"] = float(req["min_gain"])
+                    if "max_branches" in req:
+                        kw["max_branches"] = int(req["max_branches"])
+                    if "min_samples" in req:
+                        kw["min_samples"] = int(req["min_samples"])
+                    decision = batcher.refresh_window(**kw)
+                except (ValueError, TypeError) as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                except Exception as e:  # noqa: BLE001 — surface it
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                self._json(200, decision)
+                return
             if self.path != "/synthesize":
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
