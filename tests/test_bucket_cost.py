@@ -153,6 +153,23 @@ def test_optimal_window_rejects_empty():
         optimal_window(np.array([]), default_frame_buckets(512), 1.0)
 
 
+def test_optimal_window_headroom_insurance():
+    """headroom appends ladder steps above the optimal top without ever
+    hurting observed traffic: the cost row is <= the bare optimum's (extra
+    branches can only convert overflow into in-window padding)."""
+    ladder = default_frame_buckets(4096)
+    lengths = np.full(40, 340.0)
+    bare, bare_row = optimal_window(lengths, ladder, 1.0)
+    ins, ins_row = optimal_window(lengths, ladder, 1.0, headroom=1)
+    assert ins[: len(bare)] == bare and len(ins) == len(bare) + 1
+    assert ins[-1] == [b for b in ladder if b > bare[-1]][0]
+    assert ins_row["mean_proc_ms"] <= bare_row["mean_proc_ms"] + 1e-9
+    # at the ladder top there is nothing above: headroom is a no-op
+    top, _ = optimal_window(np.full(4, float(ladder[-1])), ladder, 1.0,
+                            headroom=1)
+    assert top[-1] == ladder[-1]
+
+
 def test_analyze_buckets_cli_json():
     """The offline tool end-to-end: lengths file in, one JSON line out,
     with the policy-vs-best comparison populated."""

@@ -64,6 +64,28 @@ def load_lengths(args) -> np.ndarray:
             raise SystemExit("stats snapshot has no recent_frames "
                              "(daemon too old or no traffic yet)")
         return np.asarray(frames, np.float64)
+    if args.filelist:
+        # reference-format filelist ("path|transcript|spk"): phonemize each
+        # transcript (espeak if present, else the built-in rule G2P) and
+        # model frames ~= tokens * frames-per-token — the same linear
+        # surrogate the serving calibrator fits, good enough for WINDOW
+        # ranking, which only needs the distribution's shape
+        from unitspeech_tpu import text as text_frontend
+
+        ph = text_frontend.get_phonemizer(args.language, fallback=True)
+        if ph is None:
+            raise SystemExit(f"no phonemizer/G2P for {args.language!r}")
+        toks = []
+        with open(args.filelist, encoding="utf-8") as f:
+            for ln in f:
+                parts = ln.rstrip("\n").split("|")
+                if len(parts) >= 2 and parts[1].strip():
+                    toks.append(
+                        len(text_frontend.text_to_sequence(parts[1], ph))
+                    )
+        if not toks:
+            raise SystemExit("filelist has no 'path|transcript' lines")
+        return np.asarray(toks, np.float64) * args.frames_per_token
     path = args.lengths or args.seconds
     with open(path) as f:
         text = f.read().strip()
@@ -87,6 +109,16 @@ def main():
     src.add_argument("--lengths", help="frame counts, one per line or JSON")
     src.add_argument("--stats", help="serve.py /stats snapshot (JSON file)")
     src.add_argument("--seconds", help="speech seconds, one per line")
+    src.add_argument("--filelist", help="reference-format filelist "
+                                        "(path|transcript|spk): transcripts "
+                                        "are phonemized and frames modeled "
+                                        "as tokens * --frames-per-token")
+    ap.add_argument("--language", default="en-us",
+                    help="phonemizer language for --filelist")
+    ap.add_argument("--frames-per-token", type=float, default=2.46,
+                    help="linear frames~tokens surrogate for --filelist "
+                         "(2.46 = the published model's 344 frames / 140 "
+                         "tokens operating point, BASELINE.md protocol)")
     ap.add_argument("--preset", default="ddpm50", choices=sorted(PRESETS),
                     help="sampler cost preset (sets --per-frame-ms)")
     ap.add_argument("--per-frame-ms", type=float, default=None,

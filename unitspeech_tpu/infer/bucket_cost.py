@@ -204,11 +204,20 @@ def optimal_window(
     per_frame_ms: float,
     max_branches: int = 3,
     num_down: int = 3,
+    headroom: int = 0,
 ) -> Tuple[Tuple[int, ...], Dict[str, object]]:
     """The ascending bucket subset (<= max_branches branches, see
     enumerate_windows) minimizing expected per-request cost on the
     observed `lengths`. Returns (window, cost_row). ~1e3 candidates x one
-    vectorized cost pass each — sub-second at serving startup."""
+    vectorized cost pass each — sub-second at serving startup.
+
+    headroom: EXTRA ladder steps appended above the optimal top (the
+    serving policies pass 1). The optimum is fit to observed traffic only;
+    an unseen length one frame past the top pays the ~2x overflow penalty,
+    while an insurance branch costs compile time and never increases any
+    observed request's cost (it can only convert observed overflow into
+    in-window padding). Branch count may thus reach max_branches +
+    headroom."""
     lengths = np.asarray(lengths, np.float64)
     if lengths.size == 0:
         raise ValueError("optimal_window needs at least one observed length")
@@ -219,4 +228,10 @@ def optimal_window(
         if best_row is None or row["mean_proc_ms"] < best_row["mean_proc_ms"]:
             best_w, best_row = w, row
     assert best_w is not None and best_row is not None
+    if headroom > 0:
+        above = [int(b) for b in ladder if b > best_w[-1]][:headroom]
+        if above:
+            best_w = best_w + tuple(above)
+            best_row = window_cost(lengths, best_w, per_frame_ms, ladder,
+                                   num_down)
     return best_w, best_row

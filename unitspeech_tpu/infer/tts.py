@@ -690,6 +690,7 @@ class Synthesizer:
                 per_frame_ms=(per_frame_ms if per_frame_ms is not None
                               else PRESETS["ddpm50"]),
                 max_branches=max_branches, num_down=num_down,
+                headroom=1,  # one insurance branch above the observed max
             )
             return window
         if policy != "quantile":

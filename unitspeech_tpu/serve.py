@@ -619,7 +619,7 @@ class DynamicBatcher:
             lengths = np.asarray(frames, np.float64)
             if policy == "cost":
                 new, row = optimal_window(lengths, ladder, per_frame_ms,
-                                          nb, num_down)
+                                          nb, num_down, headroom=1)
             elif policy == "quantile":
                 new = quantile_window(lengths, ladder, max_branches=nb,
                                       num_down=num_down)
