@@ -292,8 +292,13 @@ def test_calibrate_and_switch_window_flow(tiny_synth):
     synth.calibrate(corpus)
     assert cal.ready and cal.total_quantile(0.5) is not None
 
+    # the default policy is "cost" (r4s5 flip): up to max_branches + the
+    # one insurance branch above the observed max
     window = synth.make_switch_buckets(max_branches=3)
-    assert 1 <= len(window) <= 3 and tuple(sorted(window)) == window
+    assert 1 <= len(window) <= 4 and tuple(sorted(window)) == window
+    # the pre-flip quantile heuristic stays available and distinct in kind
+    wq = synth.make_switch_buckets(max_branches=3, policy="quantile")
+    assert 1 <= len(wq) <= 3 and tuple(sorted(wq)) == wq
     synth = dc.replace(synth, calibrator=cal, switch_buckets=window)
     n_tot = len(cal._totals)
     wav, sr = synth(corpus[0], jax.random.PRNGKey(1), diffusion_steps=2,

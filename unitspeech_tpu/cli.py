@@ -1150,14 +1150,15 @@ def main_serve(argv=None):
     ap.add_argument("--switch-buckets", default=None,
                     help="comma-separated frame buckets (skips calibration; "
                          "e.g. 344,384,432)")
-    ap.add_argument("--bucket-policy", default="quantile",
-                    choices=("quantile", "cost"),
+    ap.add_argument("--bucket-policy", default="cost",
+                    choices=("cost", "quantile"),
                     help="frame-window derivation from the calibrated "
-                         "length distribution: 'quantile' (P5..max "
-                         "heuristic) or 'cost' (minimize expected "
-                         "per-request cost under the measured serving "
-                         "cost model — wins on long-tail traffic; "
-                         "tools/analyze_buckets.py evaluates both offline)")
+                         "length distribution: 'cost' (default — minimize "
+                         "expected per-request cost under the measured "
+                         "serving cost model; chip-validated 2.31x over "
+                         "'quantile' on long-tail traffic, BUCKET_AB.json) "
+                         "or the pre-r4s5 'quantile' P5..max heuristic; "
+                         "tools/analyze_buckets.py evaluates both offline")
     ap.add_argument("--warmup-token-lengths", default="64",
                     help="comma-separated token lengths whose buckets are "
                          "precompiled across the batch ladder")

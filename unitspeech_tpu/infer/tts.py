@@ -652,28 +652,32 @@ class Synthesizer:
 
     def make_switch_buckets(self, length_scale: float = 1.0, lo_q: float = 0.05,
                             hi_q: float = 1.0, max_branches: int = 3,
-                            policy: str = "quantile",
+                            policy: str = "cost",
                             per_frame_ms: float | None = None):
         """Pick the bucket-switch window from the calibrator's observed
         length distribution.
 
-        policy="quantile" (default): every ladder bucket between ~P(lo_q)
-        and ~P(hi_q) of request lengths plus one ladder step of headroom,
-        keeping the LARGEST max_branches. Cheap, and near-optimal on tight
-        distributions (the bench's fixed-utterance traffic), but on
-        long-tail traffic the kept-largest rule can pay ~1.8x the optimum
-        (tools/analyze_buckets.py measurement) because most requests pad up
-        to buckets sized for the tail.
-
-        policy="cost": enumerate ascending ladder-bucket subsets of up to
-        max_branches branches (not necessarily contiguous — on bimodal
-        traffic {short-bucket, tail-bucket} beats every contiguous span)
-        and keep the one minimizing expected per-request cost under the
-        measured serving cost model
+        policy="cost" (the DEFAULT, flipped on measured evidence): the
+        ascending ladder-bucket subset of up to max_branches branches (not
+        necessarily contiguous — on bimodal traffic {short-bucket,
+        tail-bucket} beats every contiguous span) minimizing expected
+        per-request cost under the measured serving cost model
         (infer/bucket_cost.py: per-request FIXED floor, per-padded-frame
         device time, overflow = wasted top-bucket run + exact-path
-        fallback). `per_frame_ms` defaults to the DDPM@50 preset; pass the
-        matching bucket_cost.PRESETS value for fast sampler modes.
+        fallback), plus ONE insurance ladder step above the observed max
+        (so up to max_branches+1 branches). Evidence for the default:
+        2.31x faster than quantile on long-tail traffic measured on chip
+        at full size (BUCKET_AB.json), +35% on unimodal LJSpeech-train
+        lengths, and the identical window on tight distributions (the
+        bench's +-4% band) — r4s5 ROADMAP ledger. `per_frame_ms` defaults
+        to the DDPM@50 preset; pass the matching bucket_cost.PRESETS
+        value (or preset_per_frame_ms) for fast sampler modes.
+
+        policy="quantile": every ladder bucket between ~P(lo_q) and
+        ~P(hi_q) of request lengths plus one ladder step of headroom,
+        keeping the LARGEST max_branches. The pre-r4s5 default; kept for
+        comparison and for deployments that want max-anchored windows
+        regardless of traffic shape.
 
         Returns an ascending tuple for `switch_buckets`."""
         if self.calibrator is None:
