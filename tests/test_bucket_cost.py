@@ -18,12 +18,16 @@ import numpy as np
 import pytest
 
 from unitspeech_tpu.infer.bucket_cost import (
+    BASE_MS,
+    CURVES,
     FIXED_MS,
     PRESETS,
     SYNC_MS,
     enumerate_windows,
+    frame_cost_curve,
     optimal_window,
     preset_per_frame_ms,
+    token_cost_ms,
     window_cost,
 )
 from unitspeech_tpu.ops.masking import (
@@ -63,6 +67,84 @@ def test_preset_per_frame_ms_anchors_and_scaling():
     assert preset_per_frame_ms("mystery", 10) == pytest.approx(
         PRESETS["ddpm50"] / 50 * 10
     )
+
+
+def test_frame_cost_curve_modes_and_scaling():
+    """The measured quadratic curves: exact at the two measured modes,
+    frame terms and the per-step share of c0 scale linearly in steps, and
+    unmeasured sampler specs scale the production curve by the PRESETS
+    relative-work ratio."""
+    c = frame_cost_curve("dpm2:cs2", 16)
+    assert c == pytest.approx(CURVES["dpm2_16_cs2"])
+    assert frame_cost_curve("ddpm", 50) == pytest.approx(CURVES["ddpm50"])
+    # steps scaling: frame terms double, the per-request BASE floor doesn't
+    c32 = frame_cost_curve("dpm2:cs2", 32)
+    assert c32[1] == pytest.approx(2 * c[1])
+    assert c32[2] == pytest.approx(2 * c[2])
+    assert c32[0] == pytest.approx(BASE_MS + 2 * (c[0] - BASE_MS))
+    # unmeasured combo: the production curve scaled by the preset ratio
+    f = frame_cost_curve("dpm2", 16)
+    r = PRESETS["dpm2_16"] / PRESETS["dpm2_16_cs2"]
+    assert f[1] == pytest.approx(c[1] * r)
+    assert f[2] == pytest.approx(c[2] * r)
+
+
+def test_token_cost_anchor_and_monotone():
+    assert token_cost_ms(256) == pytest.approx(0.0)
+    assert token_cost_ms(64) < 0.0 < token_cost_ms(1024)
+    # superlinear: the 256->1024 slope exceeds the 64->256 slope
+    s_lo = (token_cost_ms(256) - token_cost_ms(64)) / (256 - 64)
+    s_hi = (token_cost_ms(1024) - token_cost_ms(256)) / (1024 - 256)
+    assert s_hi > s_lo > 0.0
+
+
+def test_curve_matches_measured_anchors():
+    """The hardcoded curves reproduce every COST_ANCHORS.json measurement
+    (the on-chip frame/token anchor sweep) within the fit-residual + chip
+    variance envelope. Rechecked rows (warm-cache re-measurements of
+    suspect points) override originals at the same operating point."""
+    path = os.path.join(REPO, "COST_ANCHORS.json")
+    if not os.path.exists(path):
+        pytest.skip("COST_ANCHORS.json not present")
+    with open(path) as f:
+        data = json.load(f)
+    rows = {}
+    for r in data["rows"]:
+        key = (r["sampler"], r["steps"], r["tok_bucket"], r["frames"])
+        if r.get("recheck") or key not in rows:
+            rows[key] = r["ms"]
+    assert len(rows) >= 6
+    for (sampler, steps, tokb, frames), ms in rows.items():
+        c0, c1, c2 = frame_cost_curve(sampler, steps)
+        model = c0 + c1 * frames + c2 * frames * frames \
+            + token_cost_ms(tokb)
+        assert model == pytest.approx(ms, rel=0.10), (
+            sampler, steps, tokb, frames, ms, model)
+
+
+def test_window_cost_accepts_curve():
+    """window_cost prices branches on the quadratic curve when given a
+    (c0, c1, c2) tuple, including both dispatches of the overflow path."""
+    ladder = default_frame_buckets(4096)
+    curve = (50.0, 0.1, 1e-4)
+
+    def p(b):
+        return 50.0 + 0.1 * b + 1e-4 * b * b
+
+    row = window_cost(np.array([300.0]), (344,), curve, ladder)
+    assert row["mean_proc_ms"] == pytest.approx(p(344), abs=0.01)
+    fb = choose_bucket(fix_len_compatibility(900, 3), ladder)
+    row2 = window_cost(np.array([900.0]), (344,), curve, ladder)
+    assert row2["mean_proc_ms"] == pytest.approx(
+        p(344) + SYNC_MS + p(fb), abs=0.01)
+    # the token delta is a constant per dispatch: once in-window, twice
+    # (wasted run + fallback) on overflow
+    t = 7.5
+    r3 = window_cost(np.array([300.0]), (344,), curve, ladder, tok_ms=t)
+    assert r3["mean_proc_ms"] == pytest.approx(p(344) + t, abs=0.01)
+    r4 = window_cost(np.array([900.0]), (344,), curve, ladder, tok_ms=t)
+    assert r4["mean_proc_ms"] == pytest.approx(
+        p(344) + SYNC_MS + p(fb) + 2 * t, abs=0.01)
 
 
 def test_window_cost_in_window_and_overflow():

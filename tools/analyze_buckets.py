@@ -7,14 +7,15 @@ make_switch_buckets); this tool evaluates candidate windows AGAINST YOUR
 OWN traffic instead of the built-in quantile heuristic, using the cost
 model measured on the v5e (ROADMAP.md ledgers):
 
-  proc(request) = FIXED + PER_FRAME * padded_frames          (in window)
-  proc(overflow) = [FIXED + PER_FRAME * top_bucket]          (wasted run)
-                 + [FIXED + SYNC + PER_FRAME * ladder(L)]    (exact fallback)
+  proc(request) = curve(padded_frames)                       (in window)
+  proc(overflow) = curve(top_bucket)                         (wasted run)
+                 + SYNC + curve(ladder(L))                   (exact fallback)
 
-with FIXED ~= 61 ms (the steps=1 per-request floor: tunnel H2D + D2H +
-dispatch), SYNC ~= 25 ms (the exact path's host length sync, both from the
-bench.py --steps 1 decomposition) and PER_FRAME from the measured forced
-RTF at 344 frames (DDPM@50: ~0.93 ms/frame; dpm2@16:cs2: ~0.21). The
+with curve(b) = c0 + c1*b + c2*b^2 the measured per-mode quadratic cost
+curve (infer/bucket_cost.frame_cost_curve, fitted from the on-chip anchor
+sweep COST_ANCHORS.json — attention makes cost superlinear in frames, so
+a flat per-frame price understates tail branches ~35%) and SYNC ~= 25 ms
+the exact path's host length sync (bench.py --steps 1 decomposition). The
 window policy this validates was itself measured from both sides on-chip:
 [344,384,432] serves at 0.104 vs 0.142 for a no-headroom [344] (ROADMAP
 bucket-window entries) — this tool generalizes that A/B to any traffic.
@@ -44,12 +45,21 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from unitspeech_tpu.infer.bucket_cost import (  # noqa: E402
-    FIXED_MS,
     PRESETS,
     enumerate_windows,
+    frame_cost_curve,
     quantile_window,
+    token_cost_ms,
     window_cost,
 )
+
+# preset name -> the (sampler, steps) spec frame_cost_curve understands
+PRESET_SPECS = {
+    "ddpm50": ("ddpm", 50),
+    "dpm2_25": ("dpm2", 25),
+    "dpm2_16": ("dpm2", 16),
+    "dpm2_16_cs2": ("dpm2:cs2", 16),
+}
 from unitspeech_tpu.ops.masking import (  # noqa: E402
     default_frame_buckets,
 )
@@ -120,9 +130,15 @@ def main():
                          "(2.46 = the published model's 344 frames / 140 "
                          "tokens operating point, BASELINE.md protocol)")
     ap.add_argument("--preset", default="ddpm50", choices=sorted(PRESETS),
-                    help="sampler cost preset (sets --per-frame-ms)")
+                    help="sampler cost preset (selects the measured "
+                         "quadratic cost curve)")
     ap.add_argument("--per-frame-ms", type=float, default=None,
-                    help="override the per-padded-frame device cost")
+                    help="override with a flat per-padded-frame price "
+                         "(the legacy linear model)")
+    ap.add_argument("--tok-bucket", type=int, default=256,
+                    help="typical token bucket of the traffic — shifts "
+                         "absolute costs by the measured encoder token "
+                         "curve (never changes window ranking)")
     ap.add_argument("--max-branches", type=int, default=3,
                     help="lax.switch branch budget (compile time scales "
                          "with it; production default 3)")
@@ -134,14 +150,17 @@ def main():
     args = ap.parse_args()
 
     lengths = load_lengths(args)
-    per_frame = args.per_frame_ms or PRESETS[args.preset]
+    per_frame = args.per_frame_ms or frame_cost_curve(
+        *PRESET_SPECS[args.preset])
+    tok_ms = token_cost_ms(args.tok_bucket) if args.per_frame_ms is None \
+        else 0.0
     ladder = default_frame_buckets(args.ladder_max)
 
-    rows = [window_cost(lengths, w, per_frame, ladder)
+    rows = [window_cost(lengths, w, per_frame, ladder, tok_ms=tok_ms)
             for w in enumerate_windows(lengths, ladder, args.max_branches)]
     rows.sort(key=lambda r: r["mean_proc_ms"])
     pol = policy_window(lengths, ladder, max_branches=args.max_branches)
-    pol_row = window_cost(lengths, pol, per_frame, ladder)
+    pol_row = window_cost(lengths, pol, per_frame, ladder, tok_ms=tok_ms)
 
     speech_ms = float(lengths.mean()) * args.hop / args.sr * 1000.0
     result = {
@@ -161,9 +180,12 @@ def main():
         print(json.dumps(result))
         return
 
+    cost_desc = (f"{per_frame} ms/frame linear" if args.per_frame_ms
+                 else "measured quadratic curve "
+                      + str(tuple(round(c, 5) for c in per_frame)))
     print(f"{len(lengths)} requests | frames p50 {result['frames_p50']:.0f} "
           f"p95 {result['frames_p95']:.0f} max {lengths.max():.0f} | "
-          f"preset {args.preset} ({per_frame} ms/frame + {FIXED_MS} fixed)")
+          f"preset {args.preset} ({cost_desc})")
     print(f"{'window':>28} {'ovfl%':>6} {'waste%':>7} "
           f"{'mean ms':>8} {'p95 ms':>8} {'RTF':>7}")
     for r in rows[:args.top]:

@@ -89,7 +89,7 @@ def main():
 
     import tools.int8_gate as int8_gate
     from unitspeech_tpu.infer.bucket_cost import (
-        PRESETS, optimal_window, window_cost)
+        frame_cost_curve, optimal_window, window_cost)
     from unitspeech_tpu.infer.calibration import DurationCalibrator
     from unitspeech_tpu.utils import compile_cache
 
@@ -98,7 +98,10 @@ def main():
     synth = int8_gate.build(0, "int8" if not SMOKE else "f32")
     num_down = synth.models.cfg.decoder.num_downsamplings
     ladder = synth.frame_buckets
-    per_frame = PRESETS[PRESET]
+    # the measured quadratic curve (post-refit; the original A/B ran on the
+    # legacy linear model and recorded predicted-vs-measured in its
+    # artifact — see BUCKET_AB.json "model error" note)
+    per_frame = frame_cost_curve(SAMPLER, STEPS)
     rng = np.random.default_rng(0)
     n_vocab = synth.models.cfg.text_encoder.n_vocab
 

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Fit the serving cost-model constants from measured anchors.
+
+Reads COST_ANCHORS.json (tools/cost_anchors.py: forced single-dispatch
+synthesis timed at a grid of frame/token buckets on the v5e) and fits the
+quadratic cost curves that infer/bucket_cost.py hardcodes:
+
+  proc_ms(b, tok) = c0 + c1*b + c2*b^2 + [E(tok) - E(256)]
+  E(tok) = t1*tok + t2*tok^2          (encoder+MAS: attention is O(N^2))
+
+per sampler mode, at the sweep's reference token bucket 256. The
+motivation (BUCKET_AB.json): the original linear model understated
+tail-sized branches by 33-39% because the U-Net's attention term is
+quadratic in frames and the encoder's token cost was folded into the
+per-frame price.
+
+Fits:
+  * token curve: exact 2-slope fit on the tok {64, 256, 1024} sweep
+  * dpm2:cs2@16 (production fast mode): least-squares quadratic on the
+    frame sweep at tok256, preferring "recheck" rows (warm-cache
+    re-measurements) over duplicated originals
+  * ddpm@50 (parity headline): shared-shape fit — y = K0 + s*(c1*b+c2*b^2)
+    with (c1, c2) from the dpm2 fit, (K0, s) solved from its 2 points
+
+Prints constants ready to paste into infer/bucket_cost.py plus residuals
+at every measured point. Host-only numpy; no TPU use.
+
+Usage: python tools/refit_cost_model.py [COST_ANCHORS.json]
+"""
+import json
+import sys
+
+import numpy as np
+
+
+def _rows(data, sampler, steps):
+    """Frame-sweep (frames, ms) points for one mode at tok256. When a
+    recheck (warm-cache re-measurement) exists for a frame count, the
+    original is kept only if the two agree within 10% — the sweep's very
+    first point can carry a warm-up artifact (f216 measured 181.8 cold vs
+    121.7 rechecked); agreeing duplicates both enter the LSQ fit as
+    independent samples of chip variance."""
+    orig, rech = {}, {}
+    for r in data["rows"]:
+        if (r["sampler"], r["steps"], r["tok_bucket"]) == (sampler, steps,
+                                                           256):
+            (rech if r.get("recheck") else orig)[r["frames"]] = r["ms"]
+    pts = []
+    for b, ms in sorted(orig.items()):
+        if b in rech and abs(ms / rech[b] - 1.0) > 0.10:
+            continue  # warm-up artifact: trust the recheck only
+        pts.append((b, ms))
+    pts.extend(sorted(rech.items()))
+    return sorted(pts)
+
+
+def fit(data):
+    # --- token curve from the tok sweep at fixed 344 frames ---
+    tok = {r["tok_bucket"]: r["ms"] for r in data["rows"]
+           if r["sampler"] == "dpm2:cs2" and r["frames"] == 344
+           and not r.get("recheck")}
+    toks = sorted(tok)
+    assert len(toks) >= 3, f"need 3 token points, have {toks}"
+    (a, b, c) = toks[:3]
+    s1 = (tok[b] - tok[a]) / (b - a)  # = t1 + t2*(a+b)
+    s2 = (tok[c] - tok[b]) / (c - b)  # = t1 + t2*(b+c)
+    t2 = (s2 - s1) / (c - a)
+    t1 = s1 - t2 * (a + b)
+
+    # --- production-mode frame curve: LSQ quadratic at tok256 ---
+    pts = _rows(data, "dpm2:cs2", 16)
+    assert len(pts) >= 3, f"need 3 frame points, have {pts}"
+    bs = np.array([p[0] for p in pts], np.float64)
+    ys = np.array([p[1] for p in pts], np.float64)
+    A = np.stack([np.ones_like(bs), bs, bs * bs], axis=1)
+    c0, c1, c2 = np.linalg.lstsq(A, ys, rcond=None)[0]
+
+    # --- headline mode: shared shape, scale + offset from its 2 points ---
+    dd = _rows(data, "ddpm", 50)
+    assert len(dd) >= 2, f"need 2 ddpm points, have {dd}"
+    (b1, y1), (b2, y2) = dd[0], dd[-1]
+    f1, f2 = c1 * b1 + c2 * b1 * b1, c1 * b2 + c2 * b2 * b2
+    s = (y2 - y1) / (f2 - f1)
+    k0 = y1 - s * f1
+
+    curves = {"dpm2_16_cs2": (float(c0), float(c1), float(c2)),
+              "ddpm50": (float(k0), float(s * c1), float(s * c2))}
+    return curves, (float(t1), float(t2)), {"ddpm_scale": float(s),
+                                            "frame_pts": pts, "ddpm_pts": dd,
+                                            "tok_pts": sorted(tok.items())}
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else "COST_ANCHORS.json"
+    with open(path) as f:
+        data = json.load(f)
+    curves, (t1, t2), info = fit(data)
+
+    print("# paste into unitspeech_tpu/infer/bucket_cost.py:")
+    print(f"TOKEN_CURVE = ({t1:.5f}, {t2:.3e})  # t1*tok + t2*tok^2")
+    print("CURVES = {")
+    for k, (c0, c1, c2) in curves.items():
+        print(f'    "{k}": ({c0:.2f}, {c1:.5f}, {c2:.3e}),')
+    print("}")
+    print(f"# ddpm/dpm2 sampler-work scale: {info['ddpm_scale']:.3f}")
+    print("\n# fit residuals (measured -> model, ms):")
+    for name, pts in (("dpm2_16_cs2", info["frame_pts"]),
+                      ("ddpm50", info["ddpm_pts"])):
+        c0, c1, c2 = curves[name]
+        for b, y in pts:
+            m = c0 + c1 * b + c2 * b * b
+            print(f"  {name} f{b}: {y:.1f} -> {m:.1f} "
+                  f"({100 * (m / y - 1):+.1f}%)")
+    for tok, y in info["tok_pts"]:
+        m = curves["dpm2_16_cs2"][0] + curves["dpm2_16_cs2"][1] * 344 \
+            + curves["dpm2_16_cs2"][2] * 344 * 344 \
+            + (t1 * tok + t2 * tok * tok) - (t1 * 256 + t2 * 256 * 256)
+        print(f"  dpm2_16_cs2 tok{tok}@f344: {y:.1f} -> {m:.1f} "
+              f"({100 * (m / y - 1):+.1f}%)")
+
+
+if __name__ == "__main__":
+    main()

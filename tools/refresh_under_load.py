@@ -88,11 +88,13 @@ def main():
 
     # the STALE window: what a cost derivation would pick for traffic ~4x
     # longer than what actually arrives (e.g. yesterday's long-form load)
-    from unitspeech_tpu.infer.bucket_cost import optimal_window, PRESETS
+    from unitspeech_tpu.infer.bucket_cost import (frame_cost_curve,
+                                                  optimal_window)
 
     stale_lengths = np.full(64, args.frames * 4.0)
     stale, _ = optimal_window(stale_lengths, synth.frame_buckets,
-                              PRESETS["dpm2_16_cs2"], max_branches=2,
+                              frame_cost_curve("dpm2:cs2", 16),
+                              max_branches=2,
                               num_down=synth.models.cfg.decoder
                               .num_downsamplings, headroom=1)
     synth = dc.replace(synth, switch_buckets=stale)

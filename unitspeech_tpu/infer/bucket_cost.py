@@ -4,15 +4,19 @@ Bucket-switch serving (infer/tts.py `_synthesize_bucket_switch`) pads every
 request onto one of a small set of precompiled frame buckets (`lax.switch`
 branches). Which window of ladder buckets to compile is a cost tradeoff:
 
-  in-window request:  proc = FIXED + per_frame * padded_bucket
-  overflow request:   proc = (FIXED + per_frame * top_bucket)   wasted run
-                           + (FIXED + SYNC + per_frame * exact_bucket)
+  in-window request:  proc = proc_ms(padded_bucket)
+  overflow request:   proc = proc_ms(top_bucket)                wasted run
+                           + SYNC + proc_ms(exact_bucket)    exact fallback
 
-with the constants measured on one v5e through the axon tunnel (ROADMAP.md
-"switch-vs-forced residual decomposed at steps=1"): FIXED ~= 61 ms is the
-per-request floor (H2D + D2H + dispatch + 1-step tail), SYNC ~= 25 ms is
-the exact path's extra host length sync, and per_frame comes from the
-measured forced RTF of the sampler mode in use.
+with proc_ms either the measured QUADRATIC curve per sampler mode
+(frame_cost_curve: c0 + c1*b + c2*b^2, fitted from the COST_ANCHORS.json
+frame/token sweep — the U-Net's attention is O(frames^2), so a pure
+per-frame price understates tail-sized branches by ~35%, BUCKET_AB.json)
+or the legacy linear model FIXED + per_frame * b (any scalar passed where
+a curve is accepted). Constants measured on one v5e through the axon
+tunnel (ROADMAP.md "switch-vs-forced residual decomposed at steps=1"):
+FIXED ~= 61 ms is the per-request floor (H2D + D2H + dispatch + 1-step
+tail), SYNC ~= 25 ms is the exact path's extra host length sync.
 
 This module is the single source of truth for that model; it is consumed
 by `Synthesizer.make_switch_buckets(policy="cost")` (live serving, fed by
@@ -38,6 +42,10 @@ SYNC_MS = 25.0   # exact path's extra dispatch + host length sync
 
 # per_frame_ms presets derived from measured forced RTF at 344 frames
 # (hop 256 / sr 22050 -> 3.994 s speech): (rtf * 3994 - FIXED) / 344.
+# Since the r4s6 anchor sweep these serve two roles: the LEGACY linear
+# model (scalar `per_frame_ms` accepted everywhere below) and the relative
+# sampler-work table that scales the measured quadratic curves onto
+# unmeasured sampler modes (frame_cost_curve fallback).
 PRESETS = {
     # 50-step DDPM, dual CFG, int8 deep convs (rtf_forced ~0.0957)
     "ddpm50": 0.933,
@@ -48,6 +56,82 @@ PRESETS = {
     # recommended production fast mode dpm2@16:cs2 (rtf ~0.0337)
     "dpm2_16_cs2": 0.214,
 }
+
+# Measured quadratic frame-cost curves (COST_ANCHORS.json, fitted by
+# tools/refit_cost_model.py): proc_ms(b) = c0 + c1*b + c2*b^2 for a forced
+# single-dispatch synthesis at frame bucket b and token bucket 256, on one
+# v5e via the axon tunnel. The r4s5 on-chip A/B (BUCKET_AB.json) showed the
+# linear model understating tail-sized branches 33-39%: the U-Net's
+# attention term is O(frames^2) and the encoder's token cost was folded
+# into the per-frame price. These curves reproduce every measured anchor
+# (see test_bucket_cost.test_curve_matches_measured_anchors).
+CURVES = {
+    # production fast mode dpm2@16:cs2 (frame sweep 216/344/696/1256,
+    # LSQ fit, residuals <= 7.8%)
+    "dpm2_16_cs2": (104.74, 0.07749, 1.525e-4),
+    # parity headline ddpm@50 (shared-shape fit on its 344/1256 anchors;
+    # sampler-work scale 3.46x the fast mode)
+    "ddpm50": (241.58, 0.26783, 5.272e-4),
+}
+
+# Encoder-side token cost E(tok) = t1*tok + t2*tok^2 (self-attention and
+# MAS are O(tok^2)); measured from the tok {64, 256, 1024} sweep at fixed
+# 344 frames. The CURVES constants are anchored at token bucket 256;
+# token_cost_ms() returns the delta vs that anchor.
+TOKEN_CURVE = (0.02418, 7.745e-5)
+_TOK_REF = 256
+
+
+def _e_tok(tok: float) -> float:
+    return TOKEN_CURVE[0] * tok + TOKEN_CURVE[1] * tok * tok
+
+
+def token_cost_ms(tok_bucket: int) -> float:
+    """Per-request encoder cost delta (ms) of serving at `tok_bucket`
+    vs the curves' 256-token anchor. Independent of the frame window, so
+    it never changes a window RANKING — add it when absolute latency
+    numbers matter (offline analysis, capacity planning)."""
+    return _e_tok(float(tok_bucket)) - _e_tok(float(_TOK_REF))
+
+
+# Per-request floor at the token anchor: tunnel/dispatch FIXED plus the
+# encoder at tok256. The remainder of a curve's c0 is per-sampler-step
+# constant work (time embedding, schedule, scan overhead), which scales
+# with step count in frame_cost_curve.
+BASE_MS = FIXED_MS + _e_tok(_TOK_REF)
+
+
+def frame_cost_curve(sampler: str = "ddpm", steps: int = 50):
+    """(c0, c1, c2) quadratic frame-cost curve for a sampler spec at
+    `steps`, from the measured anchors: exact for the two measured modes
+    (dpm2:cs2 and plain ddpm, frame terms and the per-step share of c0
+    scaled linearly in steps); other sampler specs scale the production
+    curve by the PRESETS relative-work ratio. Pass the result anywhere a
+    scalar `per_frame_ms` is accepted (window_cost / optimal_window /
+    make_switch_buckets)."""
+    base, _, stride_s = sampler.partition(":cs")
+    stride = int(stride_s) if stride_s else 1
+    ref = {("dpm2", 2): ("dpm2_16_cs2", 16),
+           ("ddpm", 1): ("ddpm50", 50)}.get((base, stride))
+    if ref is None:
+        c0, c1, c2 = CURVES["dpm2_16_cs2"]
+        r = preset_per_frame_ms(sampler, steps) / PRESETS["dpm2_16_cs2"]
+    else:
+        name, ref_steps = ref
+        c0, c1, c2 = CURVES[name]
+        r = steps / ref_steps
+    return (BASE_MS + (c0 - BASE_MS) * r, c1 * r, c2 * r)
+
+
+def _proc_ms(frames, cost):
+    """Vectorized per-request cost at padded frame count(s) `frames`.
+    `cost` is either a (c0, c1, c2) curve (frame_cost_curve) or a scalar
+    per-frame price (the legacy linear model FIXED + per_frame * b)."""
+    b = np.asarray(frames, np.float64)
+    if isinstance(cost, (tuple, list)):
+        c0, c1, c2 = (float(c) for c in cost)
+        return c0 + c1 * b + c2 * b * b
+    return FIXED_MS + float(cost) * b
 
 
 def preset_per_frame_ms(sampler: str = "ddpm", steps: int = 50) -> float:
@@ -127,14 +211,21 @@ def quantile_window(
 def window_cost(
     lengths: np.ndarray,
     window: Sequence[int],
-    per_frame_ms: float,
+    per_frame_ms,
     ladder: Sequence[int],
     num_down: int = 3,
+    tok_ms: float = 0.0,
 ) -> Dict[str, object]:
     """Expected per-request proc cost (ms) of serving `lengths` (mel frames,
     pre-rounding) on a bucket `window`, plus padding/overflow stats.
     Vectorized (one searchsorted per array) so enumerating ~1e3 candidate
-    windows over a 4096-entry /stats ring stays sub-second."""
+    windows over a 4096-entry /stats ring stays sub-second.
+
+    per_frame_ms: a (c0, c1, c2) curve from `frame_cost_curve` (the
+    measured quadratic model — use this for absolute numbers and tail-heavy
+    ranking) or a scalar per-frame price (the legacy linear model).
+    tok_ms: optional per-request token-cost delta (token_cost_ms) — a
+    constant offset for absolute reporting, never affects ranking."""
     lengths = np.asarray(lengths, np.float64)
     win = np.asarray(sorted(int(b) for b in window), np.int64)
     top = int(win[-1])
@@ -142,7 +233,7 @@ def window_cost(
     over = need > top
     # in-window: smallest branch >= need (choose_bucket semantics)
     in_b = win[np.minimum(np.searchsorted(win, need), len(win) - 1)]
-    in_cost = FIXED_MS + per_frame_ms * in_b
+    in_cost = _proc_ms(in_b, per_frame_ms) + tok_ms
     # overflow: wasted padded sampler run at the top branch, then the
     # exact-path fallback at the global-ladder bucket (beyond the ladder,
     # choose_bucket falls back to the rounded length itself)
@@ -151,9 +242,10 @@ def window_cost(
         need > lad[-1], need,
         lad[np.minimum(np.searchsorted(lad, need), len(lad) - 1)],
     )
-    ov_cost = (FIXED_MS + per_frame_ms * top) + (
-        FIXED_MS + SYNC_MS + per_frame_ms * fb
-    )
+    # (the fallback re-runs the whole pipeline, so the token delta — like
+    # the encoder cost inside c0 — is paid once per dispatch)
+    ov_cost = _proc_ms(top, per_frame_ms) + SYNC_MS + _proc_ms(
+        fb, per_frame_ms) + 2.0 * tok_ms
     cost = np.where(over, ov_cost, in_cost)
     # overflow's wasted top-bucket run counts as padding waste
     padded = np.where(over, top + fb, in_b).astype(np.float64)
@@ -201,7 +293,7 @@ def enumerate_windows(
 def optimal_window(
     lengths: Sequence[float],
     ladder: Sequence[int],
-    per_frame_ms: float,
+    per_frame_ms,
     max_branches: int = 3,
     num_down: int = 3,
     headroom: int = 0,
@@ -210,6 +302,8 @@ def optimal_window(
     enumerate_windows) minimizing expected per-request cost on the
     observed `lengths`. Returns (window, cost_row). ~1e3 candidates x one
     vectorized cost pass each — sub-second at serving startup.
+    `per_frame_ms`: a frame_cost_curve tuple (preferred — the measured
+    quadratic model prices tail branches correctly) or a legacy scalar.
 
     headroom: EXTRA ladder steps appended above the optimal top (the
     serving policies pass 1). The optimum is fit to observed traffic only;

@@ -653,7 +653,7 @@ class Synthesizer:
     def make_switch_buckets(self, length_scale: float = 1.0, lo_q: float = 0.05,
                             hi_q: float = 1.0, max_branches: int = 3,
                             policy: str = "cost",
-                            per_frame_ms: float | None = None):
+                            per_frame_ms=None):
         """Pick the bucket-switch window from the calibrator's observed
         length distribution.
 
@@ -670,8 +670,10 @@ class Synthesizer:
         at full size (BUCKET_AB.json), +35% on unimodal LJSpeech-train
         lengths, and the identical window on tight distributions (the
         bench's +-4% band) — r4s5 ROADMAP ledger. `per_frame_ms` defaults
-        to the DDPM@50 preset; pass the matching bucket_cost.PRESETS
-        value (or preset_per_frame_ms) for fast sampler modes.
+        to the measured DDPM@50 quadratic cost curve
+        (bucket_cost.frame_cost_curve, anchored in COST_ANCHORS.json);
+        pass the matching mode's curve — frame_cost_curve(sampler, steps)
+        — for fast sampler modes, or a legacy scalar per-frame price.
 
         policy="quantile": every ladder bucket between ~P(lo_q) and
         ~P(hi_q) of request lengths plus one ladder step of headroom,
@@ -684,7 +686,7 @@ class Synthesizer:
             raise ValueError("Synthesizer has no calibrator attached.")
         num_down = self.models.cfg.decoder.num_downsamplings
         if policy == "cost":
-            from .bucket_cost import PRESETS, optimal_window
+            from .bucket_cost import frame_cost_curve, optimal_window
             totals = self.calibrator.observed_totals()
             if not totals:
                 raise ValueError("calibrator has no observed lengths yet")
@@ -692,7 +694,7 @@ class Synthesizer:
             window, _row = optimal_window(
                 lengths, self.frame_buckets,
                 per_frame_ms=(per_frame_ms if per_frame_ms is not None
-                              else PRESETS["ddpm50"]),
+                              else frame_cost_curve("ddpm", 50)),
                 max_branches=max_branches, num_down=num_down,
                 headroom=1,  # one insurance branch above the observed max
             )

@@ -593,8 +593,8 @@ class DynamicBatcher:
         import dataclasses as dc
 
         from unitspeech_tpu.infer.bucket_cost import (
+            frame_cost_curve,
             optimal_window,
-            preset_per_frame_ms,
             quantile_window,
             window_cost,
         )
@@ -612,7 +612,10 @@ class DynamicBatcher:
             num_down = self.synth.models.cfg.decoder.num_downsamplings
             ladder = self.synth.frame_buckets
             if per_frame_ms is None:
-                per_frame_ms = preset_per_frame_ms(
+                # the measured quadratic curve for the daemon's default
+                # sampler mode (an HTTP-supplied scalar override stays the
+                # legacy linear model)
+                per_frame_ms = frame_cost_curve(
                     self.default_sampler, self.default_steps
                 )
             nb = int(max_branches) if max_branches is not None else len(cur)
@@ -695,9 +698,9 @@ def build_batcher(
         lscale = batcher_kwargs.get("length_scale", icfg.length_scale)
         mk_kw = {}
         if bucket_policy == "cost":
-            from unitspeech_tpu.infer.bucket_cost import preset_per_frame_ms
+            from unitspeech_tpu.infer.bucket_cost import frame_cost_curve
 
-            mk_kw["per_frame_ms"] = preset_per_frame_ms(
+            mk_kw["per_frame_ms"] = frame_cost_curve(
                 _normalize_sampler_spec(
                     str(batcher_kwargs.get("default_sampler", "ddpm"))),
                 int(batcher_kwargs.get("default_steps",
