@@ -293,6 +293,12 @@ def test_stats_snapshot_input(tmp_path):
 
     got = tool.load_lengths(A())
     np.testing.assert_array_equal(got, [100.0, 150.0, 200.0, 344.0])
+    # no recent_tokens in this snapshot -> no token-axis data
+    assert tool.load_tokens(A()) is None
+    # with recent_tokens, the served token counts come through
+    snap.write_text(json.dumps({"recent_frames": [100, 200],
+                                "recent_tokens": [40, 600]}))
+    np.testing.assert_array_equal(tool.load_tokens(A()), [40.0, 600.0])
     # and an empty snapshot is a clear error
     snap.write_text(json.dumps({"recent_frames": []}))
     with pytest.raises(SystemExit):

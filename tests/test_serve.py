@@ -110,6 +110,10 @@ def test_stats_recent_frames_ring(batcher):
     assert frames and all(isinstance(x, int) and x > 0 for x in frames)
     # hop_length=4: the last entry matches the request we just served
     assert frames[-1] * 4 >= wav.shape[0]
+    # the encoder-side axis rides the same ring: one token count per
+    # request, the last being the 4-token request above
+    toks = snap["recent_tokens"]
+    assert len(toks) == len(frames) and toks[-1] == 4
 
 
 def test_refresh_window_from_served_traffic():
@@ -138,6 +142,10 @@ def test_refresh_window_from_served_traffic():
         old = tuple(b.synth.switch_buckets)
         d = b.refresh_window(policy="cost", min_samples=4, max_branches=3)
         assert d["n_lengths"] == 6
+        # the served token distribution feeds the absolute predictions
+        # (here all requests are far below the curves' tok256 anchor, so
+        # the encoder delta is negative)
+        assert d["token_cost_ms"] < 0.0
         if d["refreshed"]:
             assert tuple(b.synth.switch_buckets) == tuple(d["window"])
             assert b.stats.window_refreshes == 1

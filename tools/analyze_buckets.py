@@ -61,8 +61,12 @@ PRESET_SPECS = {
     "dpm2_16_cs2": ("dpm2:cs2", 16),
 }
 from unitspeech_tpu.ops.masking import (  # noqa: E402
+    choose_bucket,
     default_frame_buckets,
 )
+
+# the Synthesizer's default encoder-side padding ladder (infer/tts.py)
+TOKEN_LADDER = tuple(2 ** i for i in range(4, 11))
 
 
 def load_lengths(args) -> np.ndarray:
@@ -106,6 +110,19 @@ def load_lengths(args) -> np.ndarray:
     if args.seconds:
         vals = vals * args.sr / args.hop
     return vals
+
+
+def load_tokens(args) -> "np.ndarray | None":
+    """Served per-request token counts, available only from a /stats
+    snapshot's recent_tokens ring (the daemon records them alongside
+    recent_frames). None for the other input modes."""
+    if args.stats:
+        with open(args.stats) as f:
+            snap = json.load(f)
+        toks = snap.get("recent_tokens")
+        if toks:
+            return np.asarray(toks, np.float64)
+    return None
 
 
 # the make_switch_buckets(policy="quantile") heuristic, shared with the
@@ -154,6 +171,13 @@ def main():
         *PRESET_SPECS[args.preset])
     tok_ms = token_cost_ms(args.tok_bucket) if args.per_frame_ms is None \
         else 0.0
+    tok_counts = load_tokens(args)
+    if tok_counts is not None and args.per_frame_ms is None:
+        # a /stats snapshot carries the SERVED token distribution — use
+        # its mean bucketed encoder delta instead of the --tok-bucket knob
+        tok_ms = float(np.mean([token_cost_ms(choose_bucket(int(t),
+                                                            TOKEN_LADDER))
+                                for t in tok_counts]))
     ladder = default_frame_buckets(args.ladder_max)
 
     rows = [window_cost(lengths, w, per_frame, ladder, tok_ms=tok_ms)
@@ -189,7 +213,7 @@ def main():
     print(f"{'window':>28} {'ovfl%':>6} {'waste%':>7} "
           f"{'mean ms':>8} {'p95 ms':>8} {'RTF':>7}")
     for r in rows[:args.top]:
-        mark = " <- policy" if tuple(r["window"]) == pol else ""
+        mark = " <- quantile" if tuple(r["window"]) == pol else ""
         print(f"{str(r['window']):>28} {r['overflow_pct']:>6} "
               f"{r['padding_waste_pct']:>7} {r['mean_proc_ms']:>8} "
               f"{r['p95_proc_ms']:>8} "
@@ -200,9 +224,10 @@ def main():
         print(f"{str(r['window']):>28} {r['overflow_pct']:>6} "
               f"{r['padding_waste_pct']:>7} {r['mean_proc_ms']:>8} "
               f"{r['p95_proc_ms']:>8} "
-              f"{r['mean_proc_ms'] / speech_ms:>7.4f} <- policy")
-    print(f"policy window {list(pol)} is within "
-          f"{result['policy_gap_pct']}% of the best enumerated window")
+              f"{r['mean_proc_ms'] / speech_ms:>7.4f} <- quantile")
+    print(f"the quantile heuristic's window {list(pol)} is within "
+          f"{result['policy_gap_pct']}% of the best enumerated window "
+          f"(the serving default, policy='cost', picks the best)")
 
 
 if __name__ == "__main__":

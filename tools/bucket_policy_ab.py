@@ -150,11 +150,23 @@ def main():
 
     from tools.analyze_buckets import policy_window
 
+    # per-request encoder token cost (mean delta vs the curves' tok256
+    # anchor): the r4s6 re-run measured the cost window 5.1% above a
+    # prediction that omitted it — the tail requests run at tok1024
+    # (+95 ms each); with this term both windows predict within ~1-3%
+    from unitspeech_tpu.infer.bucket_cost import token_cost_ms
+    from unitspeech_tpu.ops.masking import choose_bucket
+
+    tok_ms = float(np.mean(
+        [token_cost_ms(choose_bucket(len(r), tb)) for r in reqs]))
     win_q = policy_window(lengths, ladder, max_branches=MAX_BRANCHES,
                           num_down=num_down)
     win_c, row_c = optimal_window(lengths, ladder, per_frame,
                                   MAX_BRANCHES, num_down)
-    row_q = window_cost(lengths, win_q, per_frame, ladder, num_down)
+    row_c = window_cost(lengths, win_c, per_frame, ladder, num_down,
+                        tok_ms=tok_ms)
+    row_q = window_cost(lengths, win_q, per_frame, ladder, num_down,
+                        tok_ms=tok_ms)
     print(f"# quantile window {list(win_q)} predicted "
           f"{row_q['mean_proc_ms']} ms | cost window {list(win_c)} "
           f"predicted {row_c['mean_proc_ms']} ms", file=sys.stderr,
@@ -164,6 +176,7 @@ def main():
            "preset": PRESET, "smoke": SMOKE,
            "frames_p50": float(np.median(lengths)),
            "frames_max": float(lengths.max()),
+           "token_cost_ms": round(tok_ms, 2),
            "device": jax.devices()[0].platform}
     for name, win, row in (("cost", win_c, row_c),
                            ("quantile", win_q, row_q)):

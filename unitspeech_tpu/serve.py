@@ -158,6 +158,13 @@ class BatcherStats:
     # traffic distribution that tools/analyze_buckets.py consumes to
     # re-evaluate the frame-bucket window against real load
     recent_frames: deque = field(default_factory=lambda: deque(maxlen=4096))
+    # per-request token counts (same ring discipline): the encoder-side
+    # traffic axis. The measured cost model is quadratic in the token
+    # bucket too (bucket_cost.token_cost_ms — up to ~95 ms at tok1024),
+    # so refresh_window folds the observed token distribution into its
+    # ABSOLUTE cost predictions (window ranking is unaffected: the token
+    # cost is constant per request whatever frame window is chosen)
+    recent_tokens: deque = field(default_factory=lambda: deque(maxlen=4096))
 
     def snapshot(self) -> Dict[str, Any]:
         mean_lat = self.total_latency_s / self.requests if self.requests else 0.0
@@ -180,6 +187,7 @@ class BatcherStats:
             ) if self.batches else 0.0,
             "window_refreshes": self.window_refreshes,
             "recent_frames": list(self.recent_frames),
+            "recent_tokens": list(self.recent_tokens),
         }
 
 
@@ -499,6 +507,7 @@ class DynamicBatcher:
             self.stats.total_latency_s += now - req.enqueued_at
             self.stats.total_speech_s += n_samples / sr
             self.stats.recent_frames.append(int(y_len[i]))
+            self.stats.recent_tokens.append(len(req.token_ids))
             if synth.calibrator is not None:
                 synth.calibrator.observe_total(
                     req.token_ids, float(y_len[i]) / self.length_scale
@@ -620,18 +629,34 @@ class DynamicBatcher:
                 )
             nb = int(max_branches) if max_branches is not None else len(cur)
             lengths = np.asarray(frames, np.float64)
+            # fold the SERVED token distribution into the absolute cost
+            # predictions (mean encoder delta vs the curves' tok256
+            # anchor): constant per request, so it never changes which
+            # window wins, but it keeps predicted ms honest and makes the
+            # min_gain ratio appropriately more conservative
+            tok_ms = 0.0
+            toks = list(self.stats.recent_tokens)
+            if toks and isinstance(per_frame_ms, (tuple, list)):
+                from unitspeech_tpu.infer.bucket_cost import token_cost_ms
+                from unitspeech_tpu.ops.masking import choose_bucket
+
+                tb = self.synth.token_buckets
+                tok_ms = float(np.mean(
+                    [token_cost_ms(choose_bucket(t, tb)) for t in toks]))
             if policy == "cost":
-                new, row = optimal_window(lengths, ladder, per_frame_ms,
-                                          nb, num_down, headroom=1)
+                new, _ = optimal_window(lengths, ladder, per_frame_ms,
+                                        nb, num_down, headroom=1)
+                row = window_cost(lengths, new, per_frame_ms, ladder,
+                                  num_down, tok_ms=tok_ms)
             elif policy == "quantile":
                 new = quantile_window(lengths, ladder, max_branches=nb,
                                       num_down=num_down)
                 row = window_cost(lengths, new, per_frame_ms, ladder,
-                                  num_down)
+                                  num_down, tok_ms=tok_ms)
             else:
                 raise ValueError(f"unknown bucket policy {policy!r}")
             cur_row = window_cost(lengths, cur, per_frame_ms, ladder,
-                                  num_down)
+                                  num_down, tok_ms=tok_ms)
             gain = 1.0 - row["mean_proc_ms"] / cur_row["mean_proc_ms"]
             decision = {
                 "window": list(new), "current": list(cur),
@@ -639,6 +664,7 @@ class DynamicBatcher:
                 "predicted_mean_ms": row["mean_proc_ms"],
                 "current_mean_ms": cur_row["mean_proc_ms"],
                 "predicted_gain_pct": round(100.0 * gain, 1),
+                "token_cost_ms": round(tok_ms, 2),
             }
             if tuple(new) == cur:
                 return {**decision, "refreshed": False,
