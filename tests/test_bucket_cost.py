@@ -77,14 +77,21 @@ def test_frame_cost_curve_modes_and_scaling():
     c = frame_cost_curve("dpm2:cs2", 16)
     assert c == pytest.approx(CURVES["dpm2_16_cs2"])
     assert frame_cost_curve("ddpm", 50) == pytest.approx(CURVES["ddpm50"])
+    assert frame_cost_curve("dpm2", 16) == pytest.approx(CURVES["dpm2_16"])
+    assert frame_cost_curve("dpm2", 25) == pytest.approx(CURVES["dpm2_25"])
     # steps scaling: frame terms double, the per-request BASE floor doesn't
     c32 = frame_cost_curve("dpm2:cs2", 32)
     assert c32[1] == pytest.approx(2 * c[1])
     assert c32[2] == pytest.approx(2 * c[2])
     assert c32[0] == pytest.approx(BASE_MS + 2 * (c[0] - BASE_MS))
+    # stride-1 dpm2 at other step counts scales from the NEAREST anchor
+    f20 = frame_cost_curve("dpm2", 20)
+    assert f20[1] == pytest.approx(CURVES["dpm2_16"][1] * 20 / 16)
+    f28 = frame_cost_curve("dpm2", 28)
+    assert f28[1] == pytest.approx(CURVES["dpm2_25"][1] * 28 / 25)
     # unmeasured combo: the production curve scaled by the preset ratio
-    f = frame_cost_curve("dpm2", 16)
-    r = PRESETS["dpm2_16"] / PRESETS["dpm2_16_cs2"]
+    f = frame_cost_curve("mystery", 10)
+    r = preset_per_frame_ms("mystery", 10) / PRESETS["dpm2_16_cs2"]
     assert f[1] == pytest.approx(c[1] * r)
     assert f[2] == pytest.approx(c[2] * r)
 

@@ -23,6 +23,9 @@ Run on the real TPU (background; ~6-8 full-size compiles):
 Re-measure suspect points against a warm compile cache (appends rows
 tagged "recheck" to the existing COST_ANCHORS.json):
     python tools/cost_anchors.py --recheck 216 344
+Extend the sweep with more sampler modes at the 344/1256 cross-check
+frames (appends rows; refit_cost_model.py fits them shared-shape):
+    python tools/cost_anchors.py --extend dpm2:16 dpm2:25
 CPU smoke:  python tools/cost_anchors.py --smoke
 """
 import sys
@@ -93,6 +96,30 @@ def _recheck(frames_list):
     print(json.dumps(out))
 
 
+def _extend(specs):
+    """Time extra sampler modes at the 344/1256 cross-check frames
+    (tok256) and append their rows — two points per mode is what the
+    shared-shape fit (tools/refit_cost_model.py) needs. specs like
+    "dpm2:16" (sampler "dpm2", steps 16) or "dpm2:cs2:16"."""
+    bench = _load_bench()
+    synth = bench.build(False, use_int8=True)
+    with open("COST_ANCHORS.json") as f:
+        out = json.load(f)
+    for spec in specs:
+        sampler, _, steps_s = spec.rpartition(":")
+        steps = int(steps_s)
+        for frames in (344, 1256):
+            ms = time_point(synth, 140, frames, sampler, steps)
+            out["rows"].append({"sampler": sampler, "steps": steps,
+                                "tok_bucket": 256, "frames": frames,
+                                "ms": round(ms, 1)})
+            print(f"# {sampler}@{steps} tok256 f{frames}: {ms:.1f} ms",
+                  file=sys.stderr, flush=True)
+    with open("COST_ANCHORS.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
 def main():
     global SMOKE, REPEATS
     if "--smoke" in sys.argv:
@@ -104,6 +131,10 @@ def main():
     if "--recheck" in sys.argv:
         i = sys.argv.index("--recheck")
         _recheck([int(x) for x in sys.argv[i + 1:]])
+        return
+    if "--extend" in sys.argv:
+        i = sys.argv.index("--extend")
+        _extend(sys.argv[i + 1:])
         return
 
     bench = _load_bench()

@@ -75,19 +75,34 @@ def fit(data):
     A = np.stack([np.ones_like(bs), bs, bs * bs], axis=1)
     c0, c1, c2 = np.linalg.lstsq(A, ys, rcond=None)[0]
 
-    # --- headline mode: shared shape, scale + offset from its 2 points ---
-    dd = _rows(data, "ddpm", 50)
-    assert len(dd) >= 2, f"need 2 ddpm points, have {dd}"
-    (b1, y1), (b2, y2) = dd[0], dd[-1]
-    f1, f2 = c1 * b1 + c2 * b1 * b1, c1 * b2 + c2 * b2 * b2
-    s = (y2 - y1) / (f2 - f1)
-    k0 = y1 - s * f1
-
-    curves = {"dpm2_16_cs2": (float(c0), float(c1), float(c2)),
-              "ddpm50": (float(k0), float(s * c1), float(s * c2))}
-    return curves, (float(t1), float(t2)), {"ddpm_scale": float(s),
-                                            "frame_pts": pts, "ddpm_pts": dd,
+    # --- other modes: shared shape, scale + offset from >= 2 points ---
+    curves = {"dpm2_16_cs2": (float(c0), float(c1), float(c2))}
+    scales, mode_pts = {}, {"dpm2_16_cs2": pts}
+    modes = sorted({(r["sampler"], r["steps"]) for r in data["rows"]
+                    if (r["sampler"], r["steps"]) != ("dpm2:cs2", 16)})
+    for sampler, steps in modes:
+        mp = _rows(data, sampler, steps)
+        assert len(mp) >= 2, f"need 2 points for {sampler}@{steps}: {mp}"
+        (b1, y1), (b2, y2) = mp[0], mp[-1]
+        f1, f2 = c1 * b1 + c2 * b1 * b1, c1 * b2 + c2 * b2 * b2
+        s = (y2 - y1) / (f2 - f1)
+        k0 = y1 - s * f1
+        name = _mode_name(sampler, steps)
+        curves[name] = (float(k0), float(s * c1), float(s * c2))
+        scales[name] = float(s)
+        mode_pts[name] = mp
+    return curves, (float(t1), float(t2)), {"scales": scales,
+                                            "mode_pts": mode_pts,
                                             "tok_pts": sorted(tok.items())}
+
+
+def _mode_name(sampler, steps):
+    """PRESETS/CURVES naming: ddpm@50 -> "ddpm50", dpm2@16 -> "dpm2_16",
+    dpm2:cs2@16 -> "dpm2_16_cs2"."""
+    base, _, cs = sampler.partition(":cs")
+    if base == "ddpm" and not cs:
+        return f"ddpm{steps}"
+    return f"{base}_{steps}" + (f"_cs{cs}" if cs else "")
 
 
 def main():
@@ -102,10 +117,10 @@ def main():
     for k, (c0, c1, c2) in curves.items():
         print(f'    "{k}": ({c0:.2f}, {c1:.5f}, {c2:.3e}),')
     print("}")
-    print(f"# ddpm/dpm2 sampler-work scale: {info['ddpm_scale']:.3f}")
+    for k, s in info["scales"].items():
+        print(f"# {k} sampler-work scale vs dpm2_16_cs2: {s:.3f}")
     print("\n# fit residuals (measured -> model, ms):")
-    for name, pts in (("dpm2_16_cs2", info["frame_pts"]),
-                      ("ddpm50", info["ddpm_pts"])):
+    for name, pts in info["mode_pts"].items():
         c0, c1, c2 = curves[name]
         for b, y in pts:
             m = c0 + c1 * b + c2 * b * b

@@ -72,6 +72,10 @@ CURVES = {
     # parity headline ddpm@50 (shared-shape fit on its 344/1256 anchors;
     # sampler-work scale 3.46x the fast mode)
     "ddpm50": (241.58, 0.26783, 5.272e-4),
+    # stride-1 dpm2 modes (shared-shape on 344/1256 anchors; scales 1.54x
+    # and 1.93x — CFG delta caching saves ~35% of dpm2@16's sampler work)
+    "dpm2_16": (100.96, 0.11932, 2.348e-4),
+    "dpm2_25": (133.35, 0.14934, 2.939e-4),
 }
 
 # Encoder-side token cost E(tok) = t1*tok + t2*tok^2 (self-attention and
@@ -111,13 +115,15 @@ def frame_cost_curve(sampler: str = "ddpm", steps: int = 50):
     make_switch_buckets)."""
     base, _, stride_s = sampler.partition(":cs")
     stride = int(stride_s) if stride_s else 1
-    ref = {("dpm2", 2): ("dpm2_16_cs2", 16),
-           ("ddpm", 1): ("ddpm50", 50)}.get((base, stride))
-    if ref is None:
+    refs = {("dpm2", 2): [("dpm2_16_cs2", 16)],
+            ("ddpm", 1): [("ddpm50", 50)],
+            ("dpm2", 1): [("dpm2_16", 16), ("dpm2_25", 25)]}.get(
+        (base, stride))
+    if refs is None:
         c0, c1, c2 = CURVES["dpm2_16_cs2"]
         r = preset_per_frame_ms(sampler, steps) / PRESETS["dpm2_16_cs2"]
     else:
-        name, ref_steps = ref
+        name, ref_steps = min(refs, key=lambda nr: abs(nr[1] - steps))
         c0, c1, c2 = CURVES[name]
         r = steps / ref_steps
     return (BASE_MS + (c0 - BASE_MS) * r, c1 * r, c2 * r)
