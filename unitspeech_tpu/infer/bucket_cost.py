@@ -107,11 +107,12 @@ BASE_MS = FIXED_MS + _e_tok(_TOK_REF)
 
 def frame_cost_curve(sampler: str = "ddpm", steps: int = 50):
     """(c0, c1, c2) quadratic frame-cost curve for a sampler spec at
-    `steps`, from the measured anchors: exact for the two measured modes
-    (dpm2:cs2 and plain ddpm, frame terms and the per-step share of c0
-    scaled linearly in steps); other sampler specs scale the production
-    curve by the PRESETS relative-work ratio. Pass the result anywhere a
-    scalar `per_frame_ms` is accepted (window_cost / optimal_window /
+    `steps`, from the measured anchors: exact for the four measured modes
+    (dpm2:cs2@16, ddpm@50, dpm2@16, dpm2@25 — frame terms and the
+    per-step share of c0 scaled linearly in steps from the nearest
+    anchor); other sampler specs scale the production curve by the
+    PRESETS relative-work ratio. Pass the result anywhere a scalar
+    `per_frame_ms` is accepted (window_cost / optimal_window /
     make_switch_buckets)."""
     base, _, stride_s = sampler.partition(":cs")
     stride = int(stride_s) if stride_s else 1
