@@ -9,6 +9,9 @@ named axes
     step is jitted with these shardings.
   * `seq`  — mel-frame axis (sequence/context sharding for long-utterance
     batched inference; a config choice, not a rewrite — see SURVEY.md §5).
+  * `model` — output-channel tensor parallelism (weight-stationary GSPMD;
+    see `parallel/tp.py`). Size 1 unless requested, so existing (data, seq)
+    layouts are unchanged.
 
 Multi-host: `jax.distributed.initialize()` + per-host dataset sharding by
 `jax.process_index()` replaces the reference's gloo `range(rank, N, world)`
@@ -27,19 +30,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     data: Optional[int] = None,
     seq: int = 1,
+    model: int = 1,
     devices: Optional[Sequence] = None,
     data_axis: str = "data",
     seq_axis: str = "seq",
+    model_axis: str = "model",
 ) -> Mesh:
-    """Build a (data, seq) mesh. With defaults, all devices go to the data
-    axis."""
+    """Build a (data, seq, model) mesh. With defaults, all devices go to the
+    data axis; the seq/model axes exist (size 1) so PartitionSpecs naming
+    them always resolve."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        data = n // seq
-    assert data * seq == n, f"mesh {data}x{seq} != {n} devices"
-    arr = np.asarray(devices).reshape(data, seq)
-    return Mesh(arr, (data_axis, seq_axis))
+        data = n // (seq * model)
+    assert data * seq * model == n, f"mesh {data}x{seq}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, seq, model)
+    return Mesh(arr, (data_axis, seq_axis, model_axis))
 
 
 def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
