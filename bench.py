@@ -19,11 +19,20 @@ perf ledger must show the path a real request runs, not just the best case):
   * rtf_forced — forced-duration single dispatch at exactly 344 frames (the
     r1/r2 headline; VC/warmup best case, kept for continuity).
 
-Prints ONE JSON line:
+Emits the JSON result line INCREMENTALLY (VERDICT r4 item 1: the r4 driver
+run timed out before the single end-of-run print, leaving parsed=null): the
+line is printed after the forced measurement and RE-printed, updated, after
+every completed phase — the last JSON line wins, so a timeout at any point
+still leaves the best-so-far record:
   {"metric": "rtf_50step_synthesis", "value": <serving rtf>, "unit": "rtf",
    "vs_baseline": <0.9224 / value>, "rtf_forced": ..., "rtf_exact": ...,
-   "rtf_serving": ..., "serving_frames_mean": ...}
-Flags: --skip-serving measures only rtf_forced (one compile instead of ~4).
+   "rtf_serving": ..., "serving_frames_mean": ..., "phases_done": [...]}
+Serving phases run cheapest-and-most-important first (speculative -> switch
+-> exact) so `rtf_serving` lands as early as possible. A wall-clock budget
+(--budget seconds, default 2700) is checked before each phase; exceeded
+phases are skipped with a note rather than risking a hard driver timeout.
+Extras (500-step RTF, fast modes, throughput, train, finetune, server) are
+OFF by default — opt in with --extras.
 """
 
 from __future__ import annotations
@@ -140,10 +149,22 @@ def main():
     ap.add_argument("--skip-serving", action="store_true",
                     help="measure only the forced-duration headline "
                          "(1 compile instead of ~4)")
-    ap.add_argument("--skip-extras", action="store_true",
-                    help="skip the complete-record extras (500-step RTF, "
-                         "batched throughput, train s/step, finetune)")
+    ap.add_argument("--extras", dest="extras", action="store_true",
+                    default=False,
+                    help="also run the complete-record extras (500-step RTF, "
+                         "fast modes, batched throughput, train s/step, "
+                         "finetune, server) — OFF by default so the driver "
+                         "bench always finishes within budget")
+    ap.add_argument("--skip-extras", dest="extras", action="store_false",
+                    help="(compat alias; extras are already off by default)")
+    ap.add_argument("--budget", type=float,
+                    default=float(__import__("os").environ.get(
+                        "BENCH_BUDGET_S", 2700)),
+                    help="wall-clock budget in seconds; phases that would "
+                         "start past it are skipped (the JSON line already "
+                         "printed stays the result)")
     args = ap.parse_args()
+    t_start = time.perf_counter()
     if args.smoke:
         # CPU-friendly by definition — and the axon plugin IGNORES the
         # JAX_PLATFORMS env var, so force the platform here before any
@@ -222,6 +243,7 @@ def main():
         "unit": "rtf",
         "vs_baseline": round(BASELINE_RTF / rtf_forced, 2),
         "rtf_forced": round(rtf_forced, 5),
+        "phases_done": ["forced"],
     }
     print(
         f"# forced: proc={proc:.3f}s speech={speech_s:.2f}s frames={frames} "
@@ -230,22 +252,47 @@ def main():
         file=sys.stderr,
     )
 
+    def emit():
+        # the LAST JSON line printed is the driver's parsed record; reprint
+        # after every phase so a timeout anywhere still leaves a result
+        print(json.dumps(result), flush=True)
+
+    def phase_ok(name, reserve_s=0.0):
+        """True when `name` may start inside the wall-clock budget."""
+        left = args.budget - (time.perf_counter() - t_start)
+        if left < reserve_s:
+            print(f"# budget: skipping phase '{name}' "
+                  f"({left:.0f}s left < {reserve_s:.0f}s reserve)",
+                  file=sys.stderr)
+            result.setdefault("phases_skipped", []).append(name)
+            emit()
+            return False
+        return True
+
+    emit()  # forced-only record is on the wire before any serving compile
+
     if not args.skip_serving and b == 1:
-        serving = bench_serving_modes(synth, args, frames, n_tok, hop,
-                                      m.cfg.data.sampling_rate if not args.smoke else SR)
-        result.update(serving)
-        # the headline is the REAL open-text serving number
-        result["value"] = result["rtf_serving"]
-        result["vs_baseline"] = round(BASELINE_RTF / result["value"], 2)
-    if not args.skip_extras and not args.smoke and b == 1:
-        result.update(bench_extras(synth, args, frames, n_tok))
-    print(json.dumps(result))
+        bench_serving_modes(
+            synth, args, frames, n_tok, hop,
+            m.cfg.data.sampling_rate if not args.smoke else SR,
+            result, emit, phase_ok,
+        )
+    if args.extras and not args.smoke and b == 1:
+        bench_extras(synth, args, frames, n_tok, result, emit, phase_ok)
 
 
-def bench_serving_modes(synth, args, frames, n_tok, hop, sr):
+def bench_serving_modes(synth, args, frames, n_tok, hop, sr,
+                        result, emit, phase_ok):
     """Open-text serving: random token requests with REAL predicted
     durations, length_scale tuned so speech matches the baseline's mean.
-    Measures the exact two-dispatch path and bucket-switch serving."""
+
+    Phase order is deliberate (VERDICT r4 item 1): calibrated-speculative
+    serving first (its per-bucket executables are plain single-shape
+    programs, the cheapest serving compiles, and it IS a production
+    configuration — host-side bucket choice from the calibrator), then the
+    bucket-switch deployment (the multi-branch executable whose compile blew
+    the r4 budget), then the exact two-dispatch path. `result` is updated
+    and re-emitted after each phase."""
     import dataclasses as dc
 
     from unitspeech_tpu.infer.calibration import DurationCalibrator
@@ -289,48 +336,64 @@ def bench_serving_modes(synth, args, frames, n_tok, hop, sr):
             speech.append(wav.shape[0] / srr)
         return float(np.sum(procs) / np.sum(speech)), float(np.mean(speech))
 
-    # exact two-dispatch path (reference-style host length sync)
-    rtf_exact, speech_exact = timed(
-        lambda r, k: synth(r, k, _exact=True, **kw), reqs
-    )
-    print(f"# exact: rtf={rtf_exact:.4f} speech_mean={speech_exact:.2f}s",
-          file=sys.stderr)
+    def _headline(rtf, mode):
+        result["rtf_serving"] = round(rtf, 5)
+        result["serving_mode"] = mode
+        result["value"] = result["rtf_serving"]
+        result["vs_baseline"] = round(BASELINE_RTF / result["value"], 2)
 
-    # calibrated speculative serving (VERDICT r4 item 8: per-bucket
+    # 1) calibrated speculative serving (VERDICT r4 item 8: per-bucket
     # standalone executables selected on HOST from the calibrator's
     # prediction — no multi-branch switch executable in the dispatch —
-    # with the exact two-dispatch path as overflow fallback)
-    cal_sp = DurationCalibrator(n_vocab=n_vocab, min_samples=4)
-    sp = dc.replace(synth, calibrator=cal_sp)
-    sp.calibrate(reqs)
-    rtf_spec, speech_sp = timed(lambda r, k: sp(r, k, **kw), reqs)
-    print(f"# speculative: rtf={rtf_spec:.4f} speech_mean={speech_sp:.2f}s",
-          file=sys.stderr)
+    # with the exact two-dispatch path as overflow fallback). Runs FIRST:
+    # cheapest serving compiles, so `rtf_serving` exists after one phase.
+    sw = None
+    if phase_ok("speculative"):
+        cal_sp = DurationCalibrator(n_vocab=n_vocab, min_samples=4)
+        sp = dc.replace(synth, calibrator=cal_sp)
+        sp.calibrate(reqs)
+        rtf_spec, speech_sp = timed(lambda r, k: sp(r, k, **kw), reqs)
+        print(f"# speculative: rtf={rtf_spec:.4f} "
+              f"speech_mean={speech_sp:.2f}s", file=sys.stderr)
+        result["rtf_speculative"] = round(rtf_spec, 5)
+        result["serving_frames_mean"] = round(speech_sp * sr / hop, 1)
+        _headline(rtf_spec, "speculative")
+        result["phases_done"].append("speculative")
+        emit()
 
-    # bucket-switch serving: the PRODUCTION bucket-window policy
+    # 2) bucket-switch serving: the PRODUCTION bucket-window policy
     # (Synthesizer.make_switch_buckets) — the bench must measure the
     # configuration a real deployment picks, not a private variant. The
     # policy's calibrator observes the POPULATION actually served (the
     # baseline-protocol ~3.98 s band), not the unfiltered candidates: a
     # deployment's window always reflects its own traffic.
-    cal2 = DurationCalibrator(n_vocab=n_vocab, min_samples=4)
-    sw = dc.replace(synth, calibrator=cal2)
-    sw.calibrate(reqs)
-    window = sw.make_switch_buckets(length_scale=lscale)
-    sw = dc.replace(sw, switch_buckets=window)
-    rtf_switch, speech_sw = timed(
-        lambda r, k: sw(r, k, **kw), reqs
-    )
-    print(f"# switch{list(window)}: rtf={rtf_switch:.4f} "
-          f"speech_mean={speech_sw:.2f}s", file=sys.stderr)
+    if phase_ok("switch"):
+        cal2 = DurationCalibrator(n_vocab=n_vocab, min_samples=4)
+        sw = dc.replace(synth, calibrator=cal2)
+        sw.calibrate(reqs)
+        window = sw.make_switch_buckets(length_scale=lscale)
+        sw = dc.replace(sw, switch_buckets=window)
+        rtf_switch, speech_sw = timed(
+            lambda r, k: sw(r, k, **kw), reqs
+        )
+        print(f"# switch{list(window)}: rtf={rtf_switch:.4f} "
+              f"speech_mean={speech_sw:.2f}s", file=sys.stderr)
+        result["switch_buckets"] = list(window)
+        result["serving_frames_mean"] = round(speech_sw * sr / hop, 1)
+        _headline(rtf_switch, "switch")
+        result["phases_done"].append("switch")
+        emit()
 
-    out = {
-        "rtf_serving": round(rtf_switch, 5),
-        "rtf_exact": round(rtf_exact, 5),
-        "rtf_speculative": round(rtf_spec, 5),
-        "serving_frames_mean": round(speech_sw * sr / hop, 1),
-        "switch_buckets": list(window),
-    }
+    # 3) exact two-dispatch path (reference-style host length sync)
+    if phase_ok("exact"):
+        rtf_exact, speech_exact = timed(
+            lambda r, k: synth(r, k, _exact=True, **kw), reqs
+        )
+        print(f"# exact: rtf={rtf_exact:.4f} "
+              f"speech_mean={speech_exact:.2f}s", file=sys.stderr)
+        result["rtf_exact"] = round(rtf_exact, 5)
+        result["phases_done"].append("exact")
+        emit()
 
     # fast serving mode: the SAME bucket-switch deployment with the
     # deterministic DPM-Solver++(2M) sampler (labeled separately; the
@@ -340,7 +403,7 @@ def bench_serving_modes(synth, args, frames, n_tok, hop, sr):
     # the CFG-delta-caching gate passed (CFG_GATE.json), the fastest mode
     # is also measured with stride 2 — guidance rows recomputed every other
     # step (models/diffusion.parse_sampler_spec).
-    if not args.smoke:
+    if not args.smoke and sw is not None:
         fast_specs = [(25, "dpm2"), (16, "dpm2")]
         if _cfg_gate_passed():
             fast_specs.append((16, "dpm2:cs2"))
@@ -349,17 +412,20 @@ def bench_serving_modes(synth, args, frames, n_tok, hop, sr):
         for fast_steps, spec in fast_specs:
             suffix = spec.replace("dpm2", "").replace(":", "_")
             key = f"rtf_serving_dpm2_{fast_steps}step{suffix}"
+            if not phase_ok(key):
+                break
             try:
                 kw_fast = dict(kw, diffusion_steps=fast_steps, sampler=spec)
                 rtf_fast, _sp = timed(lambda r, k: sw(r, k, **kw_fast), reqs)
                 print(f"# serving {spec}@{fast_steps}: rtf={rtf_fast:.4f}",
                       file=sys.stderr)
-                out[key] = round(rtf_fast, 5)
+                result[key] = round(rtf_fast, 5)
+                result["phases_done"].append(key)
             except Exception as e:  # pragma: no cover - environment-specific
-                out[key + "_error"] = f"{type(e).__name__}: {e}"
+                result[key + "_error"] = f"{type(e).__name__}: {e}"
                 print(f"# serving {spec}@{fast_steps} failed: {e}",
                       file=sys.stderr)
-    return out
+            emit()
 
 
 def _cfg_gate_passed() -> bool:
@@ -391,12 +457,14 @@ def _cfg_gate_fast10_passed() -> bool:
         return False
 
 
-def bench_extras(synth, args, frames, n_tok):
+def bench_extras(synth, args, frames, n_tok, result, emit, phase_ok):
     """The round's complete record (VERDICT r3 weak #2: every headline
     number must live in the driver-captured artifact, not prose): 500-step
     RTF, batched-synthesis throughput, STEP1/STEP2 train s/step, and the
-    500-iter finetune wall clock. Each section is independent — a failure
-    records an error string instead of killing the artifact."""
+    500-iter finetune wall clock. Opt-in (--extras) since VERDICT r4: the
+    default driver run must always finish within budget. Each section is
+    independent — a failure records an error string instead of killing the
+    artifact — and the JSON line is re-emitted after every section."""
     import argparse as _ap
     import importlib.util
     import os
@@ -408,14 +476,18 @@ def bench_extras(synth, args, frames, n_tok):
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(42)
     tg = sg = 0.0 if args.no_cfg else 1.0
-    extras = {}
+    extras = result
 
     def _section(name, fn):
+        if not phase_ok(f"extras:{name}"):
+            return
         try:
             extras.update(fn())
+            result["phases_done"].append(f"extras:{name}")
         except Exception as e:  # pragma: no cover - environment-specific
             extras[name + "_error"] = f"{type(e).__name__}: {e}"
             print(f"# extras[{name}] failed: {e}", file=sys.stderr)
+        emit()
 
     def _rtf_500step():
         # the reference's second headline: 500 diffusion steps
@@ -574,7 +646,6 @@ def bench_extras(synth, args, frames, n_tok):
     _section("train_step2", lambda: _train(True))
     _section("finetune", _finetune)
     _section("server", _server)
-    return extras
 
 
 if __name__ == "__main__":
