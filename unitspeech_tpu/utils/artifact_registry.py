@@ -76,8 +76,85 @@ for _k, _sha in (
     register(
         f"cpc-big-ll6k-kmeans-{_k}",
         f"https://dl.fbaipublicfiles.com/textless_nlp/gslm/cpc/km{_k}/km.bin",
+        # explicit filename: the URL basename is 'km.bin' for every k and
+        # would collide in the cache directory
+        filename=f"cpc_big_ll6k_km{_k}.bin",
         sha256=_sha,
     )
+
+# hubert-base quantizers (upstream GSLM k-means tables; digests are the
+# upstream-published constants — identical by necessity, like the symbol
+# table — reference checkpoint_manager/__init__.py:32-55)
+for _k, _sha in (
+    (50, "d01a7d5bc2c54b7b5f25f321ba525b4d230b06e3927f90bad0394198bc89f494"),
+    (100, "f14a3104615485381fc489701d6761c9abbdbb0d43607cf55518a1e2891023fe"),
+    (200, "b3c46c9cdd1707ad852dd53c359aa73942e79d53c432a9a8a419ed046408024b"),
+    (500, "411c8668e1314751404f58636f935fc73540a6793890435da4a8ffadf157398e"),
+):
+    register(
+        f"hubert-base-ls960-kmeans-{_k}",
+        f"https://dl.fbaipublicfiles.com/textless_nlp/gslm/hubert/km{_k}/km.bin",
+        filename=f"hubert_base_ls960_km{_k}.bin",
+        sha256=_sha,
+    )
+
+# Tacotron2 unit-vocoder checkpoints + their code dictionaries (consumed by
+# models/tacotron2.py + data/quantize.py; reference
+# checkpoint_manager/__init__.py:64-101 (hubert) and :140-176 (cpc)) and the
+# shared WaveGlow vocoder (models/waveglow.py; reference :181-187).
+_GSLM = "https://dl.fbaipublicfiles.com/textless_nlp/gslm"
+for _base, _dir, _k, _sha_tts, _sha_codes in (
+    ("hubert-base-ls960", "hubert", 50,
+     "335e881a897cfa3389804110de8ac3909159d4de395880fbf1d3167a9477451e",
+     "5f01dd57fd3b4044fac93aaac2589bf49e34cbe1dc0713254c0f339ba2123bce"),
+    ("hubert-base-ls960", "hubert", 100,
+     "b208f8d6433eb5524405aa29d2b5fdacddb63a182d9830b629232e63b3543e4d",
+     "6d506216aa5bad159f167e2535293b4e5ec8e1073b64449d30b66b460ebf6da0"),
+    ("hubert-base-ls960", "hubert", 200,
+     "093f009935a4dadd692db85e859246e369cb17be3aecd22038fb70af4d5b0590",
+     "ea01ba3592e27c871b63b32e37d6532234edf7eee7077bdcc094061ee72922e6"),
+    ("cpc-big-ll6k", "cpc", 50,
+     "e80a46561d1ded73bbe6e7272fcd6b9943fb7607229040b06324f654b66396fd",
+     "5f01dd57fd3b4044fac93aaac2589bf49e34cbe1dc0713254c0f339ba2123bce"),
+    ("cpc-big-ll6k", "cpc", 100,
+     "6cfe1ce4bbdfd0f531189f4013cefc9e1296aec62f8bc0172d68d088ab344a50",
+     "a343085a83c1acfc96a2bfecf5098b380e860cdbb832cbcbbb0bf1358bd7c932"),
+    ("cpc-big-ll6k", "cpc", 200,
+     "5845b1c0a82d9176b9d8c33a32f098795c946077e741a9da2b665bafda17b7ff",
+     "48dae50f9f2d4561c4a84fa09ba748395808d7d3323b1d5754af71669117e2aa"),
+):
+    register(
+        f"{_base}-kmeans-{_k}-tacotron",
+        f"{_GSLM}/{_dir}/tts_km{_k}/tts_checkpoint_best.pt",
+        filename=f"{_base.replace('-', '_')}_kmeans_{_k}_tacotron.pt",
+        sha256=_sha_tts,
+    )
+    register(
+        f"{_base}-kmeans-{_k}-tacotron-codes",
+        f"{_GSLM}/{_dir}/tts_km{_k}/code_dict",
+        filename=f"{_base.replace('-', '_')}_kmeans_{_k}_tacotron_codes.txt",
+        sha256=_sha_codes,
+    )
+register(
+    "waveglow",
+    f"{_GSLM}/waveglow_256channels_standalone.pt",
+    sha256="f383c7fd785502fc6a6bffd604fc14cb35d6155cdde30c53faaaeafa8a904dab",
+)
+
+# The 25 names the reference's textlesslib CheckpointManager registers
+# (checkpoint_manager/__init__.py:13-187) — all present above with the
+# upstream sha256 digests; the UnitSpeech/contentvec artifacts that the
+# reference distributes OUTSIDE that manager (Google Drive / HF) are
+# registered separately below.
+REFERENCE_TEXTLESS_NAMES = (
+    ["hubert-base-ls960", "mhubert-base-vp_en_es_fr",
+     "mhubert-base-vp_en_es_fr-kmeans-1000", "cpc-big-ll6k", "waveglow"]
+    + [f"hubert-base-ls960-kmeans-{k}" for k in (50, 100, 200, 500)]
+    + [f"cpc-big-ll6k-kmeans-{k}" for k in (50, 100, 200, 500)]
+    + [f"{b}-kmeans-{k}-tacotron{s}"
+       for b in ("hubert-base-ls960", "cpc-big-ll6k")
+       for k in (50, 100, 200) for s in ("", "-codes")]
+)
 
 # UnitSpeech checkpoints: the reference distributes them via a Google Drive
 # folder (README.md:55) with NO published digests — URLs are the canonical
