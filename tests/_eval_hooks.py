@@ -23,3 +23,12 @@ def embed(wav, sr):
         np.ones(n), np.cos(idx * 0.01), np.sin(idx * 0.01), np.cos(idx * 0.02)
     ])
     return basis @ x
+
+
+def units(wav, sr):
+    # deterministic "unit extractor": sign of 80-sample frame means -> 2
+    # units; same audio -> same transcript, degraded audio diverges
+    x = np.asarray(wav, np.float64)
+    n = len(x) // 80
+    frames = x[: n * 80].reshape(n, 80).mean(axis=1)
+    return (frames > 0).astype(np.int64)

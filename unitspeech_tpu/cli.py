@@ -979,6 +979,19 @@ def main_evaluate(argv=None):
     ap.add_argument("--asr-hook", default=None)
     ap.add_argument("--mos-hook", default=None)
     ap.add_argument("--spk-hook", default=None)
+    ap.add_argument("--unit-hook", default=None,
+                    help="'module:function' f(wav, sr) -> unit-id array for "
+                         "the ASR-free unit-round-trip intelligibility "
+                         "metric (uer_*); alternatively give --hubert + "
+                         "--kmeans to use the in-repo mHuBERT stack")
+    ap.add_argument("--hubert", default=None,
+                    help="mHuBERT ckpt for the in-repo unit extractor")
+    ap.add_argument("--kmeans", default=None,
+                    help="k-means centroids (.npz/joblib) for the in-repo "
+                         "unit extractor")
+    ap.add_argument("--uer-ref-dir", default=None,
+                    help="directory of ground-truth wavs for sample i "
+                         "(sorted); default = the wav paths in --filelist")
     ap.add_argument("--out", default=None, help="summary CSV path "
                     "(default <samples-dir>/summary.csv)")
     args = ap.parse_args(argv)
@@ -1021,6 +1034,37 @@ def main_evaluate(argv=None):
             (ref_emb, np.asarray(embed(w, sr))) for w, sr in wavs
         ]
 
+    # ASR-free unit-round-trip intelligibility (VERDICT r4 item 5): extract
+    # units from each synthesized wav and from the matching ground-truth
+    # wav, score the unit error rate with the in-repo mHuBERT+k-means stack
+    # (or any '--unit-hook'). Ground truth comes from --uer-ref-dir (sorted
+    # wavs) or the --filelist path column.
+    unit_pairs = extract_units_hook = None
+    if args.unit_hook or (args.hubert and args.kmeans):
+        if args.unit_hook:
+            extract_units_hook = harness.load_hook(args.unit_hook)
+        else:
+            from unitspeech_tpu.config import MainConfig
+
+            enc = build_unit_extractor(args.hubert, args.kmeans, MainConfig())
+            extract_units_hook = harness.speech_encoder_unit_hook(enc)
+        if args.uer_ref_dir:
+            ref_paths = sorted(glob.glob(os.path.join(args.uer_ref_dir, "*.wav")))
+        elif args.filelist:
+            ref_paths = [e[0] for e in parse_filelist(args.filelist)]
+        else:
+            ref_paths = []
+        n = min(len(ref_paths), len(wavs))
+        if n == 0:
+            print("uer: no ground-truth wavs (--uer-ref-dir / --filelist); "
+                  "skipping", file=sys.stderr)
+            extract_units_hook = None
+        else:
+            unit_pairs = []
+            for i in range(n):
+                rw, rsr = load_wav(ref_paths[i])
+                unit_pairs.append((wavs[i][0], wavs[i][1], rw, rsr))
+
     row = harness.evaluation_summary(
         timings=timings,
         transcription_pairs=transcription_pairs,
@@ -1028,6 +1072,8 @@ def main_evaluate(argv=None):
         mos_wavs=wavs if predict_mos else None,
         predict_mos=predict_mos,
         embedding_pairs=embedding_pairs,
+        unit_pairs=unit_pairs,
+        extract_units=extract_units_hook,
     )
     row["n_samples"] = len(wavs)
     out = args.out or os.path.join(args.samples_dir, "summary.csv")

@@ -153,6 +153,76 @@ def cer(reference: str, hypothesis: str) -> float:
     return wer(" ".join(reference.replace(" ", "")), " ".join(hypothesis.replace(" ", "")))
 
 
+def unit_error_rate(ref_units, hyp_units, dedup: bool = True) -> float:
+    """ASR-free intelligibility proxy (VERDICT r4 item 5): Levenshtein edit
+    distance between discrete-unit transcripts, normalized by the reference
+    length — exactly WER over unit IDs instead of words. The units come from
+    the in-repo mHuBERT+k-means stack (models/ssl/speech_encoder.py), the
+    same features the reference's evaluation axis proxies with Whisper WER
+    (evaluation-metrics.ipynb cells 31-34): if the synthesized audio's unit
+    transcript diverges from the ground-truth audio's, the content is not
+    intelligible to the very encoder that defined the units.
+
+    dedup=True run-length-collapses both sequences first so pure pace/
+    duration differences (the dominant benign variation between two
+    renditions of the same text) don't count as errors."""
+    ref = np.asarray(ref_units).reshape(-1)
+    hyp = np.asarray(hyp_units).reshape(-1)
+    if dedup:
+        if ref.size:
+            ref = ref[np.insert(np.diff(ref) != 0, 0, True)]
+        if hyp.size:
+            hyp = hyp[np.insert(np.diff(hyp) != 0, 0, True)]
+    if ref.size == 0:
+        return float(hyp.size > 0)
+    # banded-free full DP in numpy (row sweep): O(|ref|*|hyp|) ints
+    prev = np.arange(hyp.size + 1, dtype=np.int32)
+    for i in range(1, ref.size + 1):
+        cur = np.empty_like(prev)
+        cur[0] = i
+        sub = prev[:-1] + (ref[i - 1] != hyp)
+        # cur[j] = min(sub[j-1], prev[j] + 1, cur[j-1] + 1); the cur[j-1]
+        # dependency is sequential -> running minimum trick
+        best = np.minimum(sub, prev[1:] + 1)
+        for j in range(1, hyp.size + 1):
+            cur[j] = min(best[j - 1], cur[j - 1] + 1)
+        prev = cur
+    return float(prev[-1] / ref.size)
+
+
+def evaluate_unit_roundtrip(
+    pairs: List, extract_units: Callable[[np.ndarray, int], np.ndarray]
+) -> Dict[str, float]:
+    """Unit-round-trip intelligibility over wav pairs.
+
+    pairs: [(syn_wav, syn_sr, ref_wav, ref_sr)] — synthesized audio vs
+    ground-truth audio of the same text. extract_units: `(wav, sr) ->
+    unit-id array` (e.g. a SpeechEncoder via `speech_encoder_unit_hook`).
+    Returns the per-set statistics reported in the eval CSV."""
+    uers = []
+    for syn_wav, syn_sr, ref_wav, ref_sr in pairs:
+        hyp = extract_units(np.asarray(syn_wav), syn_sr)
+        ref = extract_units(np.asarray(ref_wav), ref_sr)
+        uers.append(unit_error_rate(ref, hyp))
+    arr = np.asarray(uers, np.float64)
+    return {
+        "uer_mean": float(arr.mean()),
+        "uer_median": float(np.median(arr)),
+        "uer_max": float(arr.max()),
+    }
+
+
+def speech_encoder_unit_hook(encoder) -> Callable[[np.ndarray, int], np.ndarray]:
+    """Adapt a models.ssl.speech_encoder.SpeechEncoder into the
+    `(wav, sr) -> units` hook evaluate_unit_roundtrip expects (resamples to
+    the encoder's 16 kHz input like the reference's SpeechEncoder does)."""
+
+    def hook(wav: np.ndarray, sr: int) -> np.ndarray:
+        return encoder(encoder.maybe_resample(np.asarray(wav), sr))["units"]
+
+    return hook
+
+
 def evaluate_transcriptions(
     pairs: List, transcribe: Callable[[np.ndarray, int], str]
 ) -> Dict[str, float]:
@@ -205,9 +275,12 @@ def evaluation_summary(
     mos_wavs: Optional[Sequence] = None,
     predict_mos: Optional[Callable] = None,
     embedding_pairs: Optional[List] = None,
+    unit_pairs: Optional[List] = None,
+    extract_units: Optional[Callable] = None,
 ) -> Dict[str, float]:
     """One summary row combining every metric the reference's notebook
-    reports (RTF stats, Whisper WER/CER, predicted MOS, speaker cosine).
+    reports (RTF stats, Whisper WER/CER, predicted MOS, speaker cosine)
+    plus the in-repo unit-round-trip intelligibility score (uer_*).
     Sections whose inputs/hooks are absent are skipped."""
     row: Dict[str, float] = {}
     if timings is not None:
@@ -216,6 +289,8 @@ def evaluation_summary(
         row.update(evaluate_transcriptions(transcription_pairs, transcribe))
     if mos_wavs and predict_mos is not None:
         row.update(evaluate_mos(mos_wavs, predict_mos))
+    if unit_pairs and extract_units is not None:
+        row.update(evaluate_unit_roundtrip(unit_pairs, extract_units))
     if embedding_pairs:
         sims = [speaker_cosine_similarity(a, b) for a, b in embedding_pairs]
         row["spk_cosine_mean"] = float(np.mean(sims))
