@@ -257,3 +257,98 @@ def test_finetune_batched_matches_sequential_on_mesh():
             cond_x[:5], y[:5], y_lengths[:5], attn[:5], spk[:5], keys[:5],
             mesh=mesh, segment_size=seg, n_iters=iters,
         )
+
+
+def test_bucketed_mel_prefix_exact():
+    """reflect_extend + trim must reproduce the exact-length mel BIT-for-bit
+    (ops/mel.reflect_extend: the first (n_fft-hop)/2 appended samples equal
+    mel_spectrogram's internal right reflect pad)."""
+    import numpy as np
+
+    from unitspeech_tpu.ops.mel import (
+        mel_spectrogram,
+        mel_true_frames,
+        reflect_extend,
+    )
+
+    rng = np.random.default_rng(0)
+    for n in (5000, 7777, 16384):
+        wav = rng.standard_normal(n).astype(np.float32) * 0.2
+        kw = dict(n_fft=512, num_mels=16, sampling_rate=8000, hop_size=128,
+                  win_size=512, fmin=0.0, fmax=4000.0)
+        exact = np.asarray(mel_spectrogram(wav[None], **kw))[0]
+        t_true = mel_true_frames(n, 512, 128)
+        assert exact.shape[0] == t_true
+        bucket = ((t_true + 63) // 64 + 1) * 64
+        ext = reflect_extend(wav, bucket * 128)
+        assert ext.shape[0] == bucket * 128
+        np.testing.assert_array_equal(ext[:n], wav)
+        bucketed = np.asarray(mel_spectrogram(ext[None], **kw))[0]
+        assert bucketed.shape[0] == bucket
+        np.testing.assert_array_equal(bucketed[:t_true], exact)
+
+
+def test_finetune_bucketed_matches_exact():
+    """prepare_finetune_inputs(pad_to=...) + finetune_decoder must reproduce
+    the exact-shape run's losses and adapted params (the warm-session bucket
+    ladder is numerics-neutral: encoder masks padded tokens, segment crops
+    stay within y_lengths)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unitspeech_tpu.models.diffusion import UnitSpeech
+    from unitspeech_tpu.models.encoder import Encoder
+    from unitspeech_tpu.train.finetune import (
+        finetune_decoder,
+        prepare_finetune_inputs,
+    )
+
+    n_feats, spk_dim = 16, 8
+    enc = Encoder(
+        n_vocab=40, n_feats=n_feats, n_channels=16, filter_channels=32,
+        n_heads=2, n_layers=1, kernel_size=3, p_dropout=0.1, window_size=4,
+    )
+    ue_params = enc.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 6), jnp.int32), jnp.array([6])
+    )
+    decoder = UnitSpeech(
+        n_feats=n_feats, dim=8, dim_mults=(1, 2), groups=4, spk_emb_dim=spk_dim
+    )
+    dec_params = decoder.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, 8, n_feats)), jnp.ones((1, 8)),
+        jnp.zeros((1, 8, n_feats)), jnp.zeros((1,)), jnp.zeros((1, spk_dim)),
+    )
+    rng = np.random.default_rng(2)
+    t_y = 40
+    units = rng.integers(0, 40, 10).astype(np.int64)
+    durations = np.full(10, 4, np.int64)
+    mel = rng.uniform(-1, 1, (t_y, n_feats)).astype(np.float32)
+    spk = rng.standard_normal((1, spk_dim)).astype(np.float32)
+
+    def run(pad_to):
+        cond_x, y, y_len, attn = prepare_finetune_inputs(
+            enc, ue_params, units, durations, mel, num_downsamplings=1,
+            pad_to=pad_to,
+        )
+        p, losses = finetune_decoder(
+            decoder.apply, jax.tree_util.tree_map(jnp.copy, dec_params),
+            cond_x, y, y_len, attn, jnp.asarray(spk), jax.random.PRNGKey(3),
+            segment_size=16, n_iters=4, learning_rate=2e-5, grad_clip=1.0,
+        )
+        return p, np.asarray(losses)
+
+    p_exact, l_exact = run(None)
+    p_pad, l_pad = run(64)
+    np.testing.assert_allclose(l_pad, l_exact, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_exact),
+                    jax.tree_util.tree_leaves(p_pad)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+    # bad pad_to values are rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        prepare_finetune_inputs(enc, ue_params, units, durations, mel,
+                                num_downsamplings=3, pad_to=30)

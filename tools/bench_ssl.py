@@ -53,6 +53,13 @@ def main():
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--n-iters", type=int, default=500)
+    ap.add_argument("--label", default=None, choices=[None, "warm"],
+                    help="'warm': record this run's total_session_s as "
+                         "adapt_voice.warm_session_s inside the existing "
+                         "SSL_BENCH.json instead of overwriting it (run "
+                         "after a cold run / `cli.py warmup-adapt` so the "
+                         "persistent compile cache is populated — VERDICT "
+                         "r4 item 4)")
     args = ap.parse_args()
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
@@ -215,6 +222,17 @@ def main():
     print(json.dumps(report["adapt_voice"]), flush=True)
 
     out = os.path.join(ROOT, "SSL_BENCH.json")
+    if args.label == "warm" and os.path.exists(out):
+        with open(out) as f:
+            merged = json.load(f)
+        merged.setdefault("adapt_voice", {})["warm_session_s"] = (
+            report["adapt_voice"]["total_session_s"]
+        )
+        merged["adapt_voice"]["warm_prep_s"] = report["adapt_voice"]["prep_s"]
+        merged["adapt_voice"]["warm_finetune_first_s"] = (
+            report["adapt_voice"]["finetune_first_s"]
+        )
+        report = merged
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({k: v for k, v in report.items()}))

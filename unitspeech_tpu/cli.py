@@ -44,6 +44,12 @@ def _common(ap: argparse.ArgumentParser):
 def _setup(args):
     import jax
 
+    from unitspeech_tpu.utils import compile_cache
+
+    # every CLI entry point replays remote compiles from the persistent
+    # cache (the warm adapt-a-voice session depends on this; measured 80 s
+    # cold -> <0.1 s replay, utils/compile_cache.py)
+    compile_cache.enable()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if getattr(args, "distributed", False):
@@ -260,6 +266,19 @@ def main_finetune(argv=None):
     ap.add_argument("--hubert", default=None, help="mHuBERT ckpt")
     ap.add_argument("--kmeans", default=None, help="k-means centroids (.npz/joblib)")
     ap.add_argument("--fp32", dest="bf16", action="store_false")
+    ap.add_argument("--exact-ssl", action="store_true",
+                    help="feed the speaker embedder the exact-length wav "
+                         "(reference behavior) instead of the sample-bucket "
+                         "ladder; costs a per-length WavLM compile on a "
+                         "cold cache")
+    ap.add_argument("--frame-buckets", default=DEFAULT_ADAPT_BUCKETS,
+                    help="comma-separated mel-frame bucket ladder: the mel "
+                         "frontend, unit encoder, and 500-iter finetune "
+                         "scan all compile at the bucket size, so one "
+                         "warmed ladder ('warmup-adapt') serves ANY "
+                         "reference duration from the persistent compile "
+                         "cache; '' disables bucketing (exact shapes, one "
+                         "cold compile per new reference length)")
     args = ap.parse_args(argv)
     cfg = _setup(args)
 
@@ -269,7 +288,6 @@ def main_finetune(argv=None):
     from unitspeech_tpu.data.dataset import load_wav
     from unitspeech_tpu.models.diffusion import UnitSpeech
     from unitspeech_tpu.models.encoder import Encoder
-    from unitspeech_tpu.ops.mel import mel_spectrogram, normalize_mel
     from unitspeech_tpu.ops.units import process_unit
     from unitspeech_tpu.train.finetune import finetune_decoder, prepare_finetune_inputs
     from unitspeech_tpu.utils import artifacts
@@ -280,19 +298,20 @@ def main_finetune(argv=None):
     wav, sr = load_wav(args.reference)
     if sr != cfg.data.sampling_rate:
         raise SystemExit(f"{args.reference}: expected {cfg.data.sampling_rate} Hz, got {sr}")
-    mel = np.asarray(
-        mel_spectrogram(wav[None, :], n_fft=cfg.data.n_fft, num_mels=cfg.data.n_feats,
-                        sampling_rate=cfg.data.sampling_rate, hop_size=cfg.data.hop_length,
-                        win_size=cfg.data.win_length, fmin=cfg.data.mel_fmin,
-                        fmax=cfg.data.mel_fmax)
-    )[0]
+    from unitspeech_tpu.ops.mel import normalize_mel
+
+    mel, pad_to = _reference_mel(wav, cfg, args.frame_buckets)
     mel = normalize_mel(mel, bundle.mel_min, bundle.mel_max)
 
     # --- speaker embedding ---
     if args.spk_emb:
         spk_emb = np.load(args.spk_emb).reshape(1, -1)
     elif args.speaker_embedder:
-        spk_emb = extract_speaker_embedding(args.speaker_embedder, wav, sr, cfg)
+        spk_emb = extract_speaker_embedding(
+            args.speaker_embedder, wav, sr, cfg,
+            sample_buckets=None if args.exact_ssl
+            else DEFAULT_SPK_SAMPLE_BUCKETS,
+        )
     elif bundle.spk_emb is not None:
         spk_emb = bundle.spk_emb
     else:
@@ -314,7 +333,7 @@ def main_finetune(argv=None):
     unit_encoder = Encoder.from_config(cfg.unit_encoder)
     cond_x, y, y_lengths, attn = prepare_finetune_inputs(
         unit_encoder, ue_params, units, durations, mel,
-        num_downsamplings=cfg.decoder.num_downsamplings,
+        num_downsamplings=cfg.decoder.num_downsamplings, pad_to=pad_to,
     )
 
     decoder = UnitSpeech.from_config(
@@ -348,13 +367,26 @@ def main_finetune(argv=None):
     return 0
 
 
-def extract_speaker_embedding(ckpt_path: str, wav, sr: int, cfg) -> np.ndarray:
+# Sample-bucket ladder for the 324M-param WavLM+ECAPA speaker embedder: its
+# forward compiles per input length (~4 min cold on this stack), so the
+# reference wav is reflect-extended to 6 s / 12 s of 16 kHz audio. Reflect
+# continuation repeats the same speaker's audio, so the pooled embedding
+# stays on-speaker (unit-normalized downstream); the exact-length reference
+# behavior is available via extract_speaker_embedding(..., sample_buckets=
+# None) / `finetune --exact-ssl`. Wavs longer than the ladder fall back to
+# exact length.
+DEFAULT_SPK_SAMPLE_BUCKETS = (96000, 192000)
+
+
+def extract_speaker_embedding(ckpt_path: str, wav, sr: int, cfg,
+                              sample_buckets=DEFAULT_SPK_SAMPLE_BUCKETS) -> np.ndarray:
     """wav (22.05 kHz) -> 256-d embedding via WavLM+ECAPA (host resample to
     16 kHz, reference finetune.py:106-110)."""
     import jax.numpy as jnp
     from scipy.signal import resample_poly
 
     from unitspeech_tpu.models.speaker import SpeakerEmbedder
+    from unitspeech_tpu.ops.mel import reflect_extend
     from unitspeech_tpu.utils.checkpoint import load_checkpoint
     from unitspeech_tpu.utils.torch_convert_ssl import convert_speaker_embedder
 
@@ -369,9 +401,60 @@ def extract_speaker_embedding(ckpt_path: str, wav, sr: int, cfg) -> np.ndarray:
         variables = load_checkpoint(ckpt_path)
     if sr != cfg.spk_embedder.sr:
         wav = resample_poly(np.asarray(wav, np.float64), cfg.spk_embedder.sr, sr)
+    wav = np.asarray(wav, np.float32)
+    if sample_buckets:
+        for b in sample_buckets:
+            if b >= len(wav):
+                wav = reflect_extend(wav, b)
+                break
     model = SpeakerEmbedder.from_config(cfg.spk_embedder)
-    emb = model.apply(variables, jnp.asarray(np.asarray(wav)[None], jnp.float32))
+    emb = model.apply(variables, jnp.asarray(wav[None], jnp.float32))
     return np.asarray(emb)
+
+
+# Mel-frame bucket ladder for voice adaptation: 4/8/12/16/24 s of 22.05 kHz
+# audio (hop 256). Every entry is a fix_len_compatibility multiple; the
+# finetune scan, unit encoder, and mel frontend compile once PER BUCKET and
+# replay from the persistent cache for any reference duration underneath
+# (VERDICT r4 item 4 — the 12.7-minute cold adapt session was dominated by
+# per-length compiles no cache entry could cover twice).
+DEFAULT_ADAPT_BUCKETS = "344,688,1032,1376,2064"
+
+
+def _reference_mel(wav, cfg, frame_buckets: str):
+    """Mel of a reference wav with frame-bucketed compilation.
+
+    Returns (mel (T_true, n_feats) float32, pad_to bucket or None). The wav
+    is reflect-extended to bucket*hop samples so mel_spectrogram compiles at
+    one shape per bucket; the first T_true frames are bit-identical to the
+    exact-length mel (ops/mel.reflect_extend docstring)."""
+    import numpy as _np
+
+    from unitspeech_tpu.ops.masking import choose_bucket, fix_len_compatibility
+    from unitspeech_tpu.ops.mel import (
+        mel_spectrogram,
+        mel_true_frames,
+        reflect_extend,
+    )
+
+    d = cfg.data
+    t_true = mel_true_frames(len(wav), d.n_fft, d.hop_length)
+    pad_to = None
+    if frame_buckets:
+        ladder = tuple(int(x) for x in str(frame_buckets).split(",") if x)
+        pad_to = choose_bucket(
+            fix_len_compatibility(t_true, cfg.decoder.num_downsamplings),
+            ladder,
+        )
+        wav = reflect_extend(wav, pad_to * d.hop_length)
+    mel = _np.asarray(
+        mel_spectrogram(
+            wav[None, :], n_fft=d.n_fft, num_mels=d.n_feats,
+            sampling_rate=d.sampling_rate, hop_size=d.hop_length,
+            win_size=d.win_length, fmin=d.mel_fmin, fmax=d.mel_fmax,
+        )
+    )[0][:t_true]
+    return mel, pad_to
 
 
 def build_unit_extractor(hubert_path: str, kmeans_path: str, cfg):
@@ -1085,6 +1168,138 @@ def main_evaluate(argv=None):
 
 
 
+def main_warmup_adapt(argv=None):
+    """Populate the persistent compile cache for the whole adapt-a-voice
+    session (VERDICT r4 item 4: the cold session was 12.7 min of compiles).
+
+    Compiles, with random weights (the cache key covers only the PROGRAM, so
+    warmed executables replay for real checkpoints): per frame bucket the
+    mel frontend, unit-encoder forward, and the full n-iter finetune scan;
+    plus (default on) the WavLM+ECAPA speaker embedder at its sample-bucket
+    ladder and the mHuBERT reader at every sample bucket up to
+    --max-seconds. After one warmup, a fresh `finetune` process replays
+    everything from ~/.cache/unitspeech_tpu_xla (tools/bench_ssl.py --label
+    warm records the measured warm session)."""
+    ap = argparse.ArgumentParser("unitspeech-tpu warmup-adapt")
+    _common(ap)
+    ap.add_argument("--frame-buckets", default=DEFAULT_ADAPT_BUCKETS)
+    ap.add_argument("--n-iters", type=int, default=None)
+    ap.add_argument("--max-seconds", type=float, default=12.0,
+                    help="longest reference wav to warm the SSL stacks for")
+    ap.add_argument("--no-ssl", dest="ssl", action="store_false",
+                    default=True, help="skip the SSL stack warmup")
+    ap.add_argument("--fp32", dest="bf16", action="store_false")
+    args = ap.parse_args(argv)
+    cfg = _setup(args)
+
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from unitspeech_tpu.models.diffusion import UnitSpeech
+    from unitspeech_tpu.models.encoder import Encoder
+    from unitspeech_tpu.ops.mel import mel_spectrogram
+    from unitspeech_tpu.train.finetune import finetune_decoder
+
+    d = cfg.data
+    n_iters = args.n_iters or cfg.finetune.n_iters
+    ladder = tuple(int(x) for x in str(args.frame_buckets).split(",") if x)
+    report = {"frame_buckets": list(ladder), "n_iters": n_iters,
+              "compiles": {}}
+
+    unit_encoder = Encoder.from_config(cfg.unit_encoder)
+    ue_params = unit_encoder.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32), jnp.array([8])
+    )
+    decoder = UnitSpeech.from_config(
+        cfg.decoder, dtype=jnp.bfloat16 if args.bf16 else jnp.float32
+    )
+    dec_params = decoder.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, 8, cfg.decoder.n_feats)), jnp.ones((1, 8)),
+        jnp.zeros((1, 8, cfg.decoder.n_feats)), jnp.zeros((1,)),
+        jnp.zeros((1, cfg.decoder.spk_emb_dim)),
+    )
+    ue_apply = jax.jit(unit_encoder.apply)
+    for b in ladder:
+        t0 = time.perf_counter()
+        np.asarray(mel_spectrogram(
+            jnp.zeros((1, b * d.hop_length)), n_fft=d.n_fft,
+            num_mels=d.n_feats, sampling_rate=d.sampling_rate,
+            hop_size=d.hop_length, win_size=d.win_length, fmin=d.mel_fmin,
+            fmax=d.mel_fmax,
+        ))
+        cond_x, _, _ = ue_apply(
+            ue_params, jnp.zeros((1, b), jnp.int32), jnp.array([b])
+        )
+        np.asarray(cond_x)
+        # the big one: the n-iter finetune scan at this bucket (statics
+        # mirror main_finetune exactly — any mismatch is a cache miss)
+        finetune_decoder.lower(
+            decoder.apply, dec_params,
+            jnp.zeros((1, b, cfg.unit_encoder.n_channels)),
+            jnp.zeros((1, b, cfg.decoder.n_feats)), jnp.array([b]),
+            jnp.zeros((1, b, b)), jnp.zeros((1, cfg.decoder.spk_emb_dim)),
+            jax.random.PRNGKey(2),
+            segment_size=cfg.out_size, n_iters=n_iters,
+            learning_rate=cfg.finetune.learning_rate,
+            grad_clip=cfg.finetune.grad_clip,
+            beta_min=cfg.decoder.beta_min, beta_max=cfg.decoder.beta_max,
+        ).compile()
+        report["compiles"][f"bucket_{b}"] = round(time.perf_counter() - t0, 1)
+        print(json.dumps({f"bucket_{b}_s": report["compiles"][f"bucket_{b}"]}),
+              flush=True)
+
+    if args.ssl:
+        from unitspeech_tpu.models.speaker import SpeakerEmbedder
+        from unitspeech_tpu.models.ssl.hubert import (
+            HubertFeatureReader,
+            HubertModel,
+            hubert_config_by_name,
+        )
+
+        max_samples = int(args.max_seconds * cfg.spk_embedder.sr)
+        spk_model = SpeakerEmbedder.from_config(cfg.spk_embedder)
+        t0 = time.perf_counter()
+        spk_vars = jax.jit(spk_model.init)(
+            jax.random.PRNGKey(3), jnp.zeros((1, 8000), jnp.float32)
+        )
+        spk_fwd = jax.jit(spk_model.apply)
+        for b in DEFAULT_SPK_SAMPLE_BUCKETS:
+            if b > max(max_samples, DEFAULT_SPK_SAMPLE_BUCKETS[0]):
+                break
+            np.asarray(spk_fwd(spk_vars, jnp.zeros((1, b), jnp.float32)))
+            print(json.dumps({f"spk_{b}_s":
+                              round(time.perf_counter() - t0, 1)}),
+                  flush=True)
+            t0 = time.perf_counter()
+        hcfg = hubert_config_by_name(cfg.unit_extractor.dense_model_name)
+        hmodel = HubertModel(hcfg)
+        hparams = jax.jit(hmodel.init)(
+            jax.random.PRNGKey(4), jnp.zeros((1, 8000), jnp.float32)
+        )
+        reader = HubertFeatureReader(
+            hmodel, hparams,
+            layer=min(cfg.unit_extractor.hubert_layer, hcfg.num_layers),
+        )
+        t0 = time.perf_counter()
+        for b in reader.buckets:
+            if b > max_samples + reader.buckets[0]:
+                break
+            reader(np.zeros(b, np.float32))
+            report["compiles"][f"hubert_{b}"] = round(
+                time.perf_counter() - t0, 1
+            )
+            t0 = time.perf_counter()
+        print(json.dumps({"hubert_buckets_warmed":
+                          len([k for k in report["compiles"]
+                               if k.startswith("hubert_")])}), flush=True)
+
+    print(json.dumps({"warmed": True, **report}))
+    return 0
+
+
 def main_train_vocoder(argv=None):
     """BigVGAN adversarial training (capability beyond the reference, which
     ships its discriminators untrained — SURVEY.md §2.1 #9): alternating
@@ -1328,6 +1543,7 @@ COMMANDS = {
     "serve": main_serve,
     "evaluate": main_evaluate,
     "finetune": main_finetune,
+    "warmup-adapt": main_warmup_adapt,
     "voice-conversion": main_voice_conversion,
     "train-step1": main_train_step1,
     "train-step2": main_train_step2,

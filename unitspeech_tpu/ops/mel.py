@@ -115,6 +115,32 @@ def mel_spectrogram(
     return jnp.log(jnp.clip(mel, 1e-5, None))
 
 
+def mel_true_frames(n_samples: int, n_fft: int = 1024, hop: int = 256) -> int:
+    """Exact mel frame count mel_spectrogram produces for an n_samples wav
+    (reflect pad (n_fft-hop)/2 each side, center=False framing)."""
+    pad = (n_fft - hop) // 2
+    return 1 + (n_samples + 2 * pad - n_fft) // hop
+
+
+def reflect_extend(wav: "np.ndarray", target_len: int) -> "np.ndarray":
+    """Host-side: extend a 1-D wav to target_len samples by repeated reflect
+    padding on the right. Purpose: ONE mel_spectrogram compile per frame
+    bucket instead of one per reference length. The first (n_fft-hop)/2
+    appended samples equal mel_spectrogram's own internal right reflect pad,
+    so the first mel_true_frames(len(wav)) frames of the extended signal's
+    mel are BIT-identical to the unextended mel (every true frame's window
+    ends within len(wav) + (n_fft-hop)/2); frames beyond are padding and
+    must be trimmed/masked by the caller
+    (tests/test_train_steps.py::test_bucketed_mel_prefix_exact)."""
+    wav = np.asarray(wav)
+    out = wav
+    while out.shape[0] < target_len:
+        # np.pad reflect requires pad < len; chunk for short signals
+        chunk = min(target_len - out.shape[0], out.shape[0] - 1)
+        out = np.pad(out, (0, chunk), mode="reflect")
+    return out
+
+
 def normalize_mel(mel, mel_min, mel_max):
     """Per-channel min-max normalization to [-1, 1].
 

@@ -180,19 +180,37 @@ def finetune_decoder_batched(
 
 
 def prepare_finetune_inputs(
-    unit_encoder, unit_encoder_params, units, durations, mel, num_downsamplings: int = 3
+    unit_encoder, unit_encoder_params, units, durations, mel,
+    num_downsamplings: int = 3, pad_to: int | None = None,
 ):
     """Host-side prep mirroring reference finetune.py:111-129: encode units
     once (frozen), build the duration alignment, pad mel to U-Net-compatible
     length.
 
     units/durations: (Tx,) int arrays; mel: (Ty, F) normalized.
+    pad_to: pad BOTH the token and frame axes to this bucket (must be a
+    fix_len_compatibility multiple >= Ty) so every reference duration in a
+    ladder shares ONE compiled finetune executable (the warm-session path,
+    `cli.py warmup-adapt`). The encoder masks padded tokens and the segment
+    crop is bounded by the true y_lengths, so bucketing is numerics-neutral
+    (tests/test_train_steps.py::test_finetune_bucketed_matches_exact).
     Returns (cond_x, y, y_lengths, attn)."""
     units = jnp.asarray(units)[None]  # (1, Tx)
     durations = jnp.asarray(durations, jnp.float32)[None]
     t_x = units.shape[1]
     t_y = mel.shape[0]
     t_y_pad = fix_len_compatibility(t_y, num_downsamplings)
+    if pad_to is not None:
+        if pad_to < max(t_y_pad, t_x) or pad_to != fix_len_compatibility(
+            pad_to, num_downsamplings
+        ):
+            raise ValueError(
+                f"pad_to={pad_to} must be a U-Net-compatible length >= "
+                f"(frames {t_y_pad}, tokens {t_x})"
+            )
+        t_y_pad = pad_to
+        units = jnp.pad(units, ((0, 0), (0, pad_to - t_x)))
+        durations = jnp.pad(durations, ((0, 0), (0, pad_to - t_x)))
     y = jnp.pad(jnp.asarray(mel), ((0, t_y_pad - t_y), (0, 0)))[None]
 
     cond_x, _, x_mask = unit_encoder.apply(
