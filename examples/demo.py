@@ -22,7 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-if jax.default_backend() not in ("tpu",):
+# CPU unless the caller EXPLICITLY exported JAX_PLATFORMS=tpu: probing
+# jax.default_backend() would initialize (and contend for) the single
+# tunneled TPU chip, which another process may be benchmarking.
+if os.environ.get("JAX_PLATFORMS", "").lower() != "tpu":
     jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp

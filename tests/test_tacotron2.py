@@ -227,3 +227,73 @@ def test_tacotron_vocoder_end_to_end():
     # array input path
     wav2 = voc(np.array([1, 3, 5, 2, 4]))
     assert wav2.shape == wav.shape
+
+
+def test_random_params_match_converted_tree_structure():
+    """random_tacotron2_params / random_waveglow_params must produce the
+    exact tree structure+shapes the torch converters produce (so demos and
+    benches can initialize without torch) — checked leaf-by-leaf against a
+    converted reference state dict."""
+    import jax
+
+    from unitspeech_tpu.models.tacotron2 import random_tacotron2_params
+    from unitspeech_tpu.models.waveglow import (
+        convert_waveglow,
+        random_waveglow_params,
+        waveglow_test_config,
+    )
+
+    cfg = tacotron2_test_config()
+    _, conv_params = _make_pair(cfg, seed=1)
+    rand_params = random_tacotron2_params(cfg, seed=0)
+    ca, cb = jax.tree_util.tree_structure(conv_params), \
+        jax.tree_util.tree_structure(rand_params)
+    assert ca == cb
+    for a, b in zip(jax.tree_util.tree_leaves(conv_params),
+                    jax.tree_util.tree_leaves(rand_params)):
+        assert np.asarray(a).shape == np.asarray(b).shape
+
+    wg_cfg = waveglow_test_config(n_mel_channels=cfg.n_mel_channels,
+                                  n_flows=3, n_channels=8)
+    torch.manual_seed(2)
+    wn_config = dict(n_layers=wg_cfg.n_layers, n_channels=wg_cfg.n_channels,
+                     kernel_size=wg_cfg.kernel_size)
+    ref_wg = REF.glow.WaveGlow(wg_cfg.n_mel_channels, wg_cfg.n_flows,
+                               wg_cfg.n_group, wg_cfg.n_early_every,
+                               wg_cfg.n_early_size, wn_config)
+    ref_wg.upsample = torch.nn.ConvTranspose1d(
+        wg_cfg.n_mel_channels, wg_cfg.n_mel_channels, wg_cfg.upsample_kernel,
+        stride=wg_cfg.upsample_stride)
+    conv_wg = convert_waveglow(
+        {k: v.numpy() for k, v in ref_wg.state_dict().items()}, wg_cfg)
+    rand_wg = random_waveglow_params(wg_cfg, seed=0)
+    assert jax.tree_util.tree_structure(conv_wg) == \
+        jax.tree_util.tree_structure(rand_wg)
+    for a, b in zip(jax.tree_util.tree_leaves(conv_wg),
+                    jax.tree_util.tree_leaves(rand_wg)):
+        assert np.asarray(a).shape == np.asarray(b).shape
+
+
+def test_resynthesis_example_tiny_stack():
+    """examples/resynthesis.py end-to-end on the random tiny stack: wav ->
+    units -> TacotronVocoder -> waveform + bitrate stat (textlesslib
+    examples/resynthesis parity, SURVEY #30 tail)."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "resynthesis_example", os.path.join(root, "examples/resynthesis.py"))
+    ex = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ex)
+
+    encoder, voc, name, vocab = ex.build_tiny_stack()
+    t = np.arange(8000) / 16000.0
+    wav = (0.3 * np.sin(2 * np.pi * 150 * t)).astype(np.float32)
+    units = np.asarray(encoder(wav)["units"])
+    assert units.size > 0
+    uniform, unigram = ex.bitrates("hubert-base-ls960", units.size, 100, 0.5)
+    assert abs(uniform - np.log2(100) * units.size / 0.5) < 1e-9
+    assert abs(unigram - 6.4451 * units.size / 0.5) < 1e-9
+    out = voc(units)
+    assert out.ndim == 1 and out.size > 0 and np.isfinite(out).all()

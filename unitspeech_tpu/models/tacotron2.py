@@ -336,6 +336,89 @@ def tacotron2_infer(params: Dict, cfg: Tacotron2Config, tokens, lengths,
 # torch checkpoint conversion
 
 
+def random_tacotron2_params(cfg: Tacotron2Config, seed: int = 0,
+                            scale: float = 0.1) -> Dict:
+    """Random param tree with the exact structure/shapes `convert_tacotron2`
+    produces — torch-free initialization for demos, benches, and shape
+    tests (examples/resynthesis.py; no reference equivalent — the reference
+    only ever loads published checkpoints)."""
+    rng = np.random.default_rng(seed)
+
+    def w(*shape):
+        return (scale * rng.standard_normal(shape)).astype(np.float32)
+
+    def lin(out, inp, bias=True):
+        d = {"weight": w(out, inp)}
+        if bias:
+            d["bias"] = w(out)
+        return d
+
+    def conv(k, cin, cout, bias=True):
+        d = {"kernel": w(k, cin, cout)}
+        if bias:
+            d["bias"] = w(cout)
+        return d
+
+    def bn(c):
+        return {"weight": 1.0 + w(c), "bias": w(c),
+                "running_mean": w(c),
+                "running_var": (1.0 + w(c) ** 2).astype(np.float32)}
+
+    def lstmcell(hidden, inp):
+        return {"weight_ih": w(4 * hidden, inp),
+                "weight_hh": w(4 * hidden, hidden), "bias": w(4 * hidden)}
+
+    e = cfg.encoder_embedding_dim
+    mem = e + cfg.obs_dim + cfg.lat_dim
+    half = e // 2
+    p: Dict[str, Any] = {
+        "embedding": {"weight": w(cfg.n_symbols, cfg.symbols_embedding_dim)},
+        "encoder": {
+            "lstm_fwd": lstmcell(half, e),
+            "lstm_bwd": lstmcell(half, e),
+        },
+    }
+    for i in range(cfg.encoder_n_convolutions):
+        cin = cfg.symbols_embedding_dim if i == 0 else e
+        p["encoder"][f"conv{i}"] = {
+            "conv": conv(cfg.encoder_kernel_size, cin, e), "bn": bn(e),
+        }
+    if cfg.obs_dim > 0:
+        p["obs_embedding"] = {"weight": w(cfg.obs_n_class, cfg.obs_dim)}
+    n_out = cfg.n_mel_channels * cfg.n_frames_per_step
+    p["decoder"] = {
+        "prenet": {"layer0": lin(cfg.prenet_dim, n_out, bias=False),
+                   "layer1": lin(cfg.prenet_dim, cfg.prenet_dim, bias=False)},
+        "attention_rnn": lstmcell(cfg.attention_rnn_dim,
+                                  cfg.prenet_dim + mem),
+        "attention": {
+            "query": lin(cfg.attention_dim, cfg.attention_rnn_dim,
+                         bias=False),
+            "memory": lin(cfg.attention_dim, mem, bias=False),
+            "v": lin(1, cfg.attention_dim, bias=False),
+            "location_conv": conv(cfg.attention_location_kernel_size, 2,
+                                  cfg.attention_location_n_filters,
+                                  bias=False),
+            "location_dense": lin(cfg.attention_dim,
+                                  cfg.attention_location_n_filters,
+                                  bias=False),
+        },
+        "decoder_rnn": lstmcell(cfg.decoder_rnn_dim,
+                                cfg.attention_rnn_dim + mem),
+        "linear_projection": lin(n_out, cfg.decoder_rnn_dim + mem),
+        "gate": lin(1, cfg.decoder_rnn_dim + mem),
+    }
+    pn: Dict[str, Any] = {}
+    for i in range(cfg.postnet_n_convolutions):
+        cin = cfg.n_mel_channels if i == 0 else cfg.postnet_embedding_dim
+        cout = (cfg.n_mel_channels if i == cfg.postnet_n_convolutions - 1
+                else cfg.postnet_embedding_dim)
+        pn[f"conv{i}"] = {"conv": conv(cfg.postnet_kernel_size, cin, cout),
+                          "bn": bn(cout)}
+    p["postnet"] = pn
+    return p
+
+
 def _t(a) -> np.ndarray:
     return np.asarray(a, np.float32)
 

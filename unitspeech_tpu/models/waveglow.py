@@ -258,6 +258,44 @@ def _fold_wn_conv(sd, prefix) -> Tuple[np.ndarray, np.ndarray]:
     return w.transpose(2, 1, 0), _t(sd[f"{prefix}.bias"])
 
 
+def random_waveglow_params(cfg: WaveGlowConfig, seed: int = 0,
+                           scale: float = 0.1) -> Dict:
+    """Random param tree with the exact structure/shapes `convert_waveglow`
+    produces — torch-free initialization for demos and shape tests
+    (examples/resynthesis.py)."""
+    rng = np.random.default_rng(seed)
+
+    def w(*shape):
+        return (scale * rng.standard_normal(shape)).astype(np.float32)
+
+    def conv(k, cin, cout):
+        return {"kernel": w(k, cin, cout), "bias": w(cout)}
+
+    p: Dict[str, Any] = {
+        "upsample": conv(cfg.upsample_kernel, cfg.n_mel_channels,
+                         cfg.n_mel_channels),
+    }
+    nc = cfg.n_channels
+    cond_in = cfg.n_mel_channels * cfg.n_group
+    for k, c_k in enumerate(cfg.flow_channels()):
+        n_half = c_k // 2
+        # any square matrix works as the precomputed inverse 1x1 weight
+        p[f"convinv{k}"] = {
+            "w_inverse": (np.eye(c_k) + w(c_k, c_k)).astype(np.float32)
+        }
+        wn: Dict[str, Any] = {
+            "start": conv(1, n_half, nc),
+            "end": conv(1, nc, 2 * n_half),
+            "cond": conv(1, cond_in, 2 * nc * cfg.n_layers),
+        }
+        for i in range(cfg.n_layers):
+            wn[f"in_layer{i}"] = conv(cfg.kernel_size, nc, 2 * nc)
+            out_c = 2 * nc if i < cfg.n_layers - 1 else nc
+            wn[f"res_skip{i}"] = conv(1, nc, out_c)
+        p[f"wn{k}"] = wn
+    return p
+
+
 def convert_waveglow(sd: Dict[str, np.ndarray], cfg: WaveGlowConfig) -> Dict:
     """torch WaveGlow state dict -> our inference param tree: weight norm
     folded, inverse 1x1 weights precomputed, upsample kernel moved to the
