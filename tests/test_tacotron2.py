@@ -297,3 +297,27 @@ def test_resynthesis_example_tiny_stack():
     assert abs(unigram - 6.4451 * units.size / 0.5) < 1e-9
     out = voc(units)
     assert out.ndim == 1 and out.size > 0 and np.isfinite(out).all()
+
+
+def test_speaker_probing_example():
+    """examples/speaker_probing.py: both probes must beat the constant
+    baseline on the synthetic two-speaker corpus (textlesslib
+    examples/speaker_probing parity, SURVEY #30 tail)."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "speaker_probing_example",
+        os.path.join(root, "examples/speaker_probing.py"))
+    ex = importlib.util.module_from_spec(spec)
+    # dataclass-transformed flax modules resolve their defining module at
+    # class creation; it must be importable by name during exec
+    sys.modules[spec.name] = ex
+    spec.loader.exec_module(ex)
+    baseline, disc, cont = ex.main(["--steps", "40", "--n-per-speaker", "8"])
+    assert baseline <= 0.5 + 1e-9
+    assert disc > baseline
+    assert cont > baseline
