@@ -169,7 +169,9 @@ def main():
         n_feats=cfg.data.n_feats,
     )
     unit_encoder = Encoder.from_config(uecfg)
-    ue_params = unit_encoder.init(
+    # jit the inits: EAGER module construction pays thousands of ~25-35 ms
+    # per-op tunnel dispatches (measured ~390-480 s of the cold session)
+    ue_params = jax.jit(unit_encoder.init)(
         jax.random.PRNGKey(2),
         jnp.zeros((1, 8), jnp.int32), jnp.array([8]),
     )
@@ -181,7 +183,7 @@ def main():
         cfg.decoder, dim=8, dim_mults=(1, 2), groups=4,
     )
     decoder = UnitSpeech.from_config(dcfg, dtype=dtype)
-    dec_params = decoder.init(
+    dec_params = jax.jit(decoder.init)(
         jax.random.PRNGKey(3),
         jnp.zeros((1, 8, dcfg.n_feats)), jnp.ones((1, 8)),
         jnp.zeros((1, 8, dcfg.n_feats)), jnp.zeros((1,)),

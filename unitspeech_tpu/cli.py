@@ -697,15 +697,19 @@ def main_train_step1(argv=None):
     key = jax.random.PRNGKey(cfg.train.seed)
     k1, k2, k3 = jax.random.split(key, 3)
     s_dim = cfg.decoder.spk_emb_dim
+    # jitted inits: eager full-size module construction pays ~25-35 ms
+    # per-op dispatch on the tunneled TPU (minutes for the U-Net)
     params = {
-        "text_encoder": text_encoder.init(
+        "text_encoder": jax.jit(text_encoder.init)(
             k1, jnp.zeros((1, 8), jnp.int32), jnp.array([8])
         ),
-        "duration_predictor": dp.init(
-            k2, jnp.zeros((1, 8, cfg.text_encoder.n_channels)), jnp.ones((1, 8, 1)),
-            g=jnp.zeros((1, s_dim)), reverse=True,
+        "duration_predictor": jax.jit(
+            lambda k, x, m, g: dp.init(k, x, m, g=g, reverse=True)
+        )(
+            k2, jnp.zeros((1, 8, cfg.text_encoder.n_channels)),
+            jnp.ones((1, 8, 1)), jnp.zeros((1, s_dim)),
         ),
-        "decoder": decoder.init(
+        "decoder": jax.jit(decoder.init)(
             k3, jnp.zeros((1, 8, cfg.data.n_feats)), jnp.ones((1, 8)),
             jnp.zeros((1, 8, cfg.data.n_feats)), jnp.zeros((1,)),
             jnp.zeros((1, s_dim)),
@@ -797,7 +801,9 @@ def main_train_step2(argv=None):
         cfg.decoder, dtype=jnp.bfloat16 if cfg.train.use_bf16 else jnp.float32
     )
     key = jax.random.PRNGKey(cfg.train.seed)
-    ue_params = unit_encoder.init(key, jnp.zeros((1, 8), jnp.int32), jnp.array([8]))
+    ue_params = jax.jit(unit_encoder.init)(
+        key, jnp.zeros((1, 8), jnp.int32), jnp.array([8])
+    )
     optimizer = optax.adam(cfg.train.learning_rate)
     train_step = make_step2_train_step(
         unit_encoder, decoder, optimizer, out_size=cfg.out_size,
@@ -1209,13 +1215,13 @@ def main_warmup_adapt(argv=None):
               "compiles": {}}
 
     unit_encoder = Encoder.from_config(cfg.unit_encoder)
-    ue_params = unit_encoder.init(
+    ue_params = jax.jit(unit_encoder.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32), jnp.array([8])
     )
     decoder = UnitSpeech.from_config(
         cfg.decoder, dtype=jnp.bfloat16 if args.bf16 else jnp.float32
     )
-    dec_params = decoder.init(
+    dec_params = jax.jit(decoder.init)(
         jax.random.PRNGKey(1),
         jnp.zeros((1, 8, cfg.decoder.n_feats)), jnp.ones((1, 8)),
         jnp.zeros((1, 8, cfg.decoder.n_feats)), jnp.zeros((1,)),

@@ -75,7 +75,9 @@ class TTSModels:
         text_encoder = Encoder.from_config(cfg.text_encoder)
         tokens = jnp.zeros((1, 8), jnp.int32)
         lengths = jnp.array([8])
-        te_params = text_encoder.init(k1, tokens, lengths)
+        # jitted inits (eager per-op tunnel dispatch costs minutes at
+        # full size; one cacheable compile instead)
+        te_params = jax.jit(text_encoder.init)(k1, tokens, lengths)
         dp = DurationPredictor(
             in_channels=cfg.duration_predictor.in_channels,
             filter_channels=cfg.duration_predictor.filter_channels,
@@ -87,7 +89,9 @@ class TTSModels:
         mask = jnp.ones((1, 8, 1))
         spk = jax.random.normal(k5, (1, cfg.decoder.spk_emb_dim))
         spk = spk / jnp.linalg.norm(spk)
-        dp_params = dp.init(k2, hidden, mask, g=spk, reverse=True)
+        dp_params = jax.jit(
+            lambda k, h, m, g: dp.init(k, h, m, g=g, reverse=True)
+        )(k2, hidden, mask, spk)
         decoder = UnitSpeech.from_config(
             cfg.decoder, dtype=dtype, use_pallas_resnet=use_pallas_resnet,
             use_pallas_attention=use_pallas_attention,
@@ -97,7 +101,7 @@ class TTSModels:
             tap_mode=tap_mode,
         )
         t8 = fix_len_compatibility(8, cfg.decoder.num_downsamplings)
-        dec_params = decoder.init(
+        dec_params = jax.jit(decoder.init)(
             k3,
             jnp.zeros((1, t8, cfg.decoder.n_feats)),
             jnp.ones((1, t8)),
@@ -110,7 +114,9 @@ class TTSModels:
             vocoder = BigVGAN.from_config(
                 cfg.vocoder, dtype=dtype, use_pallas=use_pallas_vocoder
             )
-            vocoder_params = vocoder.init(k4, jnp.zeros((1, 8, cfg.vocoder.num_mels)))
+            vocoder_params = jax.jit(vocoder.init)(
+                k4, jnp.zeros((1, 8, cfg.vocoder.num_mels))
+            )
         return cls(
             cfg=cfg,
             text_encoder=text_encoder,

@@ -195,8 +195,10 @@ def prepare_finetune_inputs(
     crop is bounded by the true y_lengths, so bucketing is numerics-neutral
     (tests/test_train_steps.py::test_finetune_bucketed_matches_exact).
     Returns (cond_x, y, y_lengths, attn)."""
-    units = jnp.asarray(units)[None]  # (1, Tx)
-    durations = jnp.asarray(durations, jnp.float32)[None]
+    import numpy as _np
+
+    units = _np.asarray(units)[None]  # (1, Tx)
+    durations = _np.asarray(durations, _np.float32)[None]
     t_x = units.shape[1]
     t_y = mel.shape[0]
     t_y_pad = fix_len_compatibility(t_y, num_downsamplings)
@@ -209,14 +211,26 @@ def prepare_finetune_inputs(
                 f"(frames {t_y_pad}, tokens {t_x})"
             )
         t_y_pad = pad_to
-        units = jnp.pad(units, ((0, 0), (0, pad_to - t_x)))
-        durations = jnp.pad(durations, ((0, 0), (0, pad_to - t_x)))
-    y = jnp.pad(jnp.asarray(mel), ((0, t_y_pad - t_y), (0, 0)))[None]
+        units = _np.pad(units, ((0, 0), (0, pad_to - t_x)))
+        durations = _np.pad(durations, ((0, 0), (0, pad_to - t_x)))
+    y = _np.pad(_np.asarray(mel), ((0, t_y_pad - t_y), (0, 0)))[None]
 
-    cond_x, _, x_mask = unit_encoder.apply(
-        unit_encoder_params, units, jnp.array([t_x])
+    # ONE jitted program for the device-side prep: running the encoder
+    # eagerly costs thousands of ~25-35 ms per-op dispatches on the
+    # tunneled TPU (measured: the whole eager prep was ~390-480 s of a
+    # cold adapt session; jitted it is one cacheable compile + one call)
+    cond_x, attn = _prepare_jit(
+        unit_encoder, unit_encoder_params, jnp.asarray(units),
+        jnp.asarray(durations), jnp.array([t_x]), jnp.array([t_y]), t_y_pad,
     )
+    return cond_x, jnp.asarray(y), jnp.array([t_y]), attn
+
+
+@partial(jax.jit, static_argnames=("unit_encoder", "t_y_pad"))
+def _prepare_jit(unit_encoder, params, units, durations, t_x, t_y,
+                 t_y_pad: int):
+    cond_x, _, x_mask = unit_encoder.apply(params, units, t_x)
     cond_x = jax.lax.stop_gradient(cond_x)
-    y_mask = sequence_mask(jnp.array([t_y]), t_y_pad)
+    y_mask = sequence_mask(t_y, t_y_pad)
     attn = generate_path(durations, x_mask * y_mask[:, None, :])
-    return cond_x, y, jnp.array([t_y]), attn
+    return cond_x, attn
