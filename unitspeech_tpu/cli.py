@@ -344,12 +344,23 @@ def main_finetune(argv=None):
     import time
 
     t0 = time.perf_counter()
-    new_params, losses = finetune_decoder(
-        decoder.apply, bundle.params, cond_x, y, y_lengths, attn,
+    # AOT artifact cache (utils/aot_cache.py): a warmed session skips the
+    # ~40 s scan trace+lowering, not just the XLA compile; the key folds
+    # the decoder config + every static below, the value the arg shapes
+    def _ft(params, c, yy, yl, a, s, k):
+        return finetune_decoder(
+            decoder.apply, params, c, yy, yl, a, s, k,
+            segment_size=cfg.out_size, n_iters=n_iters, learning_rate=lr,
+            grad_clip=cfg.finetune.grad_clip,
+            beta_min=cfg.decoder.beta_min, beta_max=cfg.decoder.beta_max,
+        )
+
+    from unitspeech_tpu.utils import aot_cache
+
+    (new_params, losses), _hit = aot_cache.cached_call(
+        _adapt_aot_key(cfg, n_iters, lr, args.bf16), _ft,
+        bundle.params, cond_x, y, y_lengths, attn,
         jnp.asarray(spk_emb, jnp.float32), jax.random.PRNGKey(args.seed),
-        segment_size=cfg.out_size, n_iters=n_iters, learning_rate=lr,
-        grad_clip=cfg.finetune.grad_clip,
-        beta_min=cfg.decoder.beta_min, beta_max=cfg.decoder.beta_max,
     )
     losses = np.asarray(losses)
     dt = time.perf_counter() - t0
@@ -419,6 +430,14 @@ def extract_speaker_embedding(ckpt_path: str, wav, sr: int, cfg,
 # (VERDICT r4 item 4 — the 12.7-minute cold adapt session was dominated by
 # per-length compiles no cache entry could cover twice).
 DEFAULT_ADAPT_BUCKETS = "344,688,1032,1376,2064"
+
+
+def _adapt_aot_key(cfg, n_iters: int, lr: float, bf16: bool) -> str:
+    """AOT-cache key for the adapt-a-voice finetune scan: every static the
+    program depends on (decoder config + loop statics + dtype); the arg
+    shapes (bucket) are folded in by aot_cache itself."""
+    return (f"finetune|{cfg.decoder}|out{cfg.out_size}|it{n_iters}|lr{lr}"
+            f"|clip{cfg.finetune.grad_clip}|bf16{bf16}")
 
 
 def _reference_mel(wav, cfg, frame_buckets: str):
@@ -1240,19 +1259,30 @@ def main_warmup_adapt(argv=None):
             ue_params, jnp.zeros((1, b), jnp.int32), jnp.array([b])
         )
         np.asarray(cond_x)
-        # the big one: the n-iter finetune scan at this bucket (statics
-        # mirror main_finetune exactly — any mismatch is a cache miss)
-        finetune_decoder.lower(
-            decoder.apply, dec_params,
+        # the big one: the n-iter finetune scan at this bucket. Built
+        # through the SAME AOT-artifact path main_finetune replays
+        # (utils/aot_cache): statics + key mirror it exactly — any
+        # mismatch is a cache miss
+        def _ft(params, c, yy, yl, a, s, k):
+            return finetune_decoder(
+                decoder.apply, params, c, yy, yl, a, s, k,
+                segment_size=cfg.out_size, n_iters=n_iters,
+                learning_rate=cfg.finetune.learning_rate,
+                grad_clip=cfg.finetune.grad_clip,
+                beta_min=cfg.decoder.beta_min, beta_max=cfg.decoder.beta_max,
+            )
+
+        from unitspeech_tpu.utils import aot_cache
+
+        aot_cache.warm(
+            _adapt_aot_key(cfg, n_iters, cfg.finetune.learning_rate,
+                           args.bf16),
+            _ft, dec_params,
             jnp.zeros((1, b, cfg.unit_encoder.n_channels)),
             jnp.zeros((1, b, cfg.decoder.n_feats)), jnp.array([b]),
             jnp.zeros((1, b, b)), jnp.zeros((1, cfg.decoder.spk_emb_dim)),
             jax.random.PRNGKey(2),
-            segment_size=cfg.out_size, n_iters=n_iters,
-            learning_rate=cfg.finetune.learning_rate,
-            grad_clip=cfg.finetune.grad_clip,
-            beta_min=cfg.decoder.beta_min, beta_max=cfg.decoder.beta_max,
-        ).compile()
+        )
         report["compiles"][f"bucket_{b}"] = round(time.perf_counter() - t0, 1)
         print(json.dumps({f"bucket_{b}_s": report["compiles"][f"bucket_{b}"]}),
               flush=True)
