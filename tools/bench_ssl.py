@@ -107,8 +107,15 @@ def main():
     scfg = dc.replace(cfg.spk_embedder, feat_type=spk_variant)
     spk_model = SpeakerEmbedder.from_config(scfg, dtype=dtype)
     t0 = time.perf_counter()
-    spk_vars = jax.jit(spk_model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 8000), jnp.float32)
+    # param materialization the way a REAL session does it (checkpoint ->
+    # host arrays -> device): eval_shape for the tree (trace only), host
+    # random fill, one H2D. Running jit(init) instead loads a ~150 MB init
+    # EXECUTABLE onto the tunneled server — measured 146-344 s even on a
+    # persistent-cache HIT, a cost no real session pays.
+    from unitspeech_tpu.utils.params import host_random_params
+
+    spk_vars = host_random_params(
+        spk_model, (jax.random.PRNGKey(0), jnp.zeros((1, 8000), jnp.float32))
     )
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(spk_vars))
     spk_fwd = jax.jit(spk_model.apply)
@@ -235,7 +242,9 @@ def main():
     }
     print(json.dumps(report["adapt_voice"]), flush=True)
 
-    out = os.path.join(ROOT, "SSL_BENCH.json")
+    # smoke runs are CI/dev validation only — never overwrite the chip
+    # artifact with CPU numbers
+    out = os.path.join(ROOT if not args.smoke else "/tmp", "SSL_BENCH.json")
     if args.label == "warm" and os.path.exists(out):
         with open(out) as f:
             merged = json.load(f)

@@ -1298,8 +1298,13 @@ def main_warmup_adapt(argv=None):
         max_samples = int(args.max_seconds * cfg.spk_embedder.sr)
         spk_model = SpeakerEmbedder.from_config(cfg.spk_embedder)
         t0 = time.perf_counter()
-        spk_vars = jax.jit(spk_model.init)(
-            jax.random.PRNGKey(3), jnp.zeros((1, 8000), jnp.float32)
+        # host-filled params (utils/params.py): jit(init) would load a
+        # ~150 MB init executable onto the tunneled server (146-344 s)
+        from unitspeech_tpu.utils.params import host_random_params
+
+        spk_vars = host_random_params(
+            spk_model,
+            (jax.random.PRNGKey(3), jnp.zeros((1, 8000), jnp.float32)),
         )
         spk_fwd = jax.jit(spk_model.apply)
         for b in DEFAULT_SPK_SAMPLE_BUCKETS:
@@ -1312,8 +1317,8 @@ def main_warmup_adapt(argv=None):
             t0 = time.perf_counter()
         hcfg = hubert_config_by_name(cfg.unit_extractor.dense_model_name)
         hmodel = HubertModel(hcfg)
-        hparams = jax.jit(hmodel.init)(
-            jax.random.PRNGKey(4), jnp.zeros((1, 8000), jnp.float32)
+        hparams = host_random_params(
+            hmodel, (jax.random.PRNGKey(4), jnp.zeros((1, 8000), jnp.float32))
         )
         reader = HubertFeatureReader(
             hmodel, hparams,
