@@ -168,3 +168,30 @@ def test_aa_mode_default_and_probe_is_diagnostic_only():
         jax.clear_caches()
     assert probe.shape == full.shape
     assert not np.allclose(probe, full, rtol=1e-3, atol=1e-3)
+
+
+def test_phase_filters_trace_safe():
+    """_phase_filters must be callable INSIDE a jit trace (regression: a
+    jitted vocoder.init with the pallas path reaches it while tracing; its
+    impulse probes now run under ensure_compile_time_eval)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unitspeech_tpu.ops.pallas_kernels import _phase_filters
+
+    _phase_filters.cache_clear()
+    eager = _phase_filters()
+
+    _phase_filters.cache_clear()
+
+    @jax.jit
+    def f(x):
+        f0, f1, g, o0, o1, od = _phase_filters()
+        return x + float(f0[0]) + float(g[0])
+
+    out = float(f(jnp.zeros(())))
+    traced = _phase_filters()
+    assert out != 0.0
+    for a, b in zip(eager[:3], traced[:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert eager[3:] == traced[3:]

@@ -64,7 +64,11 @@ def _phase_filters(ratio: int = 2, kernel_size: int = 12):
     mid = n // 2
     x = np.zeros((1, n, 1), np.float32)
     x[0, mid, 0] = 1.0
-    y = np.asarray(upsample1d(jnp.asarray(x), ratio, kernel_size))[0, :, 0]
+    # compile-time eval: this probe may run inside a jit trace (e.g.
+    # jit(vocoder.init) with the pallas path), where bare jnp ops would
+    # produce tracers that np.asarray cannot concretize
+    with jax.ensure_compile_time_eval():
+        y = np.asarray(upsample1d(jnp.asarray(x), ratio, kernel_size))[0, :, 0]
     # y[t] = f[t - 2*mid + C] for the impulse; collect nonzero taps
     nz = np.nonzero(np.abs(y) > 1e-8)[0]
     # phase p taps: positions t = 2u + p; up: y2[2u+p] = sum_k fp[k] x[u + op + k]
@@ -88,7 +92,10 @@ def _phase_filters(ratio: int = 2, kernel_size: int = 12):
     for m in (n, n + 1):
         y2 = np.zeros((1, 2 * n, 1), np.float32)
         y2[0, m, 0] = 1.0
-        z = np.asarray(downsample1d(jnp.asarray(y2), ratio, kernel_size))[0, :, 0]
+        with jax.ensure_compile_time_eval():
+            z = np.asarray(
+                downsample1d(jnp.asarray(y2), ratio, kernel_size)
+            )[0, :, 0]
         for u in np.nonzero(np.abs(z) > 1e-8)[0]:
             taps_d[m - 2 * int(u)] = float(z[u])
     down_off = min(taps_d)
