@@ -61,6 +61,7 @@ _SLOW_PREFIXES = (
     "tests/test_sharded_inference.py::test_data_sharded_sampler_runs",
     "tests/test_sharded_inference.py::test_seq_sharded_sampler_matches_unsharded",
     "tests/test_ssl.py::test_ecapa_embedding_shape",
+    "tests/test_tacotron2.py::test_gslm_example_ulm_and_sampling",
     "tests/test_tacotron2.py::test_resynthesis_example_tiny_stack",
     "tests/test_tacotron2.py::test_speaker_probing_example",
     "tests/test_ssl.py::test_wavlm_runs_with_gated_relpos",

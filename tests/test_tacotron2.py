@@ -321,3 +321,34 @@ def test_speaker_probing_example():
     assert baseline <= 0.5 + 1e-9
     assert disc > baseline
     assert cont > baseline
+
+
+def test_gslm_example_ulm_and_sampling():
+    """examples/gslm.py: the unit LM must beat uniform cross-entropy on the
+    synthetic corpus and the scan sampler must emit the requested number of
+    in-vocab units (textlesslib examples/gslm parity, SURVEY #30 tail)."""
+    import importlib.util
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gslm_example", os.path.join(root, "examples/gslm.py"))
+    ex = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = ex
+    spec.loader.exec_module(ex)
+
+    rng = np.random.default_rng(0)
+    vocab = 6
+    # strongly structured streams: the LM must learn the 0-1 alternation
+    streams = [np.tile([0, 1], 200), np.tile([2, 3], 200)]
+    lm, params, loss = ex.train_ulm(streams, vocab, steps=60, seq_len=32,
+                                    batch=8, d_model=32)
+    assert loss < np.log(vocab) * 0.5, loss
+    cont = ex.sample_continuation(lm, params, [0, 1, 0, 1], 25,
+                                  temperature=0.5)
+    assert cont.shape == (25,)
+    assert cont.min() >= 0 and cont.max() < vocab
+    # a near-deterministic corpus should be continued mostly in-pattern
+    expected = np.tile([0, 1], 13)[:25]
+    assert (cont == expected).mean() > 0.6
