@@ -11,10 +11,11 @@ LM (flax), one jitted optax training step, temperature sampling as a
 single lax.scan over a fixed-length token buffer (no Python generation
 loop), and the TacotronVocoder glue for units -> waveform.
 
-Default mode trains the ULM for a minute on synthetic unit streams from
-the tiny random SSL stack, then continues a held-out prompt; with real
-artifacts pass --hubert/--kmeans/--tacotron/--waveglow/--code-dict and a
---train-filelist of wavs to fit the ULM on.
+This demo trains the ULM for a minute on synthetic unit streams from the
+tiny random SSL stack, then continues a held-out prompt. For real
+artifacts, build the encoder/vocoder with
+examples/resynthesis.build_checkpoint_stack and fit `train_ulm` on units
+extracted from your corpus — the sampling/vocoding calls are identical.
 
 Run: python examples/gslm.py
 """

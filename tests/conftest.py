@@ -37,6 +37,7 @@ compile_cache.enable()
 _SLOW_PREFIXES = (
     "tests/test_cfg_cache.py::test_strided_real_module_masked_and_finite",
     "tests/test_cli.py::test_cli_finetune_then_inference",
+    "tests/test_cli.py::test_warmup_adapt_artifact_replays_in_finetune",
     "tests/test_cli_preprocess.py::test_preprocess_spk_embs_and_uncond",
     "tests/test_cli_train.py::test_train_step1_cli_one_epoch",
     "tests/test_cli_train_vocoder.py::test_train_vocoder_cli",

@@ -208,3 +208,85 @@ def test_cli_inference_split_sentences(tiny_artifacts):
     assert rc == 0
     one_wav, _ = load_wav(out_one)
     assert len(long_wav) > len(one_wav)
+
+
+def test_warmup_adapt_artifact_replays_in_finetune(tmp_path, monkeypatch, capsys):
+    """REGRESSION (r5 review finding): warmup-adapt must warm the EXACT
+    finetune program main_finetune replays — at a config where
+    unit_encoder.n_channels != n_feats (24 vs 16), the old warmup traced
+    cond width n_channels and crashed (the real cond_x is the encoder's
+    mu_x, width n_feats). Done = finetune reports aot_hit=True after
+    warmup in a fresh AOT cache."""
+    import json as _json
+
+    from unitspeech_tpu.cli import main_finetune, main_warmup_adapt
+    from unitspeech_tpu.config import load_json
+    from unitspeech_tpu.models.diffusion import UnitSpeech
+    from unitspeech_tpu.models.encoder import Encoder
+    from unitspeech_tpu.utils import artifacts
+    from unitspeech_tpu.utils.checkpoint import save_checkpoint
+
+    monkeypatch.setenv("UNITSPEECH_AOT_CACHE", str(tmp_path / "aot"))
+
+    cfg_d = {
+        "data": {"n_feats": N_FEATS},
+        "unit_encoder": {
+            "n_vocab": 50, "n_feats": N_FEATS, "n_channels": 24,
+            "filter_channels": 32, "n_layers": 1, "n_heads": 2,
+        },
+        "decoder": {
+            "n_feats": N_FEATS, "dim": 8, "dim_mults": [1, 2], "groups": 4,
+            "spk_emb_dim": SPK,
+        },
+        "finetune": {"n_iters": 3},
+    }
+    cfg_path = str(tmp_path / "config.json")
+    with open(cfg_path, "w") as f:
+        _json.dump(cfg_d, f)
+    cfg = load_json(cfg_path)
+
+    ue = Encoder.from_config(cfg.unit_encoder)
+    ue_params = ue.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.array([8]))
+    ue_path = save_checkpoint(str(tmp_path / "ue"), 0, ue_params)
+    dec = UnitSpeech.from_config(cfg.decoder)
+    dec_params = dec.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8, N_FEATS)), jnp.ones((1, 8)),
+        jnp.zeros((1, 8, N_FEATS)), jnp.zeros((1,)), jnp.zeros((1, SPK)),
+    )
+    spk_emb = np.random.default_rng(0).standard_normal((1, SPK)).astype(np.float32)
+    dec_path = artifacts.save_decoder_bundle(
+        str(tmp_path / "dec"), 0,
+        artifacts.DecoderBundle(
+            params=dec_params, spk_emb=spk_emb,
+            mel_min=np.full((N_FEATS,), -12.0, np.float32),
+            mel_max=np.full((N_FEATS,), 3.0, np.float32),
+        ),
+    )
+    t = np.arange(22050) / 22050
+    ref_path = str(tmp_path / "ref.wav")
+    write_wav(ref_path, (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32),
+              22050)
+    rng = np.random.default_rng(1)
+    units_path = str(tmp_path / "units.npz")
+    np.savez(units_path, units=rng.integers(0, 50, 40),
+             durations=rng.integers(1, 3, 40))
+    spk_path = str(tmp_path / "spk.npy")
+    np.save(spk_path, spk_emb)
+
+    rc = main_warmup_adapt([
+        "--config", cfg_path, "--frame-buckets", "96", "--n-iters", "3",
+        "--no-ssl", "--fp32", "--cpu",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main_finetune([
+        "--config", cfg_path, "--reference", ref_path, "--decoder", dec_path,
+        "--unit-encoder", ue_path, "--output-dir", str(tmp_path / "out"),
+        "--spk-emb", spk_path, "--units", units_path, "--n-iters", "3",
+        "--fp32", "--frame-buckets", "96",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "aot_hit=True" in out, out

@@ -373,7 +373,8 @@ def main_finetune(argv=None):
     )
     print(
         f"finetuned {n_iters} iters in {dt:.1f}s "
-        f"(loss {losses[:10].mean():.4f} -> {losses[-10:].mean():.4f}) -> {out}"
+        f"(loss {losses[:10].mean():.4f} -> {losses[-10:].mean():.4f}) "
+        f"aot_hit={bool(_hit)} -> {out}"
     )
     return 0
 
@@ -389,15 +390,10 @@ def main_finetune(argv=None):
 DEFAULT_SPK_SAMPLE_BUCKETS = (96000, 192000)
 
 
-def extract_speaker_embedding(ckpt_path: str, wav, sr: int, cfg,
-                              sample_buckets=DEFAULT_SPK_SAMPLE_BUCKETS) -> np.ndarray:
-    """wav (22.05 kHz) -> 256-d embedding via WavLM+ECAPA (host resample to
-    16 kHz, reference finetune.py:106-110)."""
-    import jax.numpy as jnp
-    from scipy.signal import resample_poly
-
+def load_speaker_embedder(ckpt_path: str, cfg):
+    """WavLM+ECAPA checkpoint -> (model, variables); load ONCE and reuse
+    for corpus-scale embedding (the checkpoint is ~1.3 GB)."""
     from unitspeech_tpu.models.speaker import SpeakerEmbedder
-    from unitspeech_tpu.ops.mel import reflect_extend
     from unitspeech_tpu.utils.checkpoint import load_checkpoint
     from unitspeech_tpu.utils.torch_convert_ssl import convert_speaker_embedder
 
@@ -410,6 +406,19 @@ def extract_speaker_embedding(ckpt_path: str, wav, sr: int, cfg,
         variables = convert_speaker_embedder(sd)
     else:
         variables = load_checkpoint(ckpt_path)
+    return SpeakerEmbedder.from_config(cfg.spk_embedder), variables
+
+
+def embed_speaker(model, variables, wav, sr: int, cfg,
+                  sample_buckets=DEFAULT_SPK_SAMPLE_BUCKETS) -> np.ndarray:
+    """wav -> 256-d embedding (host resample to 16 kHz, reference
+    finetune.py:106-110). sample_buckets=None reproduces the reference's
+    exact-length behavior (one compile per distinct wav length)."""
+    import jax.numpy as jnp
+    from scipy.signal import resample_poly
+
+    from unitspeech_tpu.ops.mel import reflect_extend
+
     if sr != cfg.spk_embedder.sr:
         wav = resample_poly(np.asarray(wav, np.float64), cfg.spk_embedder.sr, sr)
     wav = np.asarray(wav, np.float32)
@@ -418,9 +427,17 @@ def extract_speaker_embedding(ckpt_path: str, wav, sr: int, cfg,
             if b >= len(wav):
                 wav = reflect_extend(wav, b)
                 break
-    model = SpeakerEmbedder.from_config(cfg.spk_embedder)
-    emb = model.apply(variables, jnp.asarray(wav[None], jnp.float32))
+    import jax
+
+    emb = jax.jit(model.apply)(variables, jnp.asarray(wav[None], jnp.float32))
     return np.asarray(emb)
+
+
+def extract_speaker_embedding(ckpt_path: str, wav, sr: int, cfg,
+                              sample_buckets=DEFAULT_SPK_SAMPLE_BUCKETS) -> np.ndarray:
+    """One-shot load + embed (see load_speaker_embedder / embed_speaker)."""
+    model, variables = load_speaker_embedder(ckpt_path, cfg)
+    return embed_speaker(model, variables, wav, sr, cfg, sample_buckets)
 
 
 # Mel-frame bucket ladder for voice adaptation: 4/8/12/16/24 s of 22.05 kHz
@@ -465,6 +482,10 @@ def _reference_mel(wav, cfg, frame_buckets: str):
             fix_len_compatibility(t_true, cfg.decoder.num_downsamplings),
             ladder,
         )
+        # choose_bucket's above-ladder fallback rounds to multiples of 8
+        # (num_down=3); re-round for THIS config so prepare_finetune_inputs
+        # always accepts pad_to
+        pad_to = fix_len_compatibility(pad_to, cfg.decoder.num_downsamplings)
         wav = reflect_extend(wav, pad_to * d.hop_length)
     mel = _np.asarray(
         mel_spectrogram(
@@ -982,12 +1003,24 @@ def main_preprocess_spk_embs(argv=None):
                     help="WavLM+ECAPA ckpt (.pt torch or converted)")
     ap.add_argument("--out", required=True, help="output spk_embs.npz")
     ap.add_argument("--max-files", type=int, default=None)
+    ap.add_argument("--bucket-ssl", action="store_true",
+                    help="reflect-extend wavs to the sample-bucket ladder "
+                         "(bounded compiles); DEFAULT here is the exact "
+                         "per-length reference behavior so the persisted "
+                         "corpus artifacts match process_spkr_embs.py")
     args = ap.parse_args(argv)
     cfg = _setup(args)
     from unitspeech_tpu.preprocess.stats import compute_speaker_embs
 
+    # load the ~1.3 GB checkpoint ONCE for the whole corpus
+    model, variables = load_speaker_embedder(args.speaker_embedder, cfg)
+
     def embed(wav, sr):
-        return extract_speaker_embedding(args.speaker_embedder, wav, sr, cfg)
+        return embed_speaker(
+            model, variables, wav, sr, cfg,
+            sample_buckets=DEFAULT_SPK_SAMPLE_BUCKETS if args.bucket_ssl
+            else None,
+        )
 
     means = compute_speaker_embs(args.filelist, cfg.data, embed, args.out,
                                  args.max_files)
@@ -1246,7 +1279,8 @@ def main_warmup_adapt(argv=None):
         jnp.zeros((1, 8, cfg.decoder.n_feats)), jnp.zeros((1,)),
         jnp.zeros((1, cfg.decoder.spk_emb_dim)),
     )
-    ue_apply = jax.jit(unit_encoder.apply)
+    from unitspeech_tpu.train.finetune import prepare_finetune_inputs
+
     for b in ladder:
         t0 = time.perf_counter()
         np.asarray(mel_spectrogram(
@@ -1255,14 +1289,21 @@ def main_warmup_adapt(argv=None):
             hop_size=d.hop_length, win_size=d.win_length, fmin=d.mel_fmin,
             fmax=d.mel_fmax,
         ))
-        cond_x, _, _ = ue_apply(
-            ue_params, jnp.zeros((1, b), jnp.int32), jnp.array([b])
+        # warm the EXACT device-prep program main_finetune runs
+        # (finetune._prepare_jit: encoder + masks + generate_path fused),
+        # with representative shapes: ~b/3 tokens whose durations sum to
+        # < b frames, padded to the bucket inside prepare
+        n_tok = max(b // 3, 1)
+        cond_x, y, y_lengths, attn = prepare_finetune_inputs(
+            unit_encoder, ue_params,
+            np.zeros(n_tok, np.int64), np.full(n_tok, 2, np.int64),
+            np.zeros((min(2 * n_tok, b), d.n_feats), np.float32),
+            num_downsamplings=cfg.decoder.num_downsamplings, pad_to=b,
         )
-        np.asarray(cond_x)
         # the big one: the n-iter finetune scan at this bucket. Built
         # through the SAME AOT-artifact path main_finetune replays
-        # (utils/aot_cache): statics + key mirror it exactly — any
-        # mismatch is a cache miss
+        # (utils/aot_cache): statics + key + ARG SHAPES mirror it exactly
+        # (cond_x is the encoder's mu_x — width n_feats, NOT n_channels)
         def _ft(params, c, yy, yl, a, s, k):
             return finetune_decoder(
                 decoder.apply, params, c, yy, yl, a, s, k,
@@ -1277,10 +1318,8 @@ def main_warmup_adapt(argv=None):
         aot_cache.warm(
             _adapt_aot_key(cfg, n_iters, cfg.finetune.learning_rate,
                            args.bf16),
-            _ft, dec_params,
-            jnp.zeros((1, b, cfg.unit_encoder.n_channels)),
-            jnp.zeros((1, b, cfg.decoder.n_feats)), jnp.array([b]),
-            jnp.zeros((1, b, b)), jnp.zeros((1, cfg.decoder.spk_emb_dim)),
+            _ft, dec_params, cond_x, y, y_lengths, attn,
+            jnp.zeros((1, cfg.decoder.spk_emb_dim)),
             jax.random.PRNGKey(2),
         )
         report["compiles"][f"bucket_{b}"] = round(time.perf_counter() - t0, 1)

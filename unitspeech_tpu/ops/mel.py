@@ -133,6 +133,13 @@ def reflect_extend(wav: "np.ndarray", target_len: int) -> "np.ndarray":
     must be trimmed/masked by the caller
     (tests/test_train_steps.py::test_bucketed_mel_prefix_exact)."""
     wav = np.asarray(wav)
+    if wav.shape[0] < 2 and wav.shape[0] < target_len:
+        # reflect is undefined on <2 samples; a degenerate wav here means a
+        # broken input file — fail loudly instead of spinning
+        raise ValueError(
+            f"reflect_extend: wav has {wav.shape[0]} sample(s), cannot "
+            f"extend to {target_len}"
+        )
     out = wav
     while out.shape[0] < target_len:
         # np.pad reflect requires pad < len; chunk for short signals

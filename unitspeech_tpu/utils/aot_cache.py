@@ -41,13 +41,40 @@ def _aval_digest(args) -> str:
     return ";".join(parts)
 
 
+def _code_fingerprint() -> str:
+    """Digest of the package's own source files: ANY code edit invalidates
+    every stored artifact, so a stale export can never silently replay
+    pre-fix numerics (the cache must never be a correctness dependency)."""
+    global _CODE_FP
+    if _CODE_FP is None:
+        import unitspeech_tpu
+
+        root = os.path.dirname(os.path.abspath(unitspeech_tpu.__file__))
+        h = hashlib.sha256()
+        for dirpath, dirnames, files in sorted(os.walk(root)):
+            dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    h.update(f.encode())
+                    with open(os.path.join(dirpath, f), "rb") as fh:
+                        h.update(fh.read())
+        _CODE_FP = h.hexdigest()[:16]
+    return _CODE_FP
+
+
+_CODE_FP: str | None = None
+
+
 def cache_path(key: str, args=(), cache_dir: str | None = None) -> str:
     import jax
 
     backend = jax.default_backend()
-    raw = f"{key}|{jax.__version__}|{backend}|{_aval_digest(args)}"
+    raw = (f"{key}|{jax.__version__}|{backend}|{_code_fingerprint()}"
+           f"|{_aval_digest(args)}")
     h = hashlib.sha256(raw.encode()).hexdigest()[:32]
-    return os.path.join(cache_dir or DEFAULT_DIR, f"{h}.jaxexport")
+    base = (cache_dir or os.environ.get("UNITSPEECH_AOT_CACHE")
+            or DEFAULT_DIR)
+    return os.path.join(base, f"{h}.jaxexport")
 
 
 def cached_fn(key: str, fn: Callable, *args,
@@ -97,8 +124,15 @@ def cached_call(key: str, fn: Callable, *args,
 
 
 def warm(key: str, fn: Callable, *args, cache_dir: str | None = None) -> bool:
-    """Build + store the artifact without waiting for execution results
-    (still compiles so the XLA cache is populated). Returns True if an
-    artifact exists afterwards."""
-    _, _hit = cached_call(key, fn, *args, cache_dir=cache_dir)
+    """Build + store the artifact and populate the XLA compile cache,
+    WITHOUT executing the computation (lower+compile only — re-warming an
+    n-iter training scan must not run n iterations on the device).
+    Returns True if an artifact exists afterwards."""
+    import jax
+
+    f, _hit = cached_fn(key, fn, *args, cache_dir=cache_dir)
+    try:
+        jax.jit(f).lower(*args).compile()
+    except Exception:  # pragma: no cover - lowering quirk: execute instead
+        f(*args)
     return os.path.exists(cache_path(key, args, cache_dir))
