@@ -77,3 +77,26 @@ def test_cached_fn_reusable_and_pytree_args(tmp_path):
     f2, hit2 = aot_cache.cached_fn("t", tree_fn, tree, x, cache_dir=d)
     assert hit2
     np.testing.assert_array_equal(np.asarray(f2(tree, x)), y1)
+
+
+def test_sharded_args_roundtrip():
+    """cached_call with mesh-sharded committed inputs: either the export
+    path or the silent jit fallback must produce correct results (probed:
+    this jax version exports and replays them fine on the 8-device mesh)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    x = jax.device_put(
+        jnp.arange(32.0).reshape(8, 4), NamedSharding(mesh, P("data", None))
+    )
+
+    def f(a):
+        return (a * 2).sum(axis=1)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        r1, _ = aot_cache.cached_call("sh", f, x, cache_dir=d)
+        r2, _ = aot_cache.cached_call("sh", f, x, cache_dir=d)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(jax.jit(f)(x)))
